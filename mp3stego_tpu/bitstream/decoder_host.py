@@ -1,0 +1,492 @@
+"""Host-plane MP3 parsing: sync walk, headers, side info, bit reservoir, scalefactor
+and Huffman-sample unpacking into dense batched tensors for the device plane.
+
+Behavioural reference (bit-for-bit): /root/reference/mp3stego/decoder/
+  MP3_Parser.py:21-85 (sync walk + frame loop, incl. the stale-PCM-duplication quirk
+  on a mid-file bad sync), FrameHeader.py:51-192, FrameSideInformation.py:39-137,
+  Frame.py:288-363 (frame size + reservoir assembly, incl. the doubled first-frame
+  entry in the previous-size history), Frame.py:365-559 (scalefactor + sample unpack).
+
+Everything here is sequential/irregular and stays on host; the output is a
+``ParsedMP3`` whose arrays are ready for the batched TPU numeric plane.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mp3stego_tpu import tables as T
+
+HEADER_SIZE = 4
+NUM_PREV_FRAMES = 9
+
+
+# --------------------------------------------------------------------- header
+
+
+@dataclass
+class FrameHeader:
+    mpeg_version: float = 0.0
+    layer: int = 0
+    crc: int = 0
+    bit_rate: int = 0
+    sampling_rate: int = 0
+    padding: bool = False
+    channel_mode: int = 0          # 0 stereo, 1 joint, 2 dual, 3 mono
+    channels: int = 2
+    mode_ext: tuple = (0, 0)
+    sr_idx: int = 0                # 0=44.1k, 1=48k, 2=32k (MPEG-1)
+
+    @property
+    def frame_samples(self) -> int:
+        if self.layer == 3:
+            return 1152 if self.mpeg_version == 1 else 576
+        if self.layer == 2:
+            return 1152
+        return 384
+
+
+_L3_RATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_L2_RATES = [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_L2LO_RATES = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+
+
+def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
+    h = FrameHeader()
+    v_bits = (bool(b1 & 0x10), bool(b1 & 0x08))
+    h.mpeg_version = {(True, True): 1, (True, False): 2,
+                      (False, True): 0, (False, False): 2.5}[v_bits]
+    h.layer = 4 - (((b1 << 5) & 0xFF) >> 6)
+    h.crc = b1 & 0x01
+    rates = [[44100, 48000, 32000], [22050, 24000, 16000], [11025, 12000, 8000]]
+    cv = int(np.floor(h.mpeg_version))
+    sr_b = (bool(b2 & 0x08), bool(b2 & 0x04))
+    if sr_b == (False, False):
+        h.sampling_rate = rates[cv - 1][0]
+    elif sr_b == (False, True):
+        h.sampling_rate = rates[cv - 1][1]
+    elif sr_b == (True, False):
+        h.sampling_rate = rates[cv - 1][2]
+    h.channel_mode = (b3 >> 6) & 0xFF
+    h.channels = 1 if h.channel_mode == 3 else 2
+    if h.layer == 3:
+        h.mode_ext = (b3 & 0x20, b3 & 0x10)
+    h.padding = bool(b2 & 0x02)
+    idx = ((b2 >> 4) & 0xFF) - 1
+    if h.mpeg_version == 1:
+        if h.layer == 1:
+            h.bit_rate = b2 * 32
+        elif h.layer == 2:
+            h.bit_rate = _L2_RATES[idx] * 1000
+        elif h.layer == 3:
+            h.bit_rate = _L3_RATES[idx] * 1000
+    else:
+        if h.layer == 1:
+            h.bit_rate = _L3_RATES[idx] * 1000
+        elif h.layer < 4:
+            h.bit_rate = _L2LO_RATES[idx] * 1000
+    h.sr_idx = T.SAMPLERATE_INDEX.get(h.sampling_rate, 0)
+    return h
+
+
+def frame_size_of(h: FrameHeader) -> int:
+    size = int(((h.frame_samples / 8) * h.bit_rate) / h.sampling_rate)
+    if h.padding:
+        size += 1
+    return size
+
+
+# ------------------------------------------------------------------- side info
+
+
+@dataclass
+class SideInfo:
+    main_data_begin: int = 0
+    scfsi: np.ndarray = None                 # (2,4)
+    part2_3_length: np.ndarray = None        # (2,2) [gr][ch]
+    big_value: np.ndarray = None
+    global_gain: np.ndarray = None
+    scale_fac_compress: np.ndarray = None
+    window_switching: np.ndarray = None
+    block_type: np.ndarray = None
+    mixed_block_flag: np.ndarray = None
+    table_select: np.ndarray = None          # (2,2,3)
+    sub_block_gain: np.ndarray = None        # (2,2,3)
+    region0_count: np.ndarray = None
+    region1_count: np.ndarray = None
+    pre_flag: np.ndarray = None
+    scale_fac_scale: np.ndarray = None
+    count1table_select: np.ndarray = None
+    scale_fac_l: np.ndarray = None           # (2,2,22)
+    scale_fac_s: np.ndarray = None           # (2,2,3,13)
+
+    def __post_init__(self):
+        z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
+        self.scfsi = z(2, 4)
+        for f in ("part2_3_length", "big_value", "global_gain", "scale_fac_compress",
+                  "window_switching", "block_type", "mixed_block_flag",
+                  "region0_count", "region1_count", "pre_flag", "scale_fac_scale",
+                  "count1table_select"):
+            setattr(self, f, z(2, 2))
+        self.table_select = z(2, 2, 3)
+        self.sub_block_gain = z(2, 2, 3)
+        self.scale_fac_l = z(2, 2, 22)
+        self.scale_fac_s = z(2, 2, 3, 13)
+
+
+def parse_side_info(bits: np.ndarray, h: FrameHeader) -> SideInfo:
+    """``bits``: unpacked bit array starting at the side-info byte."""
+    si = SideInfo()
+    pos = 0
+
+    def rd(n):
+        nonlocal pos
+        v = 0
+        for b in bits[pos:pos + n]:
+            v = (v << 1) | int(b)
+        pos += n
+        return v
+
+    si.main_data_begin = rd(9)
+    pos += 5 if h.channels == 1 else 3
+    for ch in range(h.channels):
+        for band in range(4):
+            si.scfsi[ch][band] = rd(1)
+    for gr in range(2):
+        for ch in range(h.channels):
+            si.part2_3_length[gr][ch] = rd(12)
+            si.big_value[gr][ch] = rd(9)
+            si.global_gain[gr][ch] = rd(8)
+            si.scale_fac_compress[gr][ch] = rd(4)
+            si.window_switching[gr][ch] = rd(1)
+            if si.window_switching[gr][ch]:
+                si.block_type[gr][ch] = rd(2)
+                si.mixed_block_flag[gr][ch] = rd(1)
+                si.region0_count[gr][ch] = 8 if si.block_type[gr][ch] == 2 else 7
+                si.region1_count[gr][ch] = 20 - si.region0_count[gr][ch]
+                for region in range(2):
+                    si.table_select[gr][ch][region] = rd(5)
+                for window in range(3):
+                    si.sub_block_gain[gr][ch][window] = rd(3)
+            else:
+                si.block_type[gr][ch] = 0
+                si.mixed_block_flag[gr][ch] = 0
+                for region in range(3):
+                    si.table_select[gr][ch][region] = rd(5)
+                si.region0_count[gr][ch] = rd(4)
+                si.region1_count[gr][ch] = rd(3)
+            si.pre_flag[gr][ch] = rd(1)
+            si.scale_fac_scale[gr][ch] = rd(1)
+            si.count1table_select[gr][ch] = rd(1)
+    return si
+
+
+# ------------------------------------------------------- main data / reservoir
+
+
+def assemble_main_data(file_data: bytes, curr_offset: int, frame_size: int,
+                       prev_sizes: list, si: SideInfo, h: FrameHeader) -> bytes:
+    """Splice the frame's main data across the bit reservoir (Frame.py:318-356)."""
+    constant = 21 if h.channels == 1 else 36
+    if h.crc == 0:
+        constant += 2
+    buf = file_data[curr_offset:curr_offset + frame_size]
+    if si.main_data_begin == 0:
+        return bytes(buf[constant:frame_size])
+    bound = 0
+    for frame in range(NUM_PREV_FRAMES):
+        bound += prev_sizes[frame] - constant
+        if si.main_data_begin < bound:
+            ptr_offset = si.main_data_begin + frame * constant
+            part = [0] * NUM_PREV_FRAMES
+            part[frame] = si.main_data_begin
+            for i in range(frame):
+                part[i] = prev_sizes[i] - constant
+                part[frame] -= part[i]
+            loc = int(curr_offset - ptr_offset)
+            out = bytearray(file_data[loc:loc + int(part[frame])])
+            ptr_offset -= part[frame] + constant
+            for i in range(frame - 1, -1, -1):
+                loc = int(curr_offset - ptr_offset)
+                out.extend(file_data[loc:loc + int(part[i])])
+                ptr_offset -= part[i] + constant
+            out.extend(buf[constant:frame_size])
+            return bytes(out)
+    return b""
+
+
+# ------------------------------------------------- scalefactors + huffman unpack
+
+
+class _MainDataBits:
+    """Fast MSB-first reads over a granule's main data (zero-padded)."""
+
+    __slots__ = ("bits", "n")
+
+    def __init__(self, data: bytes):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        self.bits = np.unpackbits(np.concatenate([arr, np.zeros(8, np.uint8)]))
+        self.n = len(self.bits)
+
+    def get(self, pos: int, n: int) -> int:
+        if n == 0:
+            return 0
+        end = pos + n
+        if end > self.n:
+            sl = np.zeros(n, dtype=np.uint8)
+            avail = self.bits[pos:self.n]
+            sl[:len(avail)] = avail
+        else:
+            sl = self.bits[pos:end]
+        v = 0
+        for b in sl:
+            v = (v << 1) | int(b)
+        return v
+
+
+def unpack_scale_factors(md: _MainDataBits, si: SideInfo, gr: int, ch: int,
+                         bit: int) -> int:
+    """Frame.py:365-441, including gr==1 scfsi reuse."""
+    sfc = int(si.scale_fac_compress[gr][ch])
+    sl0, sl1 = int(T.SLEN[sfc][0]), int(T.SLEN[sfc][1])
+
+    if si.block_type[gr][ch] == 2 and si.window_switching[gr][ch]:
+        if si.mixed_block_flag[gr][ch] == 1:
+            for sfb in range(8):
+                si.scale_fac_l[gr][ch][sfb] = md.get(bit, sl0)
+                bit += sl0
+            for sfb in range(3, 6):
+                for window in range(3):
+                    si.scale_fac_s[gr][ch][window][sfb] = md.get(bit, sl0)
+                    bit += sl0
+        else:
+            for sfb in range(6):
+                for window in range(3):
+                    si.scale_fac_s[gr][ch][window][sfb] = md.get(bit, sl0)
+                    bit += sl0
+        for sfb in range(6, 12):
+            for window in range(3):
+                si.scale_fac_s[gr][ch][window][sfb] = md.get(bit, sl1)
+                bit += sl1
+        for window in range(3):
+            si.scale_fac_s[gr][ch][window][12] = 0
+    else:
+        if gr == 0:
+            for sfb in range(11):
+                si.scale_fac_l[gr][ch][sfb] = md.get(bit, sl0)
+                bit += sl0
+            for sfb in range(11, 21):
+                si.scale_fac_l[gr][ch][sfb] = md.get(bit, sl1)
+                bit += sl1
+        else:
+            SB = [6, 11, 16, 21]
+            PREV_SB = [0, 6, 11, 16]
+            for i in range(2):
+                for sfb in range(PREV_SB[i], SB[i]):
+                    if si.scfsi[ch][i]:
+                        si.scale_fac_l[gr][ch][sfb] = si.scale_fac_l[0][ch][sfb]
+                    else:
+                        si.scale_fac_l[gr][ch][sfb] = md.get(bit, sl0)
+                        bit += sl0
+            for i in range(2, 4):
+                for sfb in range(PREV_SB[i], SB[i]):
+                    if si.scfsi[ch][i]:
+                        si.scale_fac_l[gr][ch][sfb] = si.scale_fac_l[0][ch][sfb]
+                    else:
+                        si.scale_fac_l[gr][ch][sfb] = md.get(bit, sl1)
+                        bit += sl1
+        si.scale_fac_l[gr][ch][21] = 0
+    return bit
+
+
+def unpack_samples(md: _MainDataBits, si: SideInfo, h: FrameHeader, gr: int, ch: int,
+                   bit: int, max_bit: int, out: np.ndarray):
+    """Huffman-sample unpack (Frame.py:443-559) with O(1) LUT symbol decode."""
+    out[:] = 0.0
+    long_win = T.BAND_INDEX_LONG[h.sr_idx]
+
+    if si.window_switching[gr][ch] and si.block_type[gr][ch] == 2:
+        region0, region1 = 36, 576
+    else:
+        r0c = int(si.region0_count[gr][ch])
+        r1c = int(si.region1_count[gr][ch])
+        region0 = int(long_win[r0c + 1])
+        region1 = int(long_win[r0c + 1 + r1c + 1])
+
+    ts = si.table_select[gr][ch]
+    big = int(si.big_value[gr][ch]) * 2
+    sample = 0
+    while sample < big:
+        if sample < region0:
+            table_num = int(ts[0])
+        elif sample < region1:
+            table_num = int(ts[1])
+        else:
+            table_num = int(ts[2])
+
+        if table_num == 0:
+            sample += 2
+            continue
+
+        book = int(T.DEC_CODEBOOK_OF[table_num])
+        linbits = int(T.DEC_LINBITS[table_num])
+        maxval = int(T.DEC_MAXVAL[table_num])
+        packed = int(T.dec_lut(book)[md.get(bit, T.LUT_BITS)])
+        size = packed & 31
+        if size == 0:
+            # no codeword matched (corrupt stream): reference scans all rows,
+            # finds nothing, and advances the sample pair without consuming bits
+            sample += 2
+            continue
+        bit += size
+        values = (packed >> 9, (packed >> 5) & 15)
+        for i in range(2):
+            linbit = 0
+            if linbits != 0 and values[i] == maxval - 1:
+                linbit = md.get(bit, linbits)
+                bit += linbits
+            sign = 1
+            if values[i] > 0:
+                sign = -1 if md.get(bit, 1) > 0 else 1
+                bit += 1
+            out[sample + i] = float(sign * (values[i] + linbit))
+        sample += 2
+
+    # count1 / quadruples region
+    while bit < max_bit and sample + 4 < 576:
+        values = [0, 0, 0, 0]
+        if si.count1table_select[gr][ch] == 1:
+            bs = md.get(bit, 4)
+            bit += 4
+            values[0] = 0 if (bs & 0x08) > 0 else 1
+            values[1] = 0 if (bs & 0x04) > 0 else 1
+            values[2] = 0 if (bs & 0x02) > 0 else 1
+            values[3] = 0 if (bs & 0x01) > 0 else 1
+        else:
+            packed = int(T.QUAD_LUT[md.get(bit, 6)])
+            size = packed & 31
+            p = packed >> 5
+            bit += size
+            values = [(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1]
+        for i in range(4):
+            if values[i] > 0:
+                if md.get(bit, 1) == 1:
+                    values[i] = -values[i]
+                bit += 1
+        for i in range(4):
+            out[sample + i] = values[i]
+        sample += 4
+
+
+# --------------------------------------------------------------- whole-file parse
+
+
+@dataclass
+class ParsedMP3:
+    """Dense batched host-plane output ready for the device numeric plane."""
+    num_frames: int = 0
+    header: FrameHeader = None                    # first frame's header
+    frame_sizes: np.ndarray = None                # (F,)
+    raw_samples: np.ndarray = None                # (F,2,2,576) float64
+    # per-(frame,gr,ch) parameters for the numeric plane:
+    block_type: np.ndarray = None                 # (F,2,2) int32
+    mixed_block_flag: np.ndarray = None
+    window_switching: np.ndarray = None
+    global_gain: np.ndarray = None
+    scale_fac_scale: np.ndarray = None
+    pre_flag: np.ndarray = None
+    sub_block_gain: np.ndarray = None             # (F,2,2,3)
+    scale_fac_l: np.ndarray = None                # (F,2,2,22)
+    scale_fac_s: np.ndarray = None                # (F,2,2,3,13)
+    table_select: np.ndarray = None               # (F,2,2,3)
+    ms_stereo: np.ndarray = None                  # (F,) bool
+    duplicate_last_pcm: bool = False
+    side_infos: list = field(default_factory=list)
+
+
+def parse_mp3(file_data: bytes, offset: int = 0) -> ParsedMP3:
+    """Full host pass: walk frames, parse side info, unpack scalefactors + samples."""
+    p = ParsedMP3()
+    n = len(file_data)
+    if offset + 1 >= n or file_data[offset] != 0xFF or file_data[offset + 1] < 0xE0:
+        p.num_frames = 0
+        return p
+
+    first_h = parse_header(*file_data[offset:offset + 4])
+    p.header = first_h
+
+    frames = []       # (offset, header, size, prev_sizes snapshot)
+    # pre-loop set_frame_size (MP3_Parser.py:42) seeds the history with fs0 twice
+    prev_hist = [0.0] * NUM_PREV_FRAMES
+    frame_size = frame_size_of(first_h)
+
+    cur = offset
+    valid = True
+    while valid and n > cur + HEADER_SIZE:
+        if file_data[cur] == 0xFF and file_data[cur + 1] >= 0xE0:
+            h = parse_header(*file_data[cur:cur + 4])
+            prev_hist = [frame_size] + prev_hist[:-1]
+            frame_size = frame_size_of(h)
+            frames.append((cur, h, frame_size, list(prev_hist)))
+            cur += frame_size
+        else:
+            valid = False
+            # MP3_Parser.py:79 appends the stale previous frame's PCM once more
+            p.duplicate_last_pcm = len(frames) > 0
+
+    F = len(frames)
+    p.num_frames = F
+    if F == 0:
+        return p
+    z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
+    p.frame_sizes = np.array([f[2] for f in frames], dtype=np.int64)
+    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.float64)
+    for name in ("block_type", "mixed_block_flag", "window_switching", "global_gain",
+                 "scale_fac_scale", "pre_flag"):
+        setattr(p, name, z(F, 2, 2))
+    p.sub_block_gain = z(F, 2, 2, 3)
+    p.scale_fac_l = z(F, 2, 2, 22)
+    p.scale_fac_s = z(F, 2, 2, 3, 13)
+    p.table_select = z(F, 2, 2, 3)
+    p.ms_stereo = np.zeros(F, dtype=bool)
+
+    for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
+        start_si = 6 if h.crc == 0 else 4
+        si_bytes = file_data[foff + start_si:foff + fsize]
+        si_bits = np.unpackbits(np.frombuffer(si_bytes, dtype=np.uint8))
+        si = parse_side_info(si_bits, h)
+        md = _MainDataBits(
+            assemble_main_data(file_data, foff, fsize, prev_sizes, si, h))
+        bit = 0
+        for gr in range(2):
+            for ch in range(h.channels):
+                max_bit = int(bit + si.part2_3_length[gr][ch])
+                bit = unpack_scale_factors(md, si, gr, ch, bit)
+                unpack_samples(md, si, h, gr, ch, bit, max_bit,
+                               p.raw_samples[fi, gr, ch])
+                bit = max_bit
+        p.side_infos.append(si)
+        p.block_type[fi] = si.block_type
+        p.mixed_block_flag[fi] = si.mixed_block_flag
+        p.window_switching[fi] = si.window_switching
+        p.global_gain[fi] = si.global_gain
+        p.scale_fac_scale[fi] = si.scale_fac_scale
+        p.pre_flag[fi] = si.pre_flag
+        p.sub_block_gain[fi] = si.sub_block_gain
+        p.scale_fac_l[fi] = si.scale_fac_l
+        p.scale_fac_s[fi] = si.scale_fac_s
+        p.table_select[fi] = si.table_select
+        p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
+
+    return p
+
+
+def stego_bits(p: ParsedMP3) -> str:
+    """table_select -> hidden bit string, ch-major within frame, skipping table 0
+    (decoder/util.py:67-81 + Frame.py:676-685 flatten order)."""
+    if p.num_frames == 0:
+        return ""
+    ts = p.table_select.transpose(0, 2, 1, 3).reshape(-1)  # frame, ch, gr, region
+    ts = ts[ts != 0]
+    bits = np.where(np.isin(ts, np.array(sorted(T.H0))), ord("0"), ord("1"))
+    return bits.astype(np.uint8).tobytes().decode()

@@ -1,0 +1,131 @@
+"""MP3 -> WAV decode driver.
+
+API-compatible with the reference Decoder (decoder/decoder.py:9-117): same
+constructor, ``decode(quiet, reveal, txt_file_path)`` returning bitrate//1000,
+``delete_wav_file()``, METADATA.txt side-file when not quiet, and the exact
+``len#message`` reveal framing (decoder/decoder.py:86-108).
+
+The pipeline: host parse (sync walk, side info, reservoir, Huffman) -> batched
+TPU numeric plane (ops/decode_plane) -> int16 WAV. ``precision`` selects
+"float64" (bit-exact vs the reference) or "float32" (TPU throughput mode).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from mp3stego_tpu.bitstream import decoder_host as dh
+from mp3stego_tpu.bitstream.id3 import parse_id3
+from mp3stego_tpu.utils.wav import write_wav
+
+
+class Decoder:
+    """Decode an MP3 file into a WAV file (and optionally reveal hidden data).
+
+    :param file_path: the mp3 file path.
+    :param output_file_path: the wav output file path.
+    :param precision: "float64" (bit-exact parity mode) or "float32" (fast TPU mode).
+    """
+
+    def __init__(self, file_path: str, output_file_path: str,
+                 precision: str = "float64"):
+        self.__file_path = file_path
+        self.__output_file_path = output_file_path
+        self.__precision = precision
+
+        if not os.path.exists(self.__file_path):
+            sys.exit(f'File {self.__file_path} not found.')
+
+        with open(self.__file_path, 'rb') as f:
+            self.__data = f.read()
+
+        self.__id3 = parse_id3(self.__data)
+        self.__offset = self.__id3.offset if self.__id3.is_valid else 0
+        self.__parsed = None
+        self.output_bits = ""
+
+    def __parse_metadata(self):
+        id3 = self.__id3
+        with open('METADATA.txt', 'w') as metadata:
+            metadata.write(f'METADATA FOR FILE: {self.__file_path}\n')
+            metadata.write('################################\n\n\n')
+            metadata.write(f'ID3 Version: {id3.version}\n')
+            if len(id3.id3_flags) > 0:
+                metadata.write('ID3 Flags:\n')
+                for flag in id3.id3_flags:
+                    metadata.write(f'- {flag}\n')
+                metadata.write('\n')
+
+            metadata.write('\nID3 Frames:\n')
+            for i, frame in enumerate(id3.id3_frames):
+                metadata.write(f'Frame number: {i}\n')
+                metadata.write(f'Frame ID: {frame.id}\n')
+                metadata.write(f'Content: {frame.content}\n')
+                if len(frame.frame_flags) > 0:
+                    metadata.write('Frame Flags:\n')
+                    for flag in frame.frame_flags:
+                        metadata.write(f'- {flag}\n')
+                metadata.write('\n')
+
+    def decode(self, quiet: bool = True, reveal: bool = False,
+               txt_file_path: str = "") -> int:
+        """Decode to WAV; optionally extract the hidden message to a txt file.
+
+        :return: the bitrate of the mp3 file in kbps.
+        """
+        if not quiet and self.__id3.is_valid:
+            self.__parse_metadata()
+
+        start = time.time()
+        parsed = dh.parse_mp3(self.__data, self.__offset)
+        self.__parsed = parsed
+        self.output_bits = dh.stego_bits(parsed)
+
+        from mp3stego_tpu.ops import decode_plane as dp  # deferred jax import
+        pcm = dp.decode_pcm(parsed, self.__precision)
+        parsing_time = time.time() - start
+        if not quiet:
+            print('\nParsed', parsed.num_frames, 'frames in', parsing_time,
+                  'seconds.')
+
+        write_wav(self.__output_file_path, parsed.header.sampling_rate,
+                  (pcm * 32767).astype(np.int16))
+        if not quiet:
+            print(f"Wav file created on {self.__output_file_path}")
+
+        if reveal:
+            if txt_file_path[-4:] != '.txt':
+                sys.exit("txt_file_path must be txt file.")
+            self.__write_revealed(txt_file_path)
+
+        return parsed.header.bit_rate // 1000
+
+    def __write_revealed(self, txt_file_path: str):
+        """'len#message' framing parse (decoder/decoder.py:90-108, quirks and all)."""
+        output_str = ''.join(
+            chr(int(''.join(x), 2)) for x in zip(*[iter(self.output_bits)] * 8))
+        message_len_str = ''
+        for ch in output_str:
+            if ch == '#':
+                break
+            message_len_str += ch
+        try:
+            message_len = int(message_len_str)
+        except Exception:
+            message_len = 0
+            message_len_str = ""
+
+        if (len(message_len_str) + 1 + message_len) > len(output_str):
+            output_str = output_str[len(message_len_str) + 1:]
+        else:
+            output_str = output_str[
+                len(message_len_str) + 1: len(message_len_str) + 1 + message_len]
+        with open(txt_file_path, 'wb') as f:
+            f.write(bytes(output_str, 'utf-8'))
+
+    def delete_wav_file(self):
+        """Deletes the output wav file."""
+        if os.path.exists(self.__output_file_path):
+            os.remove(self.__output_file_path)

@@ -1,0 +1,322 @@
+"""Batched TPU decode numeric plane.
+
+The reference decodes granule-by-granule with carried state
+(decoder/Frame.py:65-218: requantize, IMDCT + overlap-add, synthesis FIFO).
+Here the whole file is one dense batch:
+
+* requantize     — LUT gathers: sign * pow43[|ix|] * 2^(exp1/4) * 2^(-exp2);
+                   exponent index maps are precomputed on host (static per
+                   samplerate + block-shape walk, including the reference's
+                   stuck-counter quirks for mixed blocks).
+* MS stereo      — masked vector op.
+* reorder        — static permutation (with the reference's zero-filled tail for
+                   short blocks, Frame.py:574-602).
+* alias          — static butterfly index arrays.
+* IMDCT          — 18->36 matmul against the cosine basis, windowed; the
+                   inter-granule overlap-add is a shifted add over the time axis
+                   (out_t = blk_t[:18] + blk_{t-1}[18:]), not a scan.
+* freq inversion — static sign mask.
+* synthesis      — V_t = N @ s_t for all 18*T sub-steps as one (18T,32)@(32,64)
+                   matmul (MXU), then PCM_t[n] = sum_{j<16} D[32j+n] *
+                   V_{t-j}[(j%2)*32+n]: a 16-tap FIR over the V history,
+                   accumulated in the reference's j-order for bit-exactness.
+
+All ops preserve the reference's floating-point evaluation order so the float64
+path is bit-identical; the float32 path is the TPU throughput mode.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp3stego_tpu import tables as T
+
+SQRT2 = math.sqrt(2)
+
+# ------------------------------------------------------------------ host maps
+
+_EXP1_OFF = 266          # exp1 in [-266, 45]
+_EXP2X2_MAX = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
+    """Replicates the sfb/window walk of re_quantize (Frame.py:176-208) for a
+    whole granule, returning static per-sample maps (is_short, sfb, window)."""
+    long_win = T.BAND_INDEX_LONG[sr_idx]
+    short_win = T.BAND_WIDTH_SHORT[sr_idx]
+    is_short = np.zeros(576, dtype=bool)
+    sfb_map = np.zeros(576, dtype=np.int32)
+    win_map = np.zeros(576, dtype=np.int32)
+    window = 0
+    sfb = 0
+    i = 0
+    for sample in range(576):
+        if bt2 or (mixed and sfb >= 8):
+            swv = short_win[sfb] if sfb < len(short_win) else 0
+            if i == swv:
+                i = 0
+                if window == 2:
+                    window = 0
+                    sfb += 1
+                else:
+                    window += 1
+            is_short[sample] = True
+            sfb_map[sample] = sfb
+            win_map[sample] = window
+        else:
+            if sample == long_win[sfb + 1]:
+                sfb += 1
+            sfb_map[sample] = sfb
+        i += 1
+    return is_short, sfb_map, win_map
+
+
+@functools.lru_cache(maxsize=None)
+def _reorder_perm(sr_idx: int):
+    """Static permutation for short-block reorder (Frame.py:574-602). Output
+    positions never written stay 0 (the reference's zero-filled tail)."""
+    short_win = T.BAND_WIDTH_SHORT[sr_idx]
+    perm = np.full(576, -1, dtype=np.int32)
+    total = start = block = 0
+    for sb in range(12):
+        w = int(short_win[sb])
+        for ss in range(w):
+            perm[start + block + 0] = total + ss + w * 0
+            perm[start + block + 6] = total + ss + w * 1
+            perm[start + block + 12] = total + ss + w * 2
+            if block != 0 and block % 5 == 0:
+                start += 18
+                block = 0
+            else:
+                block += 1
+        total += w * 3
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _alias_indices():
+    sb = np.arange(1, 32)[:, None]
+    s = np.arange(8)[None, :]
+    off1 = (18 * sb - s - 1).reshape(-1)
+    off2 = (18 * sb + s).reshape(-1)
+    cs = np.tile(T.ALIAS_CS, 31)
+    ca = np.tile(T.ALIAS_CA, 31)
+    return off1, off2, cs, ca
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_inv_mask():
+    m = np.ones((32, 18))
+    band = np.arange(32)[:, None]
+    t = np.arange(18)[None, :]
+    m[(band % 2 == 1) & (t % 2 == 1)] = -1.0
+    return m.reshape(576)
+
+
+def host_prepare(p) -> dict:
+    """Turn a ParsedMP3 into dense device inputs. NumPy only; cheap gathers."""
+    F = p.num_frames
+    sr = p.header.sr_idx
+    G = F * 2  # time-ordered granules
+
+    # (F,2,2,...) -> (2ch, T=2F, ...) time order = frame-major, gr-within-frame
+    def to_ct(a):
+        return np.ascontiguousarray(np.moveaxis(a, 2, 0).reshape((2, G) + a.shape[3:]))
+
+    raw = to_ct(p.raw_samples)                      # (2, T, 576)
+    bt = to_ct(p.block_type)                        # (2, T)
+    mixed = to_ct(p.mixed_block_flag).astype(bool)
+    gg = to_ct(p.global_gain)
+    sfscale = to_ct(p.scale_fac_scale)
+    pre = to_ct(p.pre_flag)
+    sbg = to_ct(p.sub_block_gain)                   # (2, T, 3)
+    sfl = to_ct(p.scale_fac_l)                      # (2, T, 22)
+    sfs = to_ct(p.scale_fac_s)                      # (2, T, 3, 13)
+
+    # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
+    mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int32)
+    maps = [np.stack([_requant_walk(sr, m == 1, m == 2)[k] for m in range(3)])
+            for k in range(3)]
+    is_short = maps[0][mode]                         # (2,T,576) bool
+    sfb_map = maps[1][mode]
+    win_map = maps[2][mode]
+
+    # exponent index maps (exact integers / half-integers)
+    sbg_s = np.take_along_axis(sbg, win_map, axis=2)
+    exp1 = gg[..., None] - 210 - np.where(is_short, 8 * sbg_s, 0)
+
+    sfs_flat = sfs.reshape(2, G, 39)
+    sf_short = np.take_along_axis(sfs_flat, win_map * 13 + sfb_map, axis=2)
+    pre_ext = np.concatenate([T.PRE_TAB, [0]])
+    sf_long = np.take_along_axis(sfl, np.minimum(sfb_map, 21), axis=2) \
+        + pre[..., None] * pre_ext[np.minimum(sfb_map, 21)]
+    mult2 = np.where(sfscale == 0, 1, 2)[..., None]
+    exp2x2 = mult2 * np.where(is_short, sf_short, sf_long)
+
+    reorder_mask = ((bt == 2) | mixed)               # (2,T)
+    ms_mask = np.repeat(p.ms_stereo, 2)              # (T,)
+
+    return dict(
+        raw=raw,
+        exp1_idx=(exp1 + _EXP1_OFF).astype(np.int32),
+        exp2x2=exp2x2.astype(np.int32),
+        reorder_mask=reorder_mask,
+        ms_mask=ms_mask,
+        win_row=bt.astype(np.int32),                 # sine_block row per granule
+        is_short_blk=(bt == 2),
+        reorder_perm=_reorder_perm(sr),
+        sr_idx=sr,
+        num_granules=G,
+    )
+
+
+# ----------------------------------------------------------------- device plane
+
+
+def _luts(dtype):
+    pow43 = np.array([float(i) ** (4.0 / 3.0) for i in range(8207)], dtype=np.float64)
+    e1 = np.array([2.0 ** ((i - _EXP1_OFF) / 4.0) for i in range(512)], dtype=np.float64)
+    e2 = np.array([2.0 ** (-(i / 2.0)) for i in range(_EXP2X2_MAX)], dtype=np.float64)
+    return (jnp.asarray(pow43, dtype), jnp.asarray(e1, dtype), jnp.asarray(e2, dtype))
+
+
+def _imdct_mats(dtype):
+    sine = T.sine_block()
+    c_long = T.imdct_long_cos()        # (36,18)
+    c_short = T.imdct_short_cos()      # (12,6)
+    return (jnp.asarray(c_long, dtype), jnp.asarray(c_short, dtype),
+            jnp.asarray(sine, dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("dtype_name",))
+def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
+                    is_short_blk, reorder_perm, dtype_name="float64"):
+    """(2ch, T, 576) raw Huffman samples -> (2ch, T, 576) PCM, fully batched."""
+    dtype = jnp.dtype(dtype_name)
+    pow43, e1lut, e2lut = _luts(dtype)
+    c_long, c_short, sine = _imdct_mats(dtype)
+
+    # ---- requantize (Frame.py:157-218)
+    ix = raw.astype(jnp.int32)
+    sign = jnp.where(raw < 0, dtype.type(-1.0), dtype.type(1.0))
+    a = pow43[jnp.abs(ix)]
+    b = e1lut[jnp.clip(exp1_idx, 0, 511)]
+    c = e2lut[jnp.clip(exp2x2, 0, _EXP2X2_MAX - 1)]
+    x = ((sign * a) * b) * c
+
+    # ---- MS stereo (Frame.py:561-572)
+    mid, side = x[0], x[1]
+    l = (mid + side) / dtype.type(SQRT2)
+    r = (mid - side) / dtype.type(SQRT2)
+    ms = ms_mask[None, :, None]
+    x = jnp.where(ms, jnp.stack([l, r]), x)
+
+    # ---- reorder (short) / alias reduction (long)
+    perm = reorder_perm
+    reord = jnp.where(perm[None, None, :] >= 0,
+                      jnp.take(x, jnp.maximum(perm, 0), axis=2),
+                      dtype.type(0.0))
+    off1, off2, cs_np, ca_np = _alias_indices()
+    cs = jnp.asarray(cs_np, dtype)
+    ca = jnp.asarray(ca_np, dtype)
+    s1 = x[..., off1]
+    s2 = x[..., off2]
+    aliased = x.at[..., off1].set(s1 * cs - s2 * ca).at[..., off2].set(s2 * cs + s1 * ca)
+    x = jnp.where(reorder_mask[..., None], reord, aliased)
+
+    # ---- IMDCT + windowing (Frame.py:106-154); x layout is [band*18 + k]
+    ch, tt = x.shape[0], x.shape[1]
+    s = x.reshape(ch, tt, 32, 18)
+
+    # long path: X = S @ C^T then window row per granule
+    xi_long = jnp.einsum("ctbk,ik->ctbi", s, c_long,
+                         preferred_element_type=dtype)
+    win_long = sine[jnp.clip(win_row, 0, 3)]          # (ch,T,36)
+    blk_long = xi_long * win_long[:, :, None, :]
+
+    # short path: 3 windows of 6 inputs -> 12 outputs each, windowed + merged
+    s3 = s.reshape(ch, tt, 32, 3, 6)
+    xi_s = jnp.einsum("ctbwk,ik->ctbwi", s3, c_short,
+                      preferred_element_type=dtype)   # (ch,T,32,3,12)
+    xi_s = xi_s * sine[2][:12]
+    z6 = jnp.zeros(xi_s.shape[:3] + (6,), dtype)
+    blk_short = jnp.concatenate([
+        z6,
+        xi_s[..., 0, 0:6],
+        xi_s[..., 0, 6:12] + xi_s[..., 1, 0:6],
+        xi_s[..., 1, 6:12] + xi_s[..., 2, 0:6],
+        xi_s[..., 2, 6:12],
+        z6,
+    ], axis=-1)
+
+    blk = jnp.where(is_short_blk[..., None, None], blk_short, blk_long)
+
+    # overlap-add across the time axis (prev_samples carry, Frame.py:150-154)
+    head = blk[..., :18]
+    tail = blk[..., 18:]
+    prev = jnp.concatenate([jnp.zeros_like(tail[:, :1]), tail[:, :-1]], axis=1)
+    y = head + prev                                    # (ch,T,32,18)
+
+    # ---- frequency inversion (Frame.py:624-631)
+    y = y * jnp.asarray(_freq_inv_mask().reshape(32, 18), dtype)
+
+    # ---- synthesis filterbank (Frame.py:65-103) as matmul + 16-tap FIR
+    n_mat = jnp.asarray(T.synth_filter_matrix(), dtype)    # (64,32)
+    st = y.transpose(0, 1, 3, 2).reshape(ch, tt * 18, 32)  # time-step major
+    v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype)
+    va, vb = v[..., :32], v[..., 32:]
+
+    d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
+    ts_total = tt * 18
+    pad = jnp.zeros((ch, 15, 32), dtype)
+    va_p = jnp.concatenate([pad, va], axis=1)
+    vb_p = jnp.concatenate([pad, vb], axis=1)
+    pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
+    for j in range(16):  # reference sums j ascending (Frame.py:97-101)
+        src = va_p if j % 2 == 0 else vb_p
+        pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
+            src, 15 - j, ts_total, axis=1)
+
+    return pcm_steps.reshape(ch, tt, 576)
+
+
+def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
+    """ParsedMP3 -> interleaved PCM (samples, channels) float array, including the
+    reference's stale-frame duplication quirk (MP3_Parser.py:79)."""
+    if p.num_frames == 0:
+        return np.zeros((0, 2))
+    prep = host_prepare(p)
+    # float64 is the bit-exact parity mode; TPUs have no native f64, so place it
+    # on the host CPU backend. float32 runs on the default (TPU) backend.
+    if dtype == "float64" and jax.default_backend() not in ("cpu",):
+        dev_ctx = jax.default_device(jax.devices("cpu")[0])
+    else:
+        import contextlib
+        dev_ctx = contextlib.nullcontext()
+    with dev_ctx:
+        out = _decode_call(prep, dtype)
+    pcm = np.asarray(out)                       # (2, T, 576)
+    ch = p.header.channels
+    t = pcm.shape[1]
+    inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+    if p.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    return inter
+
+
+def _decode_call(prep, dtype):
+    return decode_granules(
+        jnp.asarray(prep["raw"]),
+        jnp.asarray(prep["exp1_idx"]),
+        jnp.asarray(prep["exp2x2"]),
+        jnp.asarray(prep["reorder_mask"]),
+        jnp.asarray(prep["ms_mask"]),
+        jnp.asarray(prep["win_row"]),
+        jnp.asarray(prep["is_short_blk"]),
+        jnp.asarray(prep["reorder_perm"]),
+        dtype_name=dtype,
+    )

@@ -1,0 +1,99 @@
+"""WAV read/write.
+
+Writing matches scipy.io.wavfile bytes (the reference writes via scipy,
+MP3_Parser.py:91). Reading replicates the reference WavReader's RIFF walk and
+constraints (encoder/WAV_Reader.py:30-118): PCM only, 32/44.1/48 kHz, 8/16/32-bit
+declared sizes but samples always loaded as int16, and the interleaved two-cursor
+buffer addressing used by the encoder's sample feeder.
+"""
+
+import struct
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def write_wav(path: str, rate: int, data: np.ndarray):
+    """Minimal PCM WAV writer, byte-identical to scipy.io.wavfile.write for
+    int16 input."""
+    data = np.asarray(data)
+    channels = 1 if data.ndim == 1 else data.shape[1]
+    bits = data.dtype.itemsize * 8
+    block_align = channels * (bits // 8)
+    byte_rate = rate * block_align
+    payload = data.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                            block_align, bits))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+@dataclass
+class WavFile:
+    file_path: str = ""
+    bitrate: int = 320
+    num_of_channels: int = 2
+    samplerate: int = 44100
+    bits_per_sample: int = 16
+    num_of_samples: int = 0
+    mpeg_mode: int = 0          # 0 stereo / 3 mono (encoder MODES)
+    emphasis: int = 0
+    copyright: int = 0
+    original: int = 1
+    buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int16))
+
+
+def read_wav(path: str, bitrate: int = 320) -> WavFile:
+    with open(path, "rb") as f:
+        header = f.read(128)
+        w = WavFile(file_path=path, bitrate=bitrate)
+
+        idx = header.find(b"RIFF")
+        if idx == -1:
+            sys.exit("Bad WAVE file.")
+        if header.find(b"WAVE") == -1:
+            sys.exit("Bad WAVE file.")
+        idx = header.find(b"fmt ")
+        if idx == -1:
+            sys.exit("Bad WAVE file.")
+        idx += 4
+        sub1 = struct.unpack("<I", header[idx:idx + 4])[0]
+        if sub1 != 16:
+            sys.exit("Unsupported WAVE file, compression used instead of PCM.")
+        idx += 4
+        fmt = struct.unpack("<H", header[idx:idx + 2])[0]
+        if fmt != 1:
+            sys.exit("Unsupported WAVE file, compression used instead of PCM.")
+        idx += 2
+        w.num_of_channels = struct.unpack("<H", header[idx:idx + 2])[0]
+        w.mpeg_mode = 0 if w.num_of_channels > 1 else 3
+        idx += 2
+        w.samplerate = struct.unpack("<I", header[idx:idx + 4])[0]
+        if w.samplerate not in (32000, 44100, 48000):
+            sys.exit("Unsupported sampling frequency.")
+        idx += 4 + 4 + 2  # byte rate, block align
+        w.bits_per_sample = struct.unpack("<H", header[idx:idx + 2])[0]
+        if w.bits_per_sample not in (8, 16, 32):
+            sys.exit("Unsupported WAVE file, samples not int8, int16 or int32 type.")
+        idx = header.find(b"data")
+        if idx == -1:
+            sys.exit("Bad WAVE file.")
+        idx += 4
+        sub2 = struct.unpack("<I", header[idx:idx + 4])[0]
+        w.num_of_samples = int(sub2 * 8 / w.bits_per_sample / w.num_of_channels)
+
+        f.seek(idx + 4)
+        want = w.num_of_samples * w.num_of_channels * 2  # WAV_Reader.py:108 over-asks
+        buf = np.fromfile(f, dtype=np.int16, count=want)
+    # zero-pad so the encoder's two-cursor stepping never runs off the end
+    if len(buf) < want:
+        buf = np.concatenate([buf, np.zeros(want - len(buf), dtype=np.int16)])
+    w.buffer = buf
+    return w
