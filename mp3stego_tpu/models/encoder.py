@@ -1,0 +1,633 @@
+"""WAV -> MP3 encoder: TPU-batched analysis/MDCT plane + exact host rate control.
+
+Behavioural reference (bit-for-bit): /root/reference/mp3stego/encoder/
+  MP3_Encoder.py (frame loop 596-650, iteration loop 760-815, scfsi 817-892,
+  reservoir 894-931/1097-1145, outer/bin-search/inner 933-996/1064-1095,
+  bitstream formatting 1266-1547) and encoder.py:8-58 (driver + too_long).
+
+Architecture: the whole file's polyphase analysis + MDCT runs as ONE batched
+device computation (ops/encode_plane.analysis_mdct — MXU matmuls in exact Q31
+fixed point). The rate-control search and bitstream serialization are
+irregular/sequential (reservoir + stego-cursor carries, SURVEY.md §2.2) and run
+on host with dense per-granule vector primitives (ops/quant). The stego channel
+injects the Huffman pair transform at table-selection time exactly like the
+reference (tables.TRANSFORM_HUF == IDX_TO_TRANSFORM_HUF, MP3_Encoder.py:419-449).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from mp3stego_tpu import tables as T
+from mp3stego_tpu.bitstream.bits import BitWriter
+from mp3stego_tpu.ops import quant as Q
+from mp3stego_tpu.utils.wav import WavFile, read_wav
+
+_LN2 = 0.69314718  # the reference's constant (encoder/util.py:13), not log(2)
+_EN_TOT_KRIT = 10
+_EN_DIF_KRIT = 100
+_EN_SCFSI_BAND_KRIT = 10
+_XM_SCFSI_BAND_KRIT = 10
+_SCFSI_BAND_LONG = (0, 6, 11, 16, 21)
+
+
+def _find_bitrate_index(bitrate: int, mpeg_version: int) -> int:
+    for i in range(16):
+        if bitrate == int(T.BIT_RATES[i][mpeg_version]):
+            return i
+    return -1
+
+
+def _find_samplerate_index(samplerate: int) -> int:
+    for i in range(9):
+        if samplerate == int(T.SAMPLE_RATES[i]):
+            return i
+    return -1
+
+
+def _find_mpeg_version(sr_idx: int) -> int:
+    if sr_idx < 3:
+        return 3  # MPEG-I
+    if sr_idx < 6:
+        return 2  # MPEG-II
+    return 0      # MPEG-2.5
+
+
+class MP3Encoder:
+    """Encode a WavFile into MP3 bytes, optionally embedding a hidden bit string.
+
+    :param wav_file: parsed WAV (utils.wav.read_wav).
+    :param hide_str: bit string ('0'/'1' chars) to embed via Huffman-pair
+        steganography; empty disables embedding.
+    """
+
+    def __init__(self, wav_file: WavFile, hide_str: str = ""):
+        w = wav_file
+        self.wav = w
+        self.hide_str = hide_str
+        self.hide_str_offset = 0
+
+        self.mode = w.mpeg_mode
+        self.bitrate = w.bitrate
+        self.emphasis = w.emphasis
+        self.copyright = w.copyright
+        self.original = w.original
+        self.layer = 1          # header code for Layer III
+        self.crc = 0
+        self.ext = 0
+        self.mode_ext = 0
+        self.bits_per_slot = 8
+
+        self.samplerate_index = _find_samplerate_index(w.samplerate)
+        self.version = _find_mpeg_version(self.samplerate_index)
+        self.bitrate_index = _find_bitrate_index(self.bitrate, self.version)
+        self.granules_per_frame = 2 if self.version == 3 else 1
+
+        avg_slots_per_frame = (self.granules_per_frame * 576.0 / w.samplerate) * (
+            1000.0 * self.bitrate / self.bits_per_slot)
+        self.whole_slots_per_frame = int(avg_slots_per_frame)
+        self.frac_slots_per_frame = avg_slots_per_frame - self.whole_slots_per_frame
+        self.slot_lag = -self.frac_slots_per_frame
+        self.padding = 0
+
+        nch = w.num_of_channels
+        if self.granules_per_frame == 2:
+            self.side_info_len = 8 * ((4 + 17) if nch == 1 else (4 + 32))
+        else:
+            self.side_info_len = 8 * ((4 + 9) if nch == 1 else (4 + 17))
+
+        self.resv_max = 0
+        self.resv_size = 0.0
+        self.scfsi = np.zeros((2, 4), dtype=np.int32)
+        self.private_bits = 0
+        self.resv_drain = 0
+        # persistent per-(gr,ch) coding state (stale-field semantics preserved)
+        self.gr_info = [[Q.GrInfo() for _ in range(2)] for _ in range(2)]
+        self.scale_factor_l = np.zeros((2, 2, 22), dtype=np.int32)
+        self.l3_enc = np.zeros((nch, 2, 576), dtype=np.int32)
+        # per-channel scfsi energy state (reference L3Loop en/en_tot/xrmaxl)
+        self.en_tot = np.zeros(2, dtype=np.int32)
+        self.en = np.zeros((2, 21), dtype=np.int32)
+        self.xrmaxl = np.zeros(2, dtype=np.int32)
+
+        self.bw = BitWriter(4096)
+        self.out_buffer = bytearray()
+
+    # ------------------------------------------------------------------ encode
+
+    def print_info(self):
+        """Print info about the file about to be created (MP3_Encoder.py:581-594)."""
+        version_names = ["2.5", "reserved", "II", "I"]
+        mode_names = ["stereo", "joint-stereo", "dual-channel", "mono"]
+        demp_names = ["none", "50/15us", "", "CITT"]
+        print(f"MPEG-{version_names[self.version]} layer III, {mode_names[self.mode]}"
+              f" Psychoacoustic Model: Shine")
+        print(f"Bitrate: {self.bitrate} kbps ", end='')
+        print(f"De-emphasis: {demp_names[self.emphasis]}\t"
+              f"{'Original' if self.original else ''}\t"
+              f"{'(C)' if self.copyright else ''}")
+        print(f"Encoding \"{self.wav.file_path}\" to "
+              f"\"{self.wav.file_path[:-3]}mp3\"\n")
+
+    def _num_frames(self) -> int:
+        samples_per_pass = self.granules_per_frame * 576 * self.wav.num_of_channels
+        total = self.wav.num_of_samples * self.wav.num_of_channels
+        return total // samples_per_pass + (1 if total % samples_per_pass else 0)
+
+    def _channel_streams(self, num_frames: int) -> np.ndarray:
+        """(nch, F*1152) int32<<16 streams. The reference's two-cursor interleaved
+        stepping (WAV_Reader.py:160-164, buffer_pos starts {0:0,1:1}, +2 per read)
+        reduces to stream[c, t] = buffer[c + 2t]."""
+        nch = self.wav.num_of_channels
+        need = num_frames * self.granules_per_frame * 576
+        out = np.zeros((nch, need), dtype=np.int32)
+        for c in range(nch):
+            s = self.wav.buffer[c::2][:need].astype(np.int32)
+            out[c, :len(s)] = s
+        return out << 16
+
+    def encode(self):
+        """Encode the full file: one device pass for analysis+MDCT, then the
+        sequential host rate-control/bitstream loop (MP3_Encoder.py:596-618)."""
+        from mp3stego_tpu.ops import encode_plane  # deferred jax import
+        num_frames = self._num_frames()
+        if num_frames == 0:
+            return
+        streams = self._channel_streams(num_frames)
+        tg = num_frames * self.granules_per_frame
+        # (nch, Tg, 576) int32, exact Q31
+        mdct_all = encode_plane.run_analysis(streams, tg)
+
+        for f in range(num_frames):
+            mdct_frame = mdct_all[:, f * self.granules_per_frame:
+                                  (f + 1) * self.granules_per_frame]
+            self._encode_frame(mdct_frame)
+            self.out_buffer += self.bw.take_frame()
+        self.out_buffer += self.bw.take_frame()  # final flush (MP3_Encoder.py:616-618)
+
+    # ------------------------------------------------------------- frame logic
+
+    def _encode_frame(self, mdct_frame: np.ndarray):
+        if self.frac_slots_per_frame:
+            self.padding = 1 if self.slot_lag <= (self.frac_slots_per_frame - 1.0) else 0
+            self.slot_lag += self.padding - self.frac_slots_per_frame
+        self.bits_per_frame = 8 * (self.whole_slots_per_frame + self.padding)
+        self.mean_bits = int((self.bits_per_frame - self.side_info_len)
+                             / self.granules_per_frame)
+
+        self._iteration_loop(mdct_frame)
+        self._format_bitstream(mdct_frame)
+
+    def _iteration_loop(self, mdct_frame: np.ndarray):
+        """Bit allocation + rate control (MP3_Encoder.py:760-815)."""
+        nch = self.wav.num_of_channels
+        for ch in range(nch):
+            for gr in range(self.granules_per_frame):
+                xr = mdct_frame[ch, gr]
+                xrabs = np.abs(xr)            # int32 wrap on INT32_MIN, like ref
+                xrmax = int(max(0, xrabs.max()))
+                cod_info = self.gr_info[gr][ch]
+                cod_info.sfb_lmax = 21
+
+                if self.version == 3:
+                    self._calc_scfsi(ch, gr, xr, xrmax)
+
+                max_bits = self._max_reservoir_bits()
+
+                self.scale_factor_l[gr][ch][:] = 0
+                cod_info.s_len[:] = 0
+                cod_info.part2_3_length = 0
+                cod_info.big_values = 0
+                cod_info.count1 = 0
+                cod_info.scale_fac_compress = 0
+                cod_info.table_select[:] = 0
+                cod_info.region0_count = 0
+                cod_info.region1_count = 0
+                cod_info.part2_length = 0
+                cod_info.preflag = 0
+                cod_info.scale_fac_scale = 0
+                cod_info.count1table_select = 0
+
+                if xrmax:
+                    cod_info.part2_3_length = self._outer_loop(
+                        max_bits, xr, xrabs, xrmax, gr, ch)
+                    self.hide_str_offset += int(cod_info.table_select[0] > 0) \
+                        + int(cod_info.table_select[1] > 0) \
+                        + int(cod_info.table_select[2] > 0)
+
+                self.resv_size += (self.mean_bits / nch) - cod_info.part2_3_length
+                cod_info.global_gain = cod_info.quantizerStepSize + 210
+
+        self._resv_frame_end()
+
+    def _calc_scfsi(self, ch, gr, xr, xrmax):
+        """Scalefactor-select-information (MP3_Encoder.py:817-892). en/en_tot are
+        int32 arrays in the reference, so every energy is truncated to int."""
+        xr64 = xr.astype(np.int64)
+        xrsq = (((xr64 * xr64) + 1073741824) >> 31).astype(np.int32)  # mulsr
+        terms = xrsq >> 10
+        self.xrmaxl[gr] = xrmax
+
+        band = T.SCALE_FACT_BAND_INDEX[self.samplerate_index]
+        with np.errstate(all="ignore"):
+            temp = int(terms.sum(dtype=np.int32))
+            if temp:
+                self.en_tot[gr] = np.float64(
+                    np.log(np.float64(temp * 4.768371584e-7)) / _LN2)
+            else:
+                self.en_tot[gr] = 0
+            for sfb in range(20, -1, -1):
+                t = int(terms[int(band[sfb]):int(band[sfb + 1])].sum(dtype=np.int32))
+                if t:
+                    self.en[gr][sfb] = np.float64(
+                        np.log(np.float64(t * 4.768371584e-7)) / _LN2)
+                else:
+                    self.en[gr][sfb] = 0
+
+        if gr == 1:
+            condition = 2 + int(self.xrmaxl[0] != 0) + int(self.xrmaxl[1] != 0)
+            if abs(int(self.en_tot[0]) - int(self.en_tot[1])) < _EN_TOT_KRIT:
+                condition += 1
+            tp = int(np.abs(self.en[0].astype(np.int64)
+                            - self.en[1].astype(np.int64)).sum())
+            if tp < _EN_DIF_KRIT:
+                condition += 1
+
+            if condition == 6:
+                for scfsi_band in range(4):
+                    start = _SCFSI_BAND_LONG[scfsi_band]
+                    end = _SCFSI_BAND_LONG[scfsi_band + 1]
+                    sum0 = int(np.abs(self.en[0][start:end].astype(np.int64)
+                                      - self.en[1][start:end].astype(np.int64)).sum())
+                    sum1 = 0  # xm stays all-zero in the reference
+                    if sum0 < _EN_SCFSI_BAND_KRIT and sum1 < _XM_SCFSI_BAND_KRIT:
+                        self.scfsi[ch][scfsi_band] = 1
+                    else:
+                        self.scfsi[ch][scfsi_band] = 0
+            else:
+                self.scfsi[ch, :] = 0
+
+    def _max_reservoir_bits(self) -> int:
+        """MP3_Encoder.py:894-931. resv_max is never raised above 0 in the
+        reference, so the perceptual-entropy branch is dead code there and here."""
+        mean_bits = self.mean_bits // self.wav.num_of_channels
+        max_bits = min(mean_bits, Q.MAX_BITS_ALLOWANCE)
+        if not self.resv_max:
+            return max_bits
+        return max_bits  # unreachable with resv_max == 0
+
+    # --------------------------------------------------------------- the search
+
+    def _eval(self, ix, cod_info):
+        """calc_run_len -> count1 bits -> subdivide -> table select (with stego
+        transform) -> big-values bits; the shared body of both search loops."""
+        Q.calc_run_len(ix, cod_info)
+        bits = Q.count1_bit_count(ix, cod_info)
+        Q.subdivide(cod_info, self.samplerate_index)
+        self._big_v_tab_select(ix, cod_info)
+        bits += Q.big_v_bit_count(ix, cod_info)
+        return bits
+
+    def _big_v_tab_select(self, ix, cod_info):
+        """Table choice per region + stego pair transform
+        (MP3_Encoder.py:1147-1264). The message-bit cursor within a granule
+        advances only over regions whose chosen table is nonzero."""
+        idx = self.hide_str_offset
+        cod_info.table_select[0] = 0 if cod_info.address1 <= 0 else \
+            self._choose(ix, 0, cod_info.address1, self.hide_str_offset)
+        if cod_info.table_select[0] > 0:
+            idx += 1
+        cod_info.table_select[1] = 0 if cod_info.address2 <= cod_info.address1 else \
+            self._choose(ix, cod_info.address1, cod_info.address2, idx)
+        if cod_info.table_select[1] > 0:
+            idx += 1
+        cod_info.table_select[2] = 0 if (cod_info.big_values << 1) <= cod_info.address2 \
+            else self._choose(ix, cod_info.address2, cod_info.big_values << 1, idx)
+
+    def _choose(self, ix, begin, end, idx):
+        choice = Q.choose_table(ix, begin, end)
+        if self.hide_str != "":
+            if idx < len(self.hide_str):
+                bit = int(self.hide_str[idx])
+                return int(T.TRANSFORM_HUF[choice, bit])
+            return choice
+        return choice
+
+    def _outer_loop(self, max_bits, xr, xrabs, xrmax, gr, ch):
+        """MP3_Encoder.py:933-956."""
+        cod_info = self.gr_info[gr][ch]
+        cod_info.quantizerStepSize = self._bin_search_step_size(
+            max_bits, xr, xrabs, xrmax, gr, ch, cod_info)
+        cod_info.part2_length = self._part2_length(gr, ch)
+        huff_bits = max_bits - cod_info.part2_length
+        bits = self._inner_loop(xr, xrabs, xrmax, huff_bits, gr, ch, cod_info)
+        cod_info.part2_3_length = cod_info.part2_length + bits
+        return cod_info.part2_3_length
+
+    def _bin_search_step_size(self, desired_rate, xr, xrabs, xrmax, gr, ch, cod_info):
+        """MP3_Encoder.py:958-996."""
+        nxt = -120
+        count = 120
+        while True:
+            half = count // 2
+            ix, ix_max = Q.quantize(xr, xrabs, xrmax, nxt + half)
+            if ix_max > Q.MAX_QUANTIZE_STEP:
+                bit = 100000
+            else:
+                self.l3_enc[ch][gr] = ix
+                bit = self._eval(self.l3_enc[ch][gr], cod_info)
+            if bit < desired_rate:
+                count = half
+            else:
+                nxt += half
+                count -= half
+            if count <= 1:
+                break
+        return nxt
+
+    def _part2_length(self, gr, ch) -> int:
+        """Scalefactor bits (MP3_Encoder.py:1038-1062); always 0 with
+        scale_fac_compress==0 since slen tables start at 0, kept for parity."""
+        gi = self.gr_info[gr][ch]
+        slen1 = int(T.SLEN1_TAB[gi.scale_fac_compress])
+        slen2 = int(T.SLEN2_TAB[gi.scale_fac_compress])
+        bits = 0
+        if gr == 0 or self.scfsi[ch][0] == 0:
+            bits += 6 * slen1
+        if gr == 0 or self.scfsi[ch][1] == 0:
+            bits += 5 * slen1
+        if gr == 0 or self.scfsi[ch][2] == 0:
+            bits += 5 * slen2
+        if gr == 0 or self.scfsi[ch][3] == 0:
+            bits += 5 * slen2
+        return bits
+
+    def _inner_loop(self, xr, xrabs, xrmax, max_bits, gr, ch, cod_info):
+        """MP3_Encoder.py:1064-1095."""
+        if max_bits < 0:
+            cod_info.quantizerStepSize -= 1
+        while True:
+            while True:
+                ix, ix_max = Q.quantize(xr, xrabs, xrmax,
+                                        cod_info.quantizerStepSize + 1)
+                if ix is not None:
+                    self.l3_enc[ch][gr] = ix
+                if ix_max <= Q.MAX_QUANTIZE_STEP:
+                    break
+                cod_info.quantizerStepSize += 1
+            cod_info.quantizerStepSize += 1
+            bits = self._eval(self.l3_enc[ch][gr], cod_info)
+            if bits <= max_bits:
+                return bits
+
+    def _resv_frame_end(self):
+        """Reservoir drain + stuffing-bit planning (MP3_Encoder.py:1097-1145)."""
+        if self.wav.num_of_channels == 2 and (self.mean_bits & 1):
+            self.resv_size += 1
+        over_bits = max(0.0, self.resv_size - self.resv_max)
+        self.resv_size -= over_bits
+        stuffing_bits = over_bits
+
+        over_bits = self.resv_size % 8
+        if over_bits:
+            stuffing_bits += over_bits
+            self.resv_size -= over_bits
+
+        if stuffing_bits:
+            gi = self.gr_info[0][0]
+            if gi.part2_3_length + stuffing_bits < Q.MAX_BITS_ALLOWANCE:
+                gi.part2_3_length += stuffing_bits
+            else:
+                for gr in range(self.granules_per_frame):
+                    for ch in range(self.wav.num_of_channels):
+                        gi = self.gr_info[gr][ch]
+                        if not stuffing_bits:
+                            break
+                        extra_bits = Q.MAX_BITS_ALLOWANCE - gi.part2_3_length
+                        bits_this_gr = min(extra_bits, stuffing_bits)
+                        gi.part2_3_length += bits_this_gr
+                        stuffing_bits -= bits_this_gr
+                self.resv_drain = stuffing_bits  # never serialized (ref quirk)
+
+    # ----------------------------------------------------------- serialization
+
+    def _format_bitstream(self, mdct_frame):
+        """MP3_Encoder.py:1266-1360."""
+        for ch in range(self.wav.num_of_channels):
+            for gr in range(self.granules_per_frame):
+                neg = (mdct_frame[ch][gr] < 0) & (self.l3_enc[ch][gr] > 0)
+                self.l3_enc[ch][gr][neg] *= -1
+        self._encode_side_info()
+        self._encode_main_data()
+
+    def _encode_side_info(self):
+        bw = self.bw
+        bw.put(0x7FF, 11)
+        bw.put(self.version, 2)
+        bw.put(self.layer, 2)
+        bw.put(0 if self.crc else 1, 1)
+        bw.put(self.bitrate_index, 4)
+        bw.put(self.samplerate_index % 3, 2)
+        bw.put(self.padding, 1)
+        bw.put(self.ext, 1)
+        bw.put(self.mode, 2)
+        bw.put(self.mode_ext, 2)
+        bw.put(self.copyright, 1)
+        bw.put(self.original, 1)
+        bw.put(self.emphasis, 2)
+
+        nch = self.wav.num_of_channels
+        if self.version == 3:
+            bw.put(0, 9)
+            bw.put(self.private_bits, 3 if nch == 2 else 5)
+            for ch in range(nch):
+                for band in range(4):
+                    bw.put(int(self.scfsi[ch][band]), 1)
+        else:
+            bw.put(0, 8)
+            bw.put(self.private_bits, 2 if nch == 2 else 1)
+
+        for gr in range(self.granules_per_frame):
+            for ch in range(nch):
+                gi = self.gr_info[gr][ch]
+                bw.put(int(gi.part2_3_length), 12)
+                bw.put(int(gi.big_values), 9)
+                bw.put(int(gi.global_gain), 8)
+                bw.put(int(gi.scale_fac_compress), 4 if self.version == 3 else 9)
+                bw.put(0, 1)  # window_switching_flag
+                for region in range(3):
+                    bw.put(int(gi.table_select[region]), 5)
+                bw.put(int(gi.region0_count), 4)
+                bw.put(int(gi.region1_count), 3)
+                if self.version == 3:
+                    bw.put(int(gi.preflag), 1)
+                    bw.put(int(gi.scale_fac_scale), 1)
+                    bw.put(int(gi.count1table_select), 1)
+
+    def _encode_main_data(self):
+        bw = self.bw
+        for gr in range(self.granules_per_frame):
+            for ch in range(self.wav.num_of_channels):
+                gi = self.gr_info[gr][ch]
+                slen1 = int(T.SLEN1_TAB[gi.scale_fac_compress])
+                slen2 = int(T.SLEN2_TAB[gi.scale_fac_compress])
+                sfl = self.scale_factor_l[gr][ch]
+                if gr == 0 or self.scfsi[ch][0] == 0:
+                    for sfb in range(6):
+                        bw.put(int(sfl[sfb]), slen1)
+                if gr == 0 or self.scfsi[ch][1] == 0:
+                    for sfb in range(6, 11):
+                        bw.put(int(sfl[sfb]), slen1)
+                if gr == 0 or self.scfsi[ch][2] == 0:
+                    for sfb in range(11, 16):
+                        bw.put(int(sfl[sfb]), slen2)
+                if gr == 0 or self.scfsi[ch][3] == 0:
+                    for sfb in range(16, 21):
+                        bw.put(int(sfl[sfb]), slen2)
+                self._huffman_code_bits(gr, ch)
+
+    def _huffman_code_bits(self, gr, ch):
+        """MP3_Encoder.py:1394-1446, incl. the all-ones stuffing padding."""
+        bw = self.bw
+        gi = self.gr_info[gr][ch]
+        scale_fac = T.SCALE_FACT_BAND_INDEX[self.samplerate_index]
+        bits_before = bw.bits_count()
+
+        big_values = int(gi.big_values) << 1
+        idx0 = gi.region0_count + 1
+        region1_start = int(scale_fac[idx0])
+        region2_start = int(scale_fac[idx0 + gi.region1_count + 1])
+
+        enc = self.l3_enc[ch][gr]
+        for i in range(0, big_values, 2):
+            region = (i >= region1_start) + (i >= region2_start)
+            table_index = int(gi.table_select[region])
+            if table_index != 0:
+                self._huffman_code(table_index, int(enc[i]), int(enc[i + 1]))
+
+        count1_table = 32 + gi.count1table_select
+        count1_end = big_values + (gi.count1 << 2)
+        for i in range(big_values, count1_end, 4):
+            self._huffman_coder_count1(
+                count1_table, int(enc[i]), int(enc[i + 1]),
+                int(enc[i + 2]), int(enc[i + 3]))
+
+        written = bw.bits_count() - bits_before
+        stuff = int(gi.part2_3_length - gi.part2_length - written)
+        if stuff:
+            for _ in range(stuff // 32):
+                bw.put(0xFFFFFFFF, 32)
+            rem = stuff % 32
+            if rem:
+                bw.put((1 << rem) - 1, rem)
+
+    def _huffman_code(self, table_select, x, y):
+        """MP3_Encoder.py:1448-1513."""
+        bw = self.bw
+        sign_x = 1 if x <= 0 and x != 0 else 0
+        sign_y = 1 if y <= 0 and y != 0 else 0
+        x = abs(x)
+        y = abs(y)
+        y_len = 16  # all pair tables are stored on the 16x16 grid
+        if table_select > 15:
+            lin_bits = int(T.HUFF_LINBITS[table_select])
+            lin_bits_x = lin_bits_y = 0
+            if x > 14:
+                lin_bits_x = x - 15
+                x = 15
+            if y > 14:
+                lin_bits_y = y - 15
+                y = 15
+            code = int(T.HUFF_CODE[table_select, x, y])
+            c_bits = int(T.HUFF_LEN[table_select, x, y])
+            ext = 0
+            x_bits = 0
+            if x > 14:
+                ext |= lin_bits_x
+                x_bits += lin_bits
+            if x != 0:
+                ext = (ext << 1) | sign_x
+                x_bits += 1
+            if y > 14:
+                ext = (ext << lin_bits) | lin_bits_y
+                x_bits += lin_bits
+            if y != 0:
+                ext = (ext << 1) | sign_y
+                x_bits += 1
+            bw.put(code, c_bits)
+            bw.put(ext, x_bits)
+        else:
+            code = int(T.HUFF_CODE[table_select, x, y])
+            c_bits = int(T.HUFF_LEN[table_select, x, y])
+            if x != 0:
+                code = (code << 1) | sign_x
+                c_bits += 1
+            if y != 0:
+                code = (code << 1) | sign_y
+                c_bits += 1
+            bw.put(code, c_bits)
+        _ = y_len
+
+    def _huffman_coder_count1(self, table, v, w, x, y):
+        """MP3_Encoder.py:1515-1547."""
+        bw = self.bw
+        sv, sw, sx, sy = (1 if t < 0 else 0 for t in (v, w, x, y))
+        v, w, x, y = abs(v), abs(w), abs(x), abs(y)
+        p = v + (w << 1) + (x << 2) + (y << 3)
+        bw.put(int(T.HUFF_CODE[table, 0, p]), int(T.HUFF_LEN[table, 0, p]))
+        code = 0
+        cbits = 0
+        if v:
+            code = sv
+            cbits = 1
+        if w:
+            code = (code << 1) | sw
+            cbits += 1
+        if x:
+            code = (code << 1) | sx
+            cbits += 1
+        if y:
+            code = (code << 1) | sy
+            cbits += 1
+        bw.put(code, cbits)
+
+    def write_mp3_file(self, output_file: str):
+        """Write the accumulated MP3 bytes (MP3_Encoder.py:1554-1563)."""
+        with open(output_file, "wb") as f:
+            f.write(bytes(self.out_buffer))
+
+
+class Encoder:
+    """Driver wrapping MP3Encoder (reference encoder/encoder.py:8-58).
+
+    :param file_path: the wav file path.
+    :param output_file_path: the mp3 output file path.
+    :param bitrate: target bitrate in kbps.
+    :param hide_str: bit string to embed (empty = no embedding).
+    """
+
+    def __init__(self, file_path: str, output_file_path: str, bitrate: int = 320,
+                 hide_str: str = ''):
+        self.__file_path = file_path
+        self.__output_file_path = output_file_path
+        if not os.path.exists(self.__file_path):
+            sys.exit(f'File {self.__file_path} not found.')
+        self.__wav_file = read_wav(self.__file_path, bitrate)
+        self.__hide_str = hide_str
+        self.__encoder = MP3Encoder(self.__wav_file, hide_str=hide_str)
+
+    def encode(self, quiet: bool = True) -> bool:
+        """Encode; returns True if the message was too long to embed fully
+        (the reference's off-by-one contract at encoder.py:49-51 included)."""
+        if not quiet:
+            self.__encoder.print_info()
+        self.__encoder.encode()
+        self.__encoder.write_mp3_file(self.__output_file_path)
+        too_long = self.__encoder.hide_str_offset < len(self.__hide_str) - 1
+        if not quiet:
+            if too_long:
+                print("File too short for this message length, your message has "
+                      "been trimmed.")
+            print(f"MP3 file created on {self.__output_file_path}")
+        return too_long
