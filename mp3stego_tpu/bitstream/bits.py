@@ -57,6 +57,7 @@ class BitWriter:
 
     def put(self, val: int, n: int):
         val = int(val) & 0xFFFFFFFF
+        n = int(n)
         if self.cache_bits > n:
             self.cache_bits -= n
             self.cache = (self.cache | ((val << self.cache_bits) & 0xFFFFFFFF)) & 0xFFFFFFFF

@@ -11,7 +11,22 @@ Importing this package enables jax x64 mode: the bit-exact decode path is
 float64 and the fixed-point encode path needs int64 intermediates.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the codec kernels have a handful of static
+# shapes per file length, so cross-process cache hits are the common case.
+_cache_dir = os.environ.get(
+    "MP3STEGO_TPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "mp3stego_tpu_jax"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # cache is an optimization only
+    pass
 

@@ -232,16 +232,18 @@ def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     ch, tt = x.shape[0], x.shape[1]
     s = x.reshape(ch, tt, 32, 18)
 
-    # long path: X = S @ C^T then window row per granule
+    # long path: X = S @ C^T then window row per granule (MXU matmul)
     xi_long = jnp.einsum("ctbk,ik->ctbi", s, c_long,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     win_long = sine[jnp.clip(win_row, 0, 3)]          # (ch,T,36)
     blk_long = xi_long * win_long[:, :, None, :]
 
     # short path: 3 windows of 6 inputs -> 12 outputs each, windowed + merged
     s3 = s.reshape(ch, tt, 32, 3, 6)
     xi_s = jnp.einsum("ctbwk,ik->ctbwi", s3, c_short,
-                      preferred_element_type=dtype)   # (ch,T,32,3,12)
+                      preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)  # (ch,T,32,3,12)
     xi_s = xi_s * sine[2][:12]
     z6 = jnp.zeros(xi_s.shape[:3] + (6,), dtype)
     blk_short = jnp.concatenate([
@@ -267,7 +269,10 @@ def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     # ---- synthesis filterbank (Frame.py:65-103) as matmul + 16-tap FIR
     n_mat = jnp.asarray(T.synth_filter_matrix(), dtype)    # (64,32)
     st = y.transpose(0, 1, 3, 2).reshape(ch, tt * 18, 32)  # time-step major
-    v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype)
+    # HIGHEST: the synthesis matmul feeds int16 PCM; bf16 MXU passes would
+    # cost ~3e-3 absolute error (audible floor), f32-emulation costs little here
+    v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     va, vb = v[..., :32], v[..., 32:]
 
     d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
@@ -284,22 +289,112 @@ def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     return pcm_steps.reshape(ch, tt, 576)
 
 
+def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
+    """Bit-exact float64 parity path: the same batched pipeline as
+    ``decode_granules`` evaluated with NumPy on host.
+
+    Exists because XLA contracts multiply+add chains into FMAs (single
+    rounding), which perturbs the float64 stream in the last ulp relative to
+    the reference's separate mul/add arithmetic (Frame.py:65-218). NumPy never
+    emits FMAs, so this path reproduces the reference float-for-float; the
+    jitted float32 path is the TPU throughput mode. Pass ``stages={}`` to
+    capture per-stage tensors for golden tests."""
+    raw = prep["raw"]
+    pow43 = np.array([float(i) ** (4.0 / 3.0) for i in range(8207)])
+    e1lut = np.array([2.0 ** ((i - _EXP1_OFF) / 4.0) for i in range(512)])
+    e2lut = np.array([2.0 ** (-(i / 2.0)) for i in range(_EXP2X2_MAX)])
+
+    # requantize
+    ix = raw.astype(np.int64)
+    sign = np.where(raw < 0, -1.0, 1.0)
+    x = ((sign * pow43[np.abs(ix)])
+         * e1lut[np.clip(prep["exp1_idx"], 0, 511)]) \
+        * e2lut[np.clip(prep["exp2x2"], 0, _EXP2X2_MAX - 1)]
+    if stages is not None:
+        stages["requant"] = x.copy()
+
+    # MS stereo
+    l = (x[0] + x[1]) / SQRT2
+    r = (x[0] - x[1]) / SQRT2
+    ms = prep["ms_mask"][None, :, None]
+    x = np.where(ms, np.stack([l, r]), x)
+
+    # reorder / alias
+    perm = prep["reorder_perm"]
+    reord = np.where(perm[None, None, :] >= 0,
+                     np.take(x, np.maximum(perm, 0), axis=2), 0.0)
+    off1, off2, cs, ca = _alias_indices()
+    s1 = x[..., off1].copy()
+    s2 = x[..., off2].copy()
+    aliased = x.copy()
+    aliased[..., off1] = s1 * cs - s2 * ca
+    aliased[..., off2] = s2 * cs + s1 * ca
+    x = np.where(prep["reorder_mask"][..., None], reord, aliased)
+    if stages is not None:
+        stages["pre_imdct"] = x.copy()
+
+    # IMDCT (ascending-k accumulation, Frame.py:126-130)
+    nch, tt = x.shape[0], x.shape[1]
+    s = x.reshape(nch, tt, 32, 18)
+    c_long = T.imdct_long_cos()
+    c_short = T.imdct_short_cos()
+    sine = T.sine_block()
+    xi_long = np.zeros(s.shape[:3] + (36,))
+    for k in range(18):
+        xi_long += s[..., k, None] * c_long[None, None, None, :, k]
+    win_long = sine[np.clip(prep["win_row"], 0, 3)]
+    blk_long = xi_long * win_long[:, :, None, :]
+
+    s3 = s.reshape(nch, tt, 32, 3, 6)
+    xi_s = np.zeros(s3.shape[:4] + (12,))
+    for k in range(6):
+        xi_s += s3[..., k, None] * c_short[None, None, None, None, :, k]
+    xi_s = xi_s * sine[2][:12]
+    z6 = np.zeros(xi_s.shape[:3] + (6,))
+    blk_short = np.concatenate([
+        z6, xi_s[..., 0, 0:6], xi_s[..., 0, 6:12] + xi_s[..., 1, 0:6],
+        xi_s[..., 1, 6:12] + xi_s[..., 2, 0:6], xi_s[..., 2, 6:12], z6,
+    ], axis=-1)
+    blk = np.where(prep["is_short_blk"][..., None, None], blk_short, blk_long)
+
+    head = blk[..., :18]
+    tail = blk[..., 18:]
+    prev = np.concatenate([np.zeros_like(tail[:, :1]), tail[:, :-1]], axis=1)
+    y = head + prev
+    if stages is not None:
+        stages["post_imdct"] = y.reshape(nch, tt, 576).copy()
+
+    y = y * _freq_inv_mask().reshape(32, 18)
+    if stages is not None:
+        stages["pre_synth"] = y.reshape(nch, tt, 576).copy()
+
+    # synthesis: V matmul (ascending-j) + 16-tap FIR (ascending-j)
+    n_mat = T.synth_filter_matrix()
+    st = y.transpose(0, 1, 3, 2).reshape(nch, tt * 18, 32)
+    v = np.zeros((nch, tt * 18, 64))
+    for j in range(32):
+        v += st[..., j, None] * n_mat[None, None, :, j]
+    va_p = np.concatenate([np.zeros((nch, 15, 32)), v[..., :32]], axis=1)
+    vb_p = np.concatenate([np.zeros((nch, 15, 32)), v[..., 32:]], axis=1)
+    d_win = T.SYNTH_WINDOW.reshape(16, 32)
+    ts_total = tt * 18
+    pcm_steps = np.zeros((nch, ts_total, 32))
+    for j in range(16):
+        src = va_p if j % 2 == 0 else vb_p
+        pcm_steps += src[:, 15 - j:15 - j + ts_total] * d_win[j]
+    return pcm_steps.reshape(nch, tt, 576)
+
+
 def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
     """ParsedMP3 -> interleaved PCM (samples, channels) float array, including the
     reference's stale-frame duplication quirk (MP3_Parser.py:79)."""
     if p.num_frames == 0:
         return np.zeros((0, 2))
     prep = host_prepare(p)
-    # float64 is the bit-exact parity mode; TPUs have no native f64, so place it
-    # on the host CPU backend. float32 runs on the default (TPU) backend.
-    if dtype == "float64" and jax.default_backend() not in ("cpu",):
-        dev_ctx = jax.default_device(jax.devices("cpu")[0])
+    if dtype == "float64":
+        pcm = decode_granules_np(prep)          # bit-exact parity path (host)
     else:
-        import contextlib
-        dev_ctx = contextlib.nullcontext()
-    with dev_ctx:
-        out = _decode_call(prep, dtype)
-    pcm = np.asarray(out)                       # (2, T, 576)
+        pcm = np.asarray(_decode_call(prep, dtype))
     ch = p.header.channels
     t = pcm.shape[1]
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)

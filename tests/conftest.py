@@ -1,0 +1,59 @@
+"""Test environment: force an 8-virtual-device CPU mesh before JAX initializes.
+
+Multi-chip sharding tests run on jax's CPU multi-device simulation (SURVEY.md §4:
+the reference has no distributed-testing precedent; we test the pjit/shard_map
+layer on virtual devices). The bit-exact float64 parity paths are CPU anyway.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(REPO, "tests", "golden")
+REFERENCE_FIXTURE = "/root/reference/tests/test.mp3"
+
+
+@pytest.fixture(scope="session")
+def decode_golden():
+    return np.load(os.path.join(GOLD, "decode_golden.npz"))
+
+
+@pytest.fixture(scope="session")
+def encode_golden():
+    return np.load(os.path.join(GOLD, "encode_golden.npz"))
+
+
+@pytest.fixture(scope="session")
+def stego_golden():
+    return np.load(os.path.join(GOLD, "stego_golden.npz"))
+
+
+@pytest.fixture(scope="session")
+def fixture_mp3(tmp_path_factory, encode_golden):
+    """A 320kbps stereo MP3 test fixture.
+
+    Uses the reference's fixture when mounted; otherwise synthesizes an
+    equivalent one from the committed golden (the reference-identical clear
+    re-encode), keeping the suite standalone.
+    """
+    if os.path.exists(REFERENCE_FIXTURE):
+        return REFERENCE_FIXTURE
+    p = tmp_path_factory.mktemp("fixture") / "test.mp3"
+    p.write_bytes(encode_golden["mp3_bytes"].tobytes())
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def original_fixture_mp3():
+    """The reference's original fixture; golden stage tensors correspond to it."""
+    if not os.path.exists(REFERENCE_FIXTURE):
+        pytest.skip("reference fixture not mounted")
+    return REFERENCE_FIXTURE

@@ -1,0 +1,158 @@
+"""Unit-level bit-exactness of the decode pipeline against reference-captured
+golden tensors (tools/gen_golden.py): side-info fields, raw Huffman samples,
+main-data reservoir assembly, stage outputs of the device plane, PCM and the
+stego bit channel."""
+
+import numpy as np
+import pytest
+
+from mp3stego_tpu.bitstream import decoder_host as dh
+
+
+@pytest.fixture(scope="module")
+def parsed(original_fixture_mp3):
+    with open(original_fixture_mp3, "rb") as f:
+        data = f.read()
+    return dh.parse_mp3(data, 0)
+
+
+def test_frame_walk(parsed, decode_golden):
+    assert parsed.num_frames == len(decode_golden["frame_sizes"])
+    np.testing.assert_array_equal(parsed.frame_sizes,
+                                  decode_golden["frame_sizes"])
+
+
+def test_side_info_fields(parsed, decode_golden):
+    g = decode_golden
+    np.testing.assert_array_equal(parsed.block_type, g["side_block_type"])
+    np.testing.assert_array_equal(parsed.global_gain, g["side_global_gain"])
+    np.testing.assert_array_equal(parsed.table_select, g["side_table_select"])
+    np.testing.assert_array_equal(parsed.scale_fac_scale,
+                                  g["side_scale_fac_scale"])
+    np.testing.assert_array_equal(parsed.pre_flag, g["side_pre_flag"])
+    np.testing.assert_array_equal(parsed.sub_block_gain,
+                                  g["side_sub_block_gain"])
+    for fi, si in enumerate(parsed.side_infos):
+        assert si.main_data_begin == g["side_main_data_begin"][fi]
+        np.testing.assert_array_equal(si.scfsi, g["side_scfsi"][fi])
+        np.testing.assert_array_equal(si.part2_3_length,
+                                      g["side_part2_3_length"][fi])
+        np.testing.assert_array_equal(si.big_value, g["side_big_value"][fi])
+
+
+def test_scale_factors(parsed, decode_golden):
+    np.testing.assert_array_equal(parsed.scale_fac_l, decode_golden["sfl"])
+    np.testing.assert_array_equal(parsed.scale_fac_s, decode_golden["sfs"])
+
+
+def test_main_data_reservoir(parsed, original_fixture_mp3, decode_golden):
+    """Reservoir splicing must reproduce the reference's main_data bytes."""
+    g = decode_golden
+    cat = g["main_data"].tobytes()
+    offs = g["main_data_offsets"]
+    with open(original_fixture_mp3, "rb") as f:
+        data = f.read()
+    # re-walk frames to rebuild the same prev-size histories
+    frames = []
+    prev_hist = [0.0] * dh.NUM_PREV_FRAMES
+    h = dh.parse_header(*data[0:4])
+    frame_size = dh.frame_size_of(h)
+    cur = 0
+    while len(data) > cur + 4 and data[cur] == 0xFF and data[cur + 1] >= 0xE0:
+        h = dh.parse_header(*data[cur:cur + 4])
+        prev_hist = [frame_size] + prev_hist[:-1]
+        frame_size = dh.frame_size_of(h)
+        frames.append((cur, h, frame_size, list(prev_hist)))
+        cur += frame_size
+    for fi, (foff, h, fsize, prev) in enumerate(frames):
+        si = parsed.side_infos[fi]
+        md = dh.assemble_main_data(data, foff, fsize, prev, si, h)
+        assert md == cat[offs[fi]:offs[fi + 1]], f"frame {fi}"
+
+
+def test_raw_huffman_samples(parsed, decode_golden):
+    """The unpacked Huffman sample tensor (pre-requantize) per granule-channel."""
+    g = decode_golden
+    raw = g["raw"]  # (144,576) in (frame, gr, ch) call order
+    k = 0
+    for fi in range(parsed.num_frames):
+        for gr in range(2):
+            for ch in range(2):
+                np.testing.assert_array_equal(
+                    parsed.raw_samples[fi, gr, ch], raw[k],
+                    err_msg=f"frame {fi} gr {gr} ch {ch}")
+                k += 1
+
+
+def test_parity_plane_stages(parsed, decode_golden):
+    """Every stage of the batched parity plane, float-for-float equal to the
+    reference's per-granule captures (requantize, alias/reorder, IMDCT +
+    overlap-add, frequency inversion, synthesis)."""
+    from mp3stego_tpu.ops import decode_plane as dp
+
+    g = decode_golden
+    prep = dp.host_prepare(parsed)
+    stages = {}
+    pcm = dp.decode_granules_np(prep, stages=stages)
+    stage_pairs = [
+        ("requant", "requant"), ("pre_imdct", "pre_imdct"),
+        ("post_imdct", "post_imdct"), ("pre_synth", "pre_synth"),
+    ]
+    k = 0
+    for fi in range(parsed.num_frames):
+        for gr in range(2):
+            for ch in range(2):
+                t = fi * 2 + gr
+                for mine, gold in stage_pairs:
+                    np.testing.assert_array_equal(
+                        stages[mine][ch, t], g[gold][k],
+                        err_msg=f"stage {mine} frame {fi} gr {gr} ch {ch}")
+                np.testing.assert_array_equal(
+                    pcm[ch, t], g["post_synth"][k],
+                    err_msg=f"stage synth frame {fi} gr {gr} ch {ch}")
+                k += 1
+
+
+def test_device_plane_close_to_parity(parsed):
+    """The jitted float64 device plane agrees with the parity plane to the
+    last few ulps (XLA may contract mul+add into FMAs; anything larger is a
+    real bug)."""
+    from mp3stego_tpu.ops import decode_plane as dp
+
+    prep = dp.host_prepare(parsed)
+    ref = dp.decode_granules_np(prep)
+    dev = np.asarray(dp._decode_call(prep, "float64"))
+    np.testing.assert_allclose(dev, ref, rtol=1e-12, atol=1e-15)
+
+
+def test_final_pcm(parsed, decode_golden):
+    from mp3stego_tpu.ops import decode_plane as dp
+    pcm = dp.decode_pcm(parsed, "float64")
+    np.testing.assert_array_equal(pcm, decode_golden["pcm"])
+
+
+def test_stego_bits(parsed, decode_golden):
+    bits = dh.stego_bits(parsed)
+    assert bits == decode_golden["output_bits"].tobytes().decode()
+
+
+def test_wav_bytes(original_fixture_mp3, stego_golden, tmp_path):
+    from mp3stego_tpu.models.decoder import Decoder
+    wav = str(tmp_path / "o.wav")
+    d = Decoder(original_fixture_mp3, wav)
+    assert d.decode(quiet=True) == 320
+    with open(wav, "rb") as f:
+        assert f.read() == stego_golden["wav_bytes"].tobytes()
+
+
+def test_float32_pcm_close(parsed):
+    """The TPU throughput mode (float32) must stay within int16 quantization
+    distance of the bit-exact path."""
+    from mp3stego_tpu.ops import decode_plane as dp
+    p64 = dp.decode_pcm(parsed, "float64")
+    p32 = dp.decode_pcm(parsed, "float32")
+    i64 = (p64 * 32767).astype(np.int16)
+    i32 = (p32 * 32767).astype(np.int16)
+    mismatch = np.abs(i64.astype(np.int32) - i32.astype(np.int32))
+    assert mismatch.max() <= 1
+    assert (mismatch > 0).mean() < 0.05

@@ -1,0 +1,123 @@
+"""Unit-level bit-exactness of the encode pipeline against reference-captured
+goldens: analysis/MDCT plane, quantized spectra, side-info fields, per-frame
+byte chunks, final MP3 bytes, and the stego embed outputs."""
+
+import types
+
+import numpy as np
+import pytest
+
+from mp3stego_tpu.models.encoder import MP3Encoder
+from mp3stego_tpu.utils.wav import read_wav
+
+
+@pytest.fixture(scope="module")
+def golden_wav(tmp_path_factory, stego_golden):
+    p = tmp_path_factory.mktemp("wav") / "golden.wav"
+    p.write_bytes(stego_golden["wav_bytes"].tobytes())
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def encoded(golden_wav):
+    """Run the encoder once, capturing per-frame state at the same points the
+    golden capture hooks used (post-iteration-loop, pre-sign-flip)."""
+    enc = MP3Encoder(read_wav(golden_wav, 320))
+    caps = []
+    orig_iter = enc._iteration_loop
+    orig_frame = enc._encode_frame
+
+    def iter_patched(self, mdct_frame):
+        orig_iter(mdct_frame)
+        caps.append(dict(
+            mdct=mdct_frame.copy(),
+            l3_enc=self.l3_enc.copy(),
+            scfsi=self.scfsi.copy(),
+            padding=self.padding,
+            mean_bits=self.mean_bits,
+            resv_size=self.resv_size,
+            hide_str_offset=self.hide_str_offset,
+            info={(g, c): vars(self.gr_info[g][c]).copy()
+                  for g in range(2) for c in range(2)},
+            ts=np.array([[self.gr_info[g][c].table_select.copy()
+                          for c in range(2)] for g in range(2)]),
+        ))
+
+    chunks = []
+
+    def frame_patched(self, mdct_frame):
+        orig_frame(mdct_frame)
+        chunks.append(self.bw.take_frame())
+        self.out_buffer += chunks[-1]
+
+    enc._iteration_loop = types.MethodType(iter_patched, enc)
+    enc._encode_frame = types.MethodType(frame_patched, enc)
+    enc.encode()
+    return enc, caps, chunks
+
+
+def test_mdct_plane(encoded, encode_golden):
+    _, caps, _ = encoded
+    for f, c in enumerate(caps):
+        np.testing.assert_array_equal(
+            c["mdct"].reshape(2, 2, 576), encode_golden["mdct_freq"][f],
+            err_msg=f"frame {f}")
+
+
+def test_quantized_spectra(encoded, encode_golden):
+    _, caps, _ = encoded
+    for f, c in enumerate(caps):
+        np.testing.assert_array_equal(c["l3_enc"], encode_golden["l3_enc"][f],
+                                      err_msg=f"frame {f}")
+
+
+def test_side_info_fields(encoded, encode_golden):
+    _, caps, _ = encoded
+    g = encode_golden
+    field_map = {
+        "part2_3_length": "part2_3_length", "big_values": "big_values",
+        "count1": "count1", "global_gain": "global_gain",
+        "region0_count": "region0_count", "region1_count": "region1_count",
+        "count1table_select": "count1table_select",
+        "quantizerStepSize": "quantizerStepSize",
+        "address1": "address1", "address2": "address2", "address3": "address3",
+        "part2_length": "part2_length", "preflag": "preflag",
+        "scale_fac_scale": "scale_fac_scale",
+        "scale_fac_compress": "scale_fac_compress",
+    }
+    for f, c in enumerate(caps):
+        for gr in range(2):
+            for ch in range(2):
+                info = c["info"][(gr, ch)]
+                for mine, gold in field_map.items():
+                    assert float(info[mine]) == g[gold][f][gr][ch], \
+                        f"frame {f} gr {gr} ch {ch} field {mine}"
+        np.testing.assert_array_equal(c["ts"], g["table_select"][f])
+        np.testing.assert_array_equal(c["scfsi"], g["scfsi"][f])
+        assert c["padding"] == g["padding"][f]
+        assert c["mean_bits"] == g["mean_bits"][f]
+        assert c["resv_size"] == g["resv_size"][f]
+        assert c["hide_str_offset"] == g["hide_str_offset"][f]
+
+
+def test_frame_chunks(encoded, encode_golden):
+    _, _, chunks = encoded
+    g = encode_golden
+    cat = g["chunks"].tobytes()
+    offs = g["chunk_offsets"]
+    for f in range(len(offs) - 1):
+        assert chunks[f] == cat[offs[f]:offs[f + 1]], f"frame {f}"
+
+
+def test_final_bytes(encoded, encode_golden):
+    enc, _, _ = encoded
+    assert bytes(enc.out_buffer) == encode_golden["mp3_bytes"].tobytes()
+
+
+def test_hide_bytes(golden_wav, stego_golden):
+    """Embedding: the hide('ddd') output must match the reference byte-for-byte."""
+    bits = stego_golden["bits_short"].tobytes().decode()
+    enc = MP3Encoder(read_wav(golden_wav, 320), hide_str=bits)
+    enc.encode()
+    assert bytes(enc.out_buffer) == stego_golden["hidden_short"].tobytes()
+    assert enc.hide_str_offset >= len(bits) - 1

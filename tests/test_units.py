@@ -1,0 +1,162 @@
+"""Property/unit tests for the bit I/O, fixed-point primitives, rate-control
+vector ops, and the steganographic table maps."""
+
+import numpy as np
+import pytest
+
+from mp3stego_tpu import tables as T
+from mp3stego_tpu.bitstream.bits import BitReader, BitWriter
+from mp3stego_tpu.ops import fixedpoint as fx
+from mp3stego_tpu.ops import quant as Q
+
+
+# ----------------------------------------------------------------------- bit io
+
+def test_bitwriter_reader_roundtrip():
+    rng = np.random.default_rng(0)
+    fields = [(int(rng.integers(0, 1 << n)), n)
+              for n in rng.integers(1, 32, size=200)]
+    bw = BitWriter(16)
+    for v, n in fields:
+        bw.put(v, int(n))
+    total = sum(n for _, n in fields)
+    bw.put(0, (32 - total % 32) % 32)  # flush cache to byte buffer
+    data = bw.take_frame()
+    br = BitReader(data)
+    for v, n in fields:
+        assert br.read(int(n)) == v
+
+
+def test_bitwriter_cache_carry():
+    """Cache bits must survive take_frame (per-frame chunking semantics)."""
+    bw = BitWriter(16)
+    bw.put(0b101, 3)
+    assert bw.take_frame() == b""          # nothing flushed yet
+    bw.put(0xFFFFFFFF, 32)                 # forces one word out
+    out = bw.take_frame()
+    assert out == bytes([0b10111111, 0xFF, 0xFF, 0xFF])
+    # 3 bits of the 32-bit put remain in the cache; position reset by take_frame
+    assert bw.bits_count() == 3
+
+
+# ------------------------------------------------------------------ fixed point
+
+def test_fixed_point_vs_scalar_reference():
+    rng = np.random.default_rng(1)
+    a = rng.integers(-2**31, 2**31, size=1000).astype(np.int64)
+    b = rng.integers(-2**31, 2**31, size=1000).astype(np.int64)
+
+    def wrap32(v):
+        return ((v + 2**31) % 2**32) - 2**31
+
+    np.testing.assert_array_equal(
+        fx.mul(a, b), [wrap32((x * y) >> 32) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(
+        fx.mulr(a, b), [wrap32((x * y + 2**31) >> 32) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(
+        fx.mulsr(a, b), [wrap32((x * y + 2**30) >> 31) for x, y in zip(a, b)])
+
+
+# ------------------------------------------------------------------ rate control
+
+def _calc_run_len_naive(ix):
+    """Literal transcription of the reference loop (MP3_Encoder.py:266-291)."""
+    i = 576
+    while i > 1:
+        if ix[i - 1] == 0 and ix[i - 2] == 0:
+            i -= 2
+        else:
+            break
+    count1 = 0
+    while i > 3:
+        if ix[i - 1] <= 1 and ix[i - 2] <= 1 and ix[i - 3] <= 1 and ix[i - 4] <= 1:
+            count1 += 1
+            i -= 4
+        else:
+            break
+    return i >> 1, count1
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_calc_run_len_matches_naive(seed):
+    rng = np.random.default_rng(seed)
+    ix = np.zeros(576, dtype=np.int32)
+    n_active = int(rng.integers(0, 576))
+    ix[:n_active] = rng.integers(0, 4, size=n_active)
+    info = Q.GrInfo()
+    Q.calc_run_len(ix, info)
+    big, c1 = _calc_run_len_naive(ix)
+    assert (info.big_values, info.count1) == (big, c1)
+
+
+def _count_bit_naive(ix, start, end, table):
+    if table == 0:
+        return 0
+    ylen = 16
+    s = 0
+    for i in range(start, end, 2):
+        x, y = int(ix[i]), int(ix[i + 1])
+        if table > 15:
+            if x > 14:
+                x = 15
+                s += int(T.HUFF_LINBITS[table])
+            if y > 14:
+                y = 15
+                s += int(T.HUFF_LINBITS[table])
+        s += int(T.HUFF_LEN.reshape(34, 256)[table][x * ylen + y])
+        if x:
+            s += 1
+        if y:
+            s += 1
+    return s
+
+
+@pytest.mark.parametrize("table", [1, 2, 3, 5, 7, 10, 13, 15, 16, 20, 24, 30])
+def test_count_bit_matches_naive(table):
+    rng = np.random.default_rng(table)
+    hi = 16 if table <= 15 else 200
+    ix = rng.integers(0, hi, size=576).astype(np.int32)
+    ix = np.minimum(ix, int(T.HUFF_XLEN[table]) - 1 if table <= 15 else ix)
+    assert Q.count_bit(ix, 0, 576, table) == _count_bit_naive(ix, 0, 576, table)
+
+
+def test_quantize_known_values():
+    """step far too small -> early bail; huge step -> all-zero spectrum."""
+    xr = np.arange(-288, 288, dtype=np.int32) * (1 << 21)
+    xrabs = np.abs(xr)
+    xrmax = int(xrabs.max())
+    # valid step domain is [-127, 0] (steptab index = step + 127)
+    ix, ixmax = Q.quantize(xr, xrabs, xrmax, -120)
+    assert ix is None and ixmax == 16384          # early bail, ix left stale
+    small = np.arange(-288, 288, dtype=np.int32) * 1000
+    ix, ixmax = Q.quantize(small, np.abs(small), int(np.abs(small).max()), 0)
+    assert ixmax == 0 and not ix.any()            # step 0 crushes small spectra
+
+
+# -------------------------------------------------------------------- stego maps
+
+def test_transform_huf_inverse_consistent():
+    """Every (t,0) image lands in H0 and every (t,1) lands outside it, so
+    embed(extract) is the identity (decoder/util.py:3 vs MP3_Encoder.py:419-449)."""
+    used = [t for t in range(1, 32) if t not in (4, 14)]
+    for t in used:
+        assert int(T.TRANSFORM_HUF[t, 0]) in T.H0
+        assert int(T.TRANSFORM_HUF[t, 1]) not in T.H0
+
+
+def test_huffman_tables_decode_encode_duals():
+    """Left-aligned decode LUT must invert the encoder codeword tables."""
+    for book in (1, 2, 3, 13, 15, 16, 24):
+        lut = T.dec_lut(book)
+        n = int(T.DEC_MAXVAL[book])
+        for x in range(n):
+            for y in range(n):
+                ln = int(T.HUFF_LEN[book, x, y])
+                if ln == 0 and not (x == y == 0):
+                    continue
+                code = int(T.HUFF_CODE[book, x, y])
+                idx = code << (T.LUT_BITS - ln)
+                packed = int(lut[idx])
+                assert packed & 31 == ln
+                assert packed >> 9 == x
+                assert (packed >> 5) & 15 == y
