@@ -192,11 +192,11 @@ def _imdct_mats(dtype):
             jnp.asarray(sine, dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("dtype_name",))
-def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                    is_short_blk, reorder_perm, dtype_name="float64"):
-    """(2ch, T, 576) raw Huffman samples -> (2ch, T, 576) PCM, fully batched."""
-    dtype = jnp.dtype(dtype_name)
+def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
+                   is_short_blk, reorder_perm, dtype):
+    """Granule-local half of the decode plane: requantize -> MS stereo ->
+    reorder/alias -> windowed IMDCT blocks. No cross-granule dependencies, so
+    this stage shards freely over the time axis. Returns (ch, T, 32, 36)."""
     pow43, e1lut, e2lut = _luts(dtype)
     c_long, c_short, sine = _imdct_mats(dtype)
 
@@ -256,11 +256,28 @@ def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     ], axis=-1)
 
     blk = jnp.where(is_short_blk[..., None, None], blk_short, blk_long)
+    return blk
 
-    # overlap-add across the time axis (prev_samples carry, Frame.py:150-154)
+
+def synth_from_blocks(blk, dtype, tail_halo=None, v_halo=None):
+    """Sequential half of the decode plane: IMDCT overlap-add -> frequency
+    inversion -> polyphase synthesis (V matmul + 16-tap FIR over V history).
+
+    The two carried states cross granule boundaries by exactly one granule:
+    ``tail_halo`` (ch, 1, 32, 18) is the previous granule's window tail
+    (prev_samples, Frame.py:150-154) and ``v_halo`` (ch, 15, 64) the previous
+    15 synthesis sub-steps (the 1024-FIFO, Frame.py:80-101). None = stream
+    start (zeros). Frame-range sharding passes neighbours' halos here.
+
+    Returns (pcm (ch,T,576), last_tail (ch,1,32,18), last_v (ch,15,64)).
+    """
+    ch, tt = blk.shape[0], blk.shape[1]
+
     head = blk[..., :18]
     tail = blk[..., 18:]
-    prev = jnp.concatenate([jnp.zeros_like(tail[:, :1]), tail[:, :-1]], axis=1)
+    if tail_halo is None:
+        tail_halo = jnp.zeros_like(tail[:, :1])
+    prev = jnp.concatenate([tail_halo, tail[:, :-1]], axis=1)
     y = head + prev                                    # (ch,T,32,18)
 
     # ---- frequency inversion (Frame.py:624-631)
@@ -273,20 +290,36 @@ def decode_granules(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     # cost ~3e-3 absolute error (audible floor), f32-emulation costs little here
     v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype,
                    precision=jax.lax.Precision.HIGHEST)
-    va, vb = v[..., :32], v[..., 32:]
+
+    if v_halo is None:
+        v_halo = jnp.zeros((ch, 15, 64), dtype)
+    v_ext = jnp.concatenate([v_halo, v], axis=1)
+    va_p, vb_p = v_ext[..., :32], v_ext[..., 32:]
 
     d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
     ts_total = tt * 18
-    pad = jnp.zeros((ch, 15, 32), dtype)
-    va_p = jnp.concatenate([pad, va], axis=1)
-    vb_p = jnp.concatenate([pad, vb], axis=1)
     pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
     for j in range(16):  # reference sums j ascending (Frame.py:97-101)
         src = va_p if j % 2 == 0 else vb_p
         pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
             src, 15 - j, ts_total, axis=1)
 
-    return pcm_steps.reshape(ch, tt, 576)
+    pcm = pcm_steps.reshape(ch, tt, 576)
+    return pcm, tail[:, -1:], v[:, -15:]
+
+
+def decode_granules_impl(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
+                         is_short_blk, reorder_perm, dtype_name="float64"):
+    """(2ch, T, 576) raw Huffman samples -> (2ch, T, 576) PCM, fully batched.
+    Unjitted form, vmappable over a leading file axis."""
+    dtype = jnp.dtype(dtype_name)
+    blk = granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
+                         is_short_blk, reorder_perm, dtype)
+    pcm, _, _ = synth_from_blocks(blk, dtype)
+    return pcm
+
+
+decode_granules = jax.jit(decode_granules_impl, static_argnames=("dtype_name",))
 
 
 def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:

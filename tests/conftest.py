@@ -7,11 +7,19 @@ layer on virtual devices). The bit-exact float64 parity paths are CPU anyway.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# jax may already be imported at interpreter start (TPU tunnel integration
+# pre-imports it), so env vars alone are too late — set the config directly
+# before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh (conftest sets
+xla_force_host_platform_device_count=8): data-parallel file batching and
+sequence-parallel frame-range sharding with halo exchange."""
+
+import jax
+import numpy as np
+import pytest
+
+from mp3stego_tpu.bitstream import decoder_host as dh
+from mp3stego_tpu.ops import decode_plane as dp
+from mp3stego_tpu.parallel import (decode_files_batched, decode_granules_sharded,
+                                   make_mesh, prepare_batch)
+from mp3stego_tpu.parallel.batch_decode import decode_batch_device
+
+
+@pytest.fixture(scope="module")
+def parsed(fixture_mp3):
+    with open(fixture_mp3, "rb") as f:
+        return dh.parse_mp3(f.read(), 0)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    m = make_mesh(files=4, frames=2)
+    assert m.shape == {"files": 4, "frames": 2}
+    m = make_mesh(frames=2)
+    assert m.shape == {"files": 4, "frames": 2}
+    with pytest.raises(ValueError):
+        make_mesh(frames=3)
+
+
+def test_frame_sharded_decode_matches_single(parsed):
+    """Halo-exchanged frame-range sharding must reproduce the single-device
+    pipeline exactly (same per-element op order, only the partitioning moves)."""
+    prep = dp.host_prepare(parsed)
+    single = np.asarray(dp._decode_call(prep, "float32"))
+    for frames in (2, 4, 8):
+        mesh = make_mesh(files=1, frames=frames)
+        sharded = decode_granules_sharded(prep, mesh, "float32")
+        np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6,
+                                   err_msg=f"frames={frames}")
+
+
+def test_batched_files_match_per_file(parsed, fixture_mp3):
+    mesh = make_mesh(files=8, frames=1)
+    outs = decode_files_batched([fixture_mp3] * 3, mesh=mesh, dtype="float32")
+    ref = dp.decode_pcm(parsed, "float32")
+    assert len(outs) == 3
+    for o in outs:
+        np.testing.assert_allclose(o, ref, rtol=0, atol=1e-6)
+
+
+def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
+    """Files of different lengths batch correctly through padding."""
+    with open(fixture_mp3, "rb") as f:
+        data = f.read()
+    short = tmp_path / "short.mp3"
+    sizes = np.cumsum(parsed.frame_sizes)
+    short.write_bytes(data[:int(sizes[9])])   # first 10 frames
+    mesh = make_mesh(files=4, frames=2)
+    outs = decode_files_batched([fixture_mp3, str(short)], mesh=mesh)
+    assert outs[0].shape[0] == parsed.num_frames * 1152
+    # truncated file: 10 frames (+ the stale-PCM duplication quirk when the
+    # trailing garbage is a mid-file bad sync -> not triggered on clean cut)
+    assert outs[1].shape[0] in (10 * 1152, 11 * 1152)
+
+
+def test_prepare_batch_padding(parsed):
+    prep = dp.host_prepare(parsed)
+    t_full = prep["raw"].shape[1]
+    small = dict(prep)
+    for k in ("raw", "exp1_idx", "exp2x2", "reorder_mask", "win_row",
+              "is_short_blk"):
+        small[k] = prep[k][:, :10]
+    small["ms_mask"] = prep["ms_mask"][:10]
+    batch = prepare_batch([prep, small])
+    assert batch["raw"].shape[0] == 2
+    assert batch["raw"].shape[2] == t_full
+    assert list(batch["lengths"]) == [t_full, 10]
