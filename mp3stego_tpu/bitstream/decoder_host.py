@@ -404,8 +404,101 @@ class ParsedMP3:
     side_infos: list = field(default_factory=list)
 
 
-def parse_mp3(file_data: bytes, offset: int = 0) -> ParsedMP3:
-    """Full host pass: walk frames, parse side info, unpack scalefactors + samples."""
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _native_luts():
+    """Packed Huffman decode LUTs for the native parser: one flat
+    [n_books][2^19] int32 array plus table->row maps."""
+    books = sorted({int(b) for b in T.DEC_CODEBOOK_OF if b != 0})
+    row_of = {b: i for i, b in enumerate(books)}
+    luts = np.zeros((len(books), 1 << T.LUT_BITS), dtype=np.int32)
+    for b in books:
+        luts[row_of[b]] = T.dec_lut(b)
+    book_row = np.array([row_of.get(int(b), 0) for b in T.DEC_CODEBOOK_OF],
+                        dtype=np.int32)
+    return (np.ascontiguousarray(luts.reshape(-1)), book_row,
+            np.ascontiguousarray(T.DEC_LINBITS.astype(np.int32)),
+            np.ascontiguousarray(T.DEC_MAXVAL.astype(np.int32)),
+            np.ascontiguousarray(T.QUAD_LUT.astype(np.int32)),
+            np.ascontiguousarray(T.BAND_INDEX_LONG.astype(np.int32).reshape(-1)))
+
+
+def parse_mp3_native(file_data: bytes, offset: int = 0):
+    """Native-parser path: same ParsedMP3 (without the per-frame ``side_infos``
+    list, which only golden tests consume). Returns None when the native
+    library is unavailable."""
+    from mp3stego_tpu import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+
+    data = np.frombuffer(bytes(file_data), dtype=np.uint8)
+    n = len(data)
+    dup = np.zeros(1, dtype=np.int32)
+    fcount = int(lib.mp3_count_frames(data, n, offset, dup))
+    p = ParsedMP3()
+    if fcount == 0:
+        p.num_frames = 0
+        if offset + 1 < n and data[offset] == 0xFF and data[offset + 1] >= 0xE0:
+            p.header = parse_header(*file_data[offset:offset + 4])
+        return p
+
+    luts, book_row, linbits, maxval, quad_lut, bil = _native_luts()
+    F = fcount
+    header_out = np.zeros(8, dtype=np.int32)
+    p.frame_sizes = np.zeros(F, dtype=np.int64)
+    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.float64)
+    z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
+    arrs = {name: z(F, 2, 2) for name in
+            ("block_type", "mixed_block_flag", "window_switching",
+             "global_gain", "scale_fac_scale", "pre_flag")}
+    p.sub_block_gain = z(F, 2, 2, 3)
+    p.scale_fac_l = z(F, 2, 2, 22)
+    p.scale_fac_s = z(F, 2, 2, 3, 13)
+    p.table_select = z(F, 2, 2, 3)
+    ms = np.zeros(F, dtype=np.uint8)
+
+    got = int(lib.mp3_parse(
+        data, n, offset,
+        luts, book_row, linbits, maxval, quad_lut, bil,
+        F, header_out, p.frame_sizes, p.raw_samples.reshape(-1),
+        arrs["block_type"].reshape(-1), arrs["mixed_block_flag"].reshape(-1),
+        arrs["window_switching"].reshape(-1), arrs["global_gain"].reshape(-1),
+        arrs["scale_fac_scale"].reshape(-1), arrs["pre_flag"].reshape(-1),
+        p.sub_block_gain.reshape(-1), p.scale_fac_l.reshape(-1),
+        p.scale_fac_s.reshape(-1), p.table_select.reshape(-1), ms))
+    if got != F:
+        return None  # inconsistent walk; caller falls back to python
+    for name, a in arrs.items():
+        setattr(p, name, a)
+    p.num_frames = F
+    p.header = parse_header(*file_data[offset:offset + 4])
+    p.ms_stereo = ms.astype(bool)
+    p.duplicate_last_pcm = bool(header_out[6])
+    return p
+
+
+def parse_mp3(file_data: bytes, offset: int = 0,
+              backend: str = "auto") -> ParsedMP3:
+    """Full host pass: walk frames, parse side info, unpack scalefactors + samples.
+
+    ``backend``: "auto" uses the native C++ parser when available (≈100x the
+    python path on the reference's hottest loop), "python" forces the NumPy
+    fallback/oracle, "native" requires the native library.
+    """
+    if backend in ("auto", "native"):
+        p = parse_mp3_native(file_data, offset)
+        if p is not None:
+            return p
+        if backend == "native":
+            raise RuntimeError("native parser unavailable (g++ build failed?)")
+    return _parse_mp3_python(file_data, offset)
+
+
+def _parse_mp3_python(file_data: bytes, offset: int = 0) -> ParsedMP3:
+    """Pure-python host pass (fallback + golden-test oracle)."""
     p = ParsedMP3()
     n = len(file_data)
     if offset + 1 >= n or file_data[offset] != 0xFF or file_data[offset + 1] < 0xE0:

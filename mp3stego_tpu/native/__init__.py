@@ -1,0 +1,78 @@
+"""Native host-plane library: lazy g++ build + ctypes bindings.
+
+The C++ core (src/mp3_parse.cpp) implements the decoder's host bitstream plane
+(the reference's hottest loops, decoder/Frame.py:443-559 + util.py:22-64) at
+native speed. Built on first use with g++ into the package directory and
+loaded via ctypes; every caller has a pure-NumPy fallback, so the framework
+stays functional without a toolchain.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "mp3_parse.cpp")
+_SO = os.path.join(_DIR, "libmp3stego_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+               _SRC, "-o", _SO + ".tmp"]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode != 0:
+            return False
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+        lib.mp3_count_frames.restype = i64
+        lib.mp3_count_frames.argtypes = [p_u8, i64, i64, p_i32]
+
+        lib.mp3_parse.restype = i64
+        lib.mp3_parse.argtypes = [
+            p_u8, i64, i64,
+            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+            i64,
+            p_i32, p_i64, p_f64,
+            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+            p_i32, p_i32, p_i32, p_i32, p_u8,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None

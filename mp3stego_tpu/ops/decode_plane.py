@@ -117,8 +117,23 @@ def _freq_inv_mask():
     return m.reshape(576)
 
 
+@functools.lru_cache(maxsize=None)
+def _walk_maps(sr_idx: int):
+    """(3,576) per-mode walk tables (0 long, 1 short, 2 mixed) + pre_tab."""
+    maps = [np.stack([_requant_walk(sr_idx, m == 1, m == 2)[k]
+                      for m in range(3)]) for k in range(3)]
+    pre_ext = np.concatenate([T.PRE_TAB, [0]]).astype(np.int32)
+    return (maps[0].astype(np.int32), maps[1].astype(np.int32),
+            maps[2].astype(np.int32), pre_ext)
+
+
 def host_prepare(p) -> dict:
-    """Turn a ParsedMP3 into dense device inputs. NumPy only; cheap gathers."""
+    """Turn a ParsedMP3 into the device-plane input pytree.
+
+    Only per-granule side-info fields cross to the device (a few hundred bytes
+    per granule); the per-sample exponent index maps are reconstructed on
+    device by ``exponent_indices`` from static walk tables — host->HBM traffic
+    is dominated by the int16 Huffman sample tensor."""
     F = p.num_frames
     sr = p.header.sr_idx
     G = F * 2  # time-ordered granules
@@ -127,51 +142,70 @@ def host_prepare(p) -> dict:
     def to_ct(a):
         return np.ascontiguousarray(np.moveaxis(a, 2, 0).reshape((2, G) + a.shape[3:]))
 
-    raw = to_ct(p.raw_samples)                      # (2, T, 576)
+    # Huffman sample plane as int8 + sparse int16 escapes: almost all values
+    # are |x| <= 15; only linbits samples exceed int8. This halves (vs int16)
+    # the dominant host->HBM transfer.
+    raw = to_ct(p.raw_samples).astype(np.int32)     # (2, T, 576)
+    exc_ch, exc_t, exc_s = np.nonzero((raw > 127) | (raw < -128))
+    exc_val = raw[exc_ch, exc_t, exc_s].astype(np.int16)
+    raw_i8 = np.clip(raw, -128, 127).astype(np.int8)
+
     bt = to_ct(p.block_type)                        # (2, T)
     mixed = to_ct(p.mixed_block_flag).astype(bool)
-    gg = to_ct(p.global_gain)
-    sfscale = to_ct(p.scale_fac_scale)
-    pre = to_ct(p.pre_flag)
-    sbg = to_ct(p.sub_block_gain)                   # (2, T, 3)
-    sfl = to_ct(p.scale_fac_l)                      # (2, T, 22)
-    sfs = to_ct(p.scale_fac_s)                      # (2, T, 3, 13)
 
     # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
-    mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int32)
-    maps = [np.stack([_requant_walk(sr, m == 1, m == 2)[k] for m in range(3)])
-            for k in range(3)]
-    is_short = maps[0][mode]                         # (2,T,576) bool
-    sfb_map = maps[1][mode]
-    win_map = maps[2][mode]
-
-    # exponent index maps (exact integers / half-integers)
-    sbg_s = np.take_along_axis(sbg, win_map, axis=2)
-    exp1 = gg[..., None] - 210 - np.where(is_short, 8 * sbg_s, 0)
-
-    sfs_flat = sfs.reshape(2, G, 39)
-    sf_short = np.take_along_axis(sfs_flat, win_map * 13 + sfb_map, axis=2)
-    pre_ext = np.concatenate([T.PRE_TAB, [0]])
-    sf_long = np.take_along_axis(sfl, np.minimum(sfb_map, 21), axis=2) \
-        + pre[..., None] * pre_ext[np.minimum(sfb_map, 21)]
-    mult2 = np.where(sfscale == 0, 1, 2)[..., None]
-    exp2x2 = mult2 * np.where(is_short, sf_short, sf_long)
-
-    reorder_mask = ((bt == 2) | mixed)               # (2,T)
-    ms_mask = np.repeat(p.ms_stereo, 2)              # (T,)
+    mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int8)
+    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr)
 
     return dict(
-        raw=raw,
-        exp1_idx=(exp1 + _EXP1_OFF).astype(np.int32),
-        exp2x2=exp2x2.astype(np.int32),
-        reorder_mask=reorder_mask,
-        ms_mask=ms_mask,
-        win_row=bt.astype(np.int32),                 # sine_block row per granule
+        raw_i8=raw_i8,
+        exc_t=exc_t.astype(np.int32),
+        exc_ch=exc_ch.astype(np.int8),
+        exc_s=exc_s.astype(np.int16),
+        exc_val=exc_val,
+        mode=mode,
+        gg=to_ct(p.global_gain).astype(np.int16),
+        sfscale=to_ct(p.scale_fac_scale).astype(np.int8),
+        pre=to_ct(p.pre_flag).astype(np.int8),
+        sbg=to_ct(p.sub_block_gain).astype(np.int8),     # (2, T, 3)
+        sfl=to_ct(p.scale_fac_l).astype(np.int8),        # (2, T, 22)
+        sfs=np.ascontiguousarray(
+            to_ct(p.scale_fac_s).reshape(2, G, 39)).astype(np.int8),
+        reorder_mask=((bt == 2) | mixed),            # (2,T)
+        ms_mask=np.repeat(p.ms_stereo, 2),           # (T,)
+        win_row=bt.astype(np.int8),                  # sine_block row per granule
         is_short_blk=(bt == 2),
         reorder_perm=_reorder_perm(sr),
-        sr_idx=sr,
-        num_granules=G,
+        walk_is_short=walk_is_short,                 # (3,576)
+        walk_sfb=walk_sfb,
+        walk_win=walk_win,
+        pre_ext=pre_ext,
     )
+
+
+def exponent_indices(prep, xp=np):
+    """Per-sample requantize exponent indices from per-granule fields
+    (re_quantize's exp1/exp2 walk, Frame.py:176-208). Runs under jit (xp=jnp)
+    or NumPy (parity path). Inputs are narrow ints; everything upcasts to
+    int32 before arithmetic."""
+    mode = prep["mode"].astype(xp.int32)
+    is_short = prep["walk_is_short"][mode].astype(bool)     # (2,T,576)
+    sfb = prep["walk_sfb"][mode].astype(xp.int32)
+    win = prep["walk_win"][mode].astype(xp.int32)
+
+    sbg_s = xp.take_along_axis(prep["sbg"].astype(xp.int32), win, axis=2)
+    exp1 = prep["gg"].astype(xp.int32)[..., None] - 210 \
+        - xp.where(is_short, 8 * sbg_s, 0)
+
+    sf_short = xp.take_along_axis(prep["sfs"].astype(xp.int32),
+                                  win * 13 + sfb, axis=2)
+    sfb_c = xp.minimum(sfb, 21)
+    sf_long = xp.take_along_axis(prep["sfl"].astype(xp.int32), sfb_c, axis=2) \
+        + prep["pre"].astype(xp.int32)[..., None] \
+        * prep["pre_ext"].astype(xp.int32)[sfb_c]
+    mult2 = xp.where(prep["sfscale"].astype(xp.int32) == 0, 1, 2)[..., None]
+    exp2x2 = mult2 * xp.where(is_short, sf_short, sf_long)
+    return (exp1 + _EXP1_OFF).astype(xp.int32), exp2x2.astype(xp.int32)
 
 
 # ----------------------------------------------------------------- device plane
@@ -192,16 +226,51 @@ def _imdct_mats(dtype):
             jnp.asarray(sine, dtype))
 
 
-def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                   is_short_blk, reorder_perm, dtype):
+# input pytree key groups (used by batching/sharding layers)
+T_AXIS1_KEYS = ("raw_i8", "mode", "gg", "sfscale", "pre", "sbg", "sfl", "sfs",
+                "reorder_mask", "win_row", "is_short_blk")
+T_AXIS0_KEYS = ("ms_mask",)
+# sparse int16 escape values for the rare |sample| > 127 (linbits) entries;
+# padded entries use an out-of-bounds index and are dropped by the scatter
+EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
+CONST_KEYS = ("reorder_perm", "walk_is_short", "walk_sfb", "walk_win",
+              "pre_ext")
+ALL_KEYS = T_AXIS1_KEYS + T_AXIS0_KEYS + EXC_KEYS + CONST_KEYS
+
+_EXC_PAD_T = 1 << 28  # out-of-range granule index marks padding
+
+
+def dense_raw(prep, xp=np):
+    """Reconstruct the dense int32 Huffman sample tensor from the int8 plane +
+    sparse int16 exceptions (or pass through a pre-densified "raw_dense",
+    used by the frame-sharded path where exception indices are global)."""
+    if "raw_dense" in prep:
+        return prep["raw_dense"].astype(xp.int32)
+    raw = prep["raw_i8"].astype(xp.int32)
+    ch, tt = raw.shape[0], raw.shape[1]
+    flat = raw.reshape(-1)
+    idx = ((prep["exc_ch"].astype(xp.int64) * tt
+            + prep["exc_t"].astype(xp.int64)) * 576
+           + prep["exc_s"].astype(xp.int64))
+    if xp is np:
+        ok = prep["exc_t"] < tt
+        flat[idx[ok]] = prep["exc_val"][ok].astype(np.int32)
+        return flat.reshape(ch, tt, 576)
+    flat = flat.at[idx].set(prep["exc_val"].astype(xp.int32), mode="drop")
+    return flat.reshape(ch, tt, 576)
+
+
+def granule_blocks(prep, dtype):
     """Granule-local half of the decode plane: requantize -> MS stereo ->
     reorder/alias -> windowed IMDCT blocks. No cross-granule dependencies, so
     this stage shards freely over the time axis. Returns (ch, T, 32, 36)."""
     pow43, e1lut, e2lut = _luts(dtype)
     c_long, c_short, sine = _imdct_mats(dtype)
+    raw = dense_raw(prep, xp=jnp)
 
-    # ---- requantize (Frame.py:157-218)
-    ix = raw.astype(jnp.int32)
+    # ---- requantize (Frame.py:157-218); exponent maps built on device
+    exp1_idx, exp2x2 = exponent_indices(prep, xp=jnp)
+    ix = raw
     sign = jnp.where(raw < 0, dtype.type(-1.0), dtype.type(1.0))
     a = pow43[jnp.abs(ix)]
     b = e1lut[jnp.clip(exp1_idx, 0, 511)]
@@ -212,11 +281,11 @@ def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     mid, side = x[0], x[1]
     l = (mid + side) / dtype.type(SQRT2)
     r = (mid - side) / dtype.type(SQRT2)
-    ms = ms_mask[None, :, None]
+    ms = prep["ms_mask"][None, :, None]
     x = jnp.where(ms, jnp.stack([l, r]), x)
 
     # ---- reorder (short) / alias reduction (long)
-    perm = reorder_perm
+    perm = prep["reorder_perm"]
     reord = jnp.where(perm[None, None, :] >= 0,
                       jnp.take(x, jnp.maximum(perm, 0), axis=2),
                       dtype.type(0.0))
@@ -226,7 +295,7 @@ def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     s1 = x[..., off1]
     s2 = x[..., off2]
     aliased = x.at[..., off1].set(s1 * cs - s2 * ca).at[..., off2].set(s2 * cs + s1 * ca)
-    x = jnp.where(reorder_mask[..., None], reord, aliased)
+    x = jnp.where(prep["reorder_mask"][..., None], reord, aliased)
 
     # ---- IMDCT + windowing (Frame.py:106-154); x layout is [band*18 + k]
     ch, tt = x.shape[0], x.shape[1]
@@ -236,7 +305,7 @@ def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     xi_long = jnp.einsum("ctbk,ik->ctbi", s, c_long,
                          preferred_element_type=dtype,
                          precision=jax.lax.Precision.HIGHEST)
-    win_long = sine[jnp.clip(win_row, 0, 3)]          # (ch,T,36)
+    win_long = sine[jnp.clip(prep["win_row"], 0, 3)]  # (ch,T,36)
     blk_long = xi_long * win_long[:, :, None, :]
 
     # short path: 3 windows of 6 inputs -> 12 outputs each, windowed + merged
@@ -255,7 +324,7 @@ def granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
         z6,
     ], axis=-1)
 
-    blk = jnp.where(is_short_blk[..., None, None], blk_short, blk_long)
+    blk = jnp.where(prep["is_short_blk"][..., None, None], blk_short, blk_long)
     return blk
 
 
@@ -308,13 +377,11 @@ def synth_from_blocks(blk, dtype, tail_halo=None, v_halo=None):
     return pcm, tail[:, -1:], v[:, -15:]
 
 
-def decode_granules_impl(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                         is_short_blk, reorder_perm, dtype_name="float64"):
-    """(2ch, T, 576) raw Huffman samples -> (2ch, T, 576) PCM, fully batched.
+def decode_granules_impl(prep, dtype_name="float64"):
+    """Input pytree (see host_prepare) -> (2ch, T, 576) PCM, fully batched.
     Unjitted form, vmappable over a leading file axis."""
     dtype = jnp.dtype(dtype_name)
-    blk = granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                         is_short_blk, reorder_perm, dtype)
+    blk = granule_blocks(prep, dtype)
     pcm, _, _ = synth_from_blocks(blk, dtype)
     return pcm
 
@@ -332,17 +399,18 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     emits FMAs, so this path reproduces the reference float-for-float; the
     jitted float32 path is the TPU throughput mode. Pass ``stages={}`` to
     capture per-stage tensors for golden tests."""
-    raw = prep["raw"]
+    raw = dense_raw(prep, xp=np)
     pow43 = np.array([float(i) ** (4.0 / 3.0) for i in range(8207)])
     e1lut = np.array([2.0 ** ((i - _EXP1_OFF) / 4.0) for i in range(512)])
     e2lut = np.array([2.0 ** (-(i / 2.0)) for i in range(_EXP2X2_MAX)])
 
     # requantize
+    exp1_idx, exp2x2 = exponent_indices(prep, xp=np)
     ix = raw.astype(np.int64)
     sign = np.where(raw < 0, -1.0, 1.0)
     x = ((sign * pow43[np.abs(ix)])
-         * e1lut[np.clip(prep["exp1_idx"], 0, 511)]) \
-        * e2lut[np.clip(prep["exp2x2"], 0, _EXP2X2_MAX - 1)]
+         * e1lut[np.clip(exp1_idx, 0, 511)]) \
+        * e2lut[np.clip(exp2x2, 0, _EXP2X2_MAX - 1)]
     if stages is not None:
         stages["requant"] = x.copy()
 
@@ -437,14 +505,5 @@ def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
 
 
 def _decode_call(prep, dtype):
-    return decode_granules(
-        jnp.asarray(prep["raw"]),
-        jnp.asarray(prep["exp1_idx"]),
-        jnp.asarray(prep["exp2x2"]),
-        jnp.asarray(prep["reorder_mask"]),
-        jnp.asarray(prep["ms_mask"]),
-        jnp.asarray(prep["win_row"]),
-        jnp.asarray(prep["is_short_blk"]),
-        jnp.asarray(prep["reorder_perm"]),
-        dtype_name=dtype,
-    )
+    args = {k: jnp.asarray(prep[k]) for k in ALL_KEYS}
+    return decode_granules(args, dtype_name=dtype)

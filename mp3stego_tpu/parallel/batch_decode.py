@@ -28,40 +28,44 @@ def prepare_batch(preps: list) -> dict:
     if not preps:
         raise ValueError("prepare_batch: no files to batch")
     n = len(preps)
-    t_max = max(p["raw"].shape[1] for p in preps)
+    t_max = max(p["raw_i8"].shape[1] for p in preps)
 
-    def stack(key, axis=1, fill=0):
-        outs = []
-        for p in preps:
+    def stack(key, axis=1):
+        # preallocate once and slice-assign (np.pad+np.stack would copy twice)
+        proto = preps[0][key]
+        shape = list(proto.shape)
+        shape[axis] = t_max
+        out = np.zeros([n] + shape, dtype=proto.dtype)
+        for i, p in enumerate(preps):
             a = p[key]
-            pad = t_max - a.shape[axis]
-            if pad:
-                width = [(0, 0)] * a.ndim
-                width[axis] = (0, pad)
-                a = np.pad(a, width, constant_values=fill)
-            outs.append(a)
-        return np.stack(outs)
+            idx = [i] + [slice(None)] * a.ndim
+            idx[1 + axis] = slice(0, a.shape[axis])
+            out[tuple(idx)] = a
+        return out
 
-    return dict(
-        raw=stack("raw"),
-        exp1_idx=stack("exp1_idx"),
-        exp2x2=stack("exp2x2"),
-        reorder_mask=stack("reorder_mask"),
-        ms_mask=stack("ms_mask", axis=0),
-        win_row=stack("win_row"),
-        is_short_blk=stack("is_short_blk"),
-        reorder_perm=np.stack([p["reorder_perm"] for p in preps]),
-        lengths=np.array([p["raw"].shape[1] for p in preps]),
-        num_files=n,
-    )
+    batch = {k: stack(k, axis=1) for k in dp.T_AXIS1_KEYS}
+    batch.update({k: stack(k, axis=0) for k in dp.T_AXIS0_KEYS})
+    # sparse exception lists: pad to the max count with an out-of-range granule
+    # index (the device scatter drops them)
+    e_max = max(1, max(len(p["exc_t"]) for p in preps))
+    for k in dp.EXC_KEYS:
+        proto = preps[0][k]
+        fill = dp._EXC_PAD_T if k == "exc_t" else 0
+        out = np.full((n, e_max), fill, dtype=proto.dtype)
+        for i, p in enumerate(preps):
+            out[i, :len(p[k])] = p[k]
+        batch[k] = out
+    # per-file constant tables (tiny; stacked so mixed-samplerate batches work)
+    batch.update({k: np.stack([p[k] for p in preps]) for k in dp.CONST_KEYS})
+    batch["lengths"] = np.array([p["raw_i8"].shape[1] for p in preps])
+    batch["num_files"] = n
+    return batch
 
 
 @functools.partial(jax.jit, static_argnames=("dtype_name",))
-def _decode_batch(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                  is_short_blk, reorder_perm, dtype_name="float32"):
+def _decode_batch(args, dtype_name="float32"):
     fn = functools.partial(dp.decode_granules_impl, dtype_name=dtype_name)
-    return jax.vmap(fn)(raw, exp1_idx, exp2x2, reorder_mask, ms_mask,
-                        win_row, is_short_blk, reorder_perm)
+    return jax.vmap(fn)(args)
 
 
 def decode_batch_device(batch: dict, mesh: Mesh = None,
@@ -73,11 +77,8 @@ def decode_batch_device(batch: dict, mesh: Mesh = None,
         put = lambda a: jax.device_put(_pad_files(a, n_shard), spec)  # noqa: E731
     else:
         put = jnp.asarray
-    out = _decode_batch(
-        put(batch["raw"]), put(batch["exp1_idx"]), put(batch["exp2x2"]),
-        put(batch["reorder_mask"]), put(batch["ms_mask"]),
-        put(batch["win_row"]), put(batch["is_short_blk"]),
-        put(batch["reorder_perm"]), dtype_name=dtype)
+    args = {k: put(batch[k]) for k in dp.ALL_KEYS}
+    out = _decode_batch(args, dtype_name=dtype)
     return out[:batch["num_files"]]
 
 

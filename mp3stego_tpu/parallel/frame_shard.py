@@ -25,11 +25,9 @@ from jax import shard_map
 from mp3stego_tpu.ops import decode_plane as dp
 
 
-def _shard_body(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                is_short_blk, reorder_perm, dtype):
+def _shard_body(prep, dtype):
     """Per-shard decode: local blocks, then halo exchange of the two carries."""
-    blk = dp.granule_blocks(raw, exp1_idx, exp2x2, reorder_mask, ms_mask,
-                            win_row, is_short_blk, reorder_perm, dtype)
+    blk = dp.granule_blocks(prep, dtype)
 
     n = jax.lax.axis_size("frames")
     shift_right = [(i, i + 1) for i in range(n - 1)]  # shard i -> i+1
@@ -50,21 +48,28 @@ def _shard_body(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
     return pcm
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "dtype_name"))
-def _decode_sharded(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                    is_short_blk, reorder_perm, mesh: Mesh,
-                    dtype_name="float32"):
-    dtype = jnp.dtype(dtype_name)
+def _specs(mesh):
+    # the sharded path ships a pre-densified sample plane (exception indices
+    # are stream-global, so the int8+escape form can't split on T)
     t_spec = P(None, "frames")                 # (ch, T, ...) split on time
+    in_specs = {k: t_spec for k in dp.T_AXIS1_KEYS if k != "raw_i8"}
+    in_specs["raw_dense"] = t_spec
+    in_specs.update({k: P("frames") for k in dp.T_AXIS0_KEYS})
+    in_specs.update({k: P() for k in dp.CONST_KEYS})
+    return in_specs, t_spec
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "dtype_name"))
+def _decode_sharded(args, mesh: Mesh, dtype_name="float32"):
+    dtype = jnp.dtype(dtype_name)
+    in_specs, t_spec = _specs(mesh)
     body = shard_map(
         functools.partial(_shard_body, dtype=dtype),
         mesh=mesh,
-        in_specs=(t_spec, t_spec, t_spec, t_spec, P("frames"), t_spec,
-                  t_spec, P()),
+        in_specs=(in_specs,),
         out_specs=t_spec,
     )
-    return body(raw, exp1_idx, exp2x2, reorder_mask, ms_mask, win_row,
-                is_short_blk, reorder_perm)
+    return body(args)
 
 
 def decode_granules_sharded(prep: dict, mesh: Mesh,
@@ -73,26 +78,24 @@ def decode_granules_sharded(prep: dict, mesh: Mesh,
     ``frames`` axis. Pads T up to a multiple of the axis size (padded granules
     decode as silence and are trimmed)."""
     n = mesh.shape["frames"]
-    t = prep["raw"].shape[1]
+    t = prep["raw_i8"].shape[1]
     t_pad = (-t) % n
 
-    def pad(a, axis=1):
+    def pad(a, axis):
         if t_pad == 0:
             return a
         width = [(0, 0)] * a.ndim
         width[axis] = (0, t_pad)
         return np.pad(a, width)
 
-    spec_t = NamedSharding(mesh, P(None, "frames"))
-    out = _decode_sharded(
-        jax.device_put(pad(prep["raw"]), spec_t),
-        jax.device_put(pad(prep["exp1_idx"]), spec_t),
-        jax.device_put(pad(prep["exp2x2"]), spec_t),
-        jax.device_put(pad(prep["reorder_mask"]), spec_t),
-        jax.device_put(pad(prep["ms_mask"], axis=0),
-                       NamedSharding(mesh, P("frames"))),
-        jax.device_put(pad(prep["win_row"]), spec_t),
-        jax.device_put(pad(prep["is_short_blk"]), spec_t),
-        jax.device_put(prep["reorder_perm"], NamedSharding(mesh, P())),
-        mesh=mesh, dtype_name=dtype)
+    in_specs, _ = _specs(mesh)
+    host = dict(prep)
+    host["raw_dense"] = dp.dense_raw(prep).astype(np.int16)
+    args = {}
+    for k, spec in in_specs.items():
+        axis = 1 if (k in dp.T_AXIS1_KEYS or k == "raw_dense") else \
+            (0 if k in dp.T_AXIS0_KEYS else None)
+        a = host[k] if axis is None else pad(host[k], axis)
+        args[k] = jax.device_put(a, NamedSharding(mesh, spec))
+    out = _decode_sharded(args, mesh=mesh, dtype_name=dtype)
     return np.asarray(out)[:, :t]

@@ -13,7 +13,29 @@ from mp3stego_tpu.bitstream import decoder_host as dh
 def parsed(original_fixture_mp3):
     with open(original_fixture_mp3, "rb") as f:
         data = f.read()
-    return dh.parse_mp3(data, 0)
+    # the python path is the golden-test oracle (it exposes side_infos)
+    return dh.parse_mp3(data, 0, backend="python")
+
+
+def test_native_parser_matches_python(original_fixture_mp3, parsed):
+    """The C++ host parser must produce identical dense tensors to the python
+    oracle (and the same stego bit channel)."""
+    from mp3stego_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with open(original_fixture_mp3, "rb") as f:
+        data = f.read()
+    p_nat = dh.parse_mp3(data, 0, backend="native")
+    for f_ in ("frame_sizes", "raw_samples", "block_type", "mixed_block_flag",
+               "window_switching", "global_gain", "scale_fac_scale",
+               "pre_flag", "sub_block_gain", "scale_fac_l", "scale_fac_s",
+               "table_select"):
+        np.testing.assert_array_equal(getattr(parsed, f_), getattr(p_nat, f_),
+                                      err_msg=f_)
+    np.testing.assert_array_equal(parsed.ms_stereo, p_nat.ms_stereo)
+    assert parsed.duplicate_last_pcm == p_nat.duplicate_last_pcm
+    assert dh.stego_bits(parsed) == dh.stego_bits(p_nat)
+    assert p_nat.header.bit_rate == parsed.header.bit_rate
 
 
 def test_frame_walk(parsed, decode_golden):

@@ -67,13 +67,15 @@ def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
 
 def test_prepare_batch_padding(parsed):
     prep = dp.host_prepare(parsed)
-    t_full = prep["raw"].shape[1]
+    t_full = prep["raw_i8"].shape[1]
     small = dict(prep)
-    for k in ("raw", "exp1_idx", "exp2x2", "reorder_mask", "win_row",
-              "is_short_blk"):
+    for k in dp.T_AXIS1_KEYS:
         small[k] = prep[k][:, :10]
     small["ms_mask"] = prep["ms_mask"][:10]
+    keep = small["exc_t"] < 10
+    for k in dp.EXC_KEYS:
+        small[k] = small[k][keep]
     batch = prepare_batch([prep, small])
-    assert batch["raw"].shape[0] == 2
-    assert batch["raw"].shape[2] == t_full
+    assert batch["raw_i8"].shape[0] == 2
+    assert batch["raw_i8"].shape[2] == t_full
     assert list(batch["lengths"]) == [t_full, 10]
