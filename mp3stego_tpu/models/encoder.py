@@ -25,6 +25,39 @@ from mp3stego_tpu.ops import quant as Q
 from mp3stego_tpu.utils.wav import WavFile, read_wav
 
 _LN2 = 0.69314718  # the reference's constant (encoder/util.py:13), not log(2)
+
+import functools as _ft  # noqa: E402
+
+
+@_ft.lru_cache(maxsize=1)
+def _huff_code_u32():
+    return np.ascontiguousarray(T.HUFF_CODE.reshape(-1).astype(np.uint32))
+
+
+@_ft.lru_cache(maxsize=1)
+def _huff_len_u8():
+    return np.ascontiguousarray(T.HUFF_LEN.reshape(-1).astype(np.uint8))
+
+
+@_ft.lru_cache(maxsize=1)
+def _linbits_i32():
+    return np.ascontiguousarray(T.HUFF_LINBITS.astype(np.int32))
+
+
+@_ft.lru_cache(maxsize=1)
+def _slen1_i32():
+    return np.ascontiguousarray(T.SLEN1_TAB.astype(np.int32))
+
+
+@_ft.lru_cache(maxsize=1)
+def _slen2_i32():
+    return np.ascontiguousarray(T.SLEN2_TAB.astype(np.int32))
+
+
+@_ft.lru_cache(maxsize=None)
+def _band_row_i32(sr_idx):
+    return np.ascontiguousarray(
+        T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32))
 _EN_TOT_KRIT = 10
 _EN_DIF_KRIT = 100
 _EN_SCFSI_BAND_KRIT = 10
@@ -62,11 +95,19 @@ class MP3Encoder:
         steganography; empty disables embedding.
     """
 
-    def __init__(self, wav_file: WavFile, hide_str: str = ""):
+    def __init__(self, wav_file: WavFile, hide_str: str = "",
+                 device_search: bool = True):
         w = wav_file
         self.wav = w
         self.hide_str = hide_str
         self.hide_str_offset = 0
+        # device-parallel all-steps costing (ops/quant_batch); False forces the
+        # pure host search (oracle mode)
+        self.device_search = device_search
+        self._cost = None
+        self._tg = 0
+        self._frame_idx = 0
+        self._nat_ser = None
 
         self.mode = w.mpeg_mode
         self.bitrate = w.bitrate
@@ -159,7 +200,15 @@ class MP3Encoder:
         # (nch, Tg, 576) int32, exact Q31
         mdct_all = encode_plane.run_analysis(streams, tg)
 
+        if self.device_search:
+            from mp3stego_tpu.ops import quant_batch as QB
+            self._cost = QB.cost_all_steps(
+                mdct_all.reshape(-1, 576), self.samplerate_index,
+                with_hide=bool(self.hide_str))
+            self._tg = tg
+
         for f in range(num_frames):
+            self._frame_idx = f
             mdct_frame = mdct_all[:, f * self.granules_per_frame:
                                   (f + 1) * self.granules_per_frame]
             self._encode_frame(mdct_frame)
@@ -315,14 +364,126 @@ class MP3Encoder:
         return choice
 
     def _outer_loop(self, max_bits, xr, xrabs, xrmax, gr, ch):
-        """MP3_Encoder.py:933-956."""
+        """MP3_Encoder.py:933-956. With device_search, both loops replay the
+        reference's trajectory over the precomputed (granule, step) cost grid
+        (ops/quant_batch) instead of re-quantizing per visited step; the final
+        state is always materialized by one exact host evaluation."""
         cod_info = self.gr_info[gr][ch]
+        if self._cost is not None:
+            return self._outer_loop_cached(max_bits, xr, xrabs, xrmax, gr, ch,
+                                           cod_info)
         cod_info.quantizerStepSize = self._bin_search_step_size(
             max_bits, xr, xrabs, xrmax, gr, ch, cod_info)
         cod_info.part2_length = self._part2_length(gr, ch)
         huff_bits = max_bits - cod_info.part2_length
         bits = self._inner_loop(xr, xrabs, xrmax, huff_bits, gr, ch, cod_info)
         cod_info.part2_3_length = cod_info.part2_length + bits
+        return cod_info.part2_3_length
+
+    # ------------------------------------------------- cached-search replay
+
+    def _gidx(self, gr, ch):
+        return ch * self._tg + self._frame_idx * self.granules_per_frame + gr
+
+    def _cached_eval(self, g, step, xr, xrabs, xrmax, gr, ch, cod_info):
+        """One search evaluation from the device cost grid; exact host
+        fallback for flagged cells (float-path quantize, big_values==0 stale
+        addresses). Mirrors the quantize->run-length->count1->subdivide->
+        table-select->bit-count body (MP3_Encoder.py:977-985)."""
+        C = self._cost
+        s = step + 127
+        if not (0 <= s < C["bail"].shape[1]):
+            return self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+        if C["bail"][g, s]:
+            return 100000
+        if C["approx"][g, s] or C["bv"][g, s] == 0 \
+                or C["ixmax"][g, s] > Q.MAX_QUANTIZE_STEP:
+            return self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+
+        if self.hide_str != "":
+            from mp3stego_tpu.ops import quant_batch as QB
+            from mp3stego_tpu import tables as TT
+            bits = int(min(C["sum0"][g, s], C["sum1"][g, s]))
+            idx = self.hide_str_offset
+            for r in range(3):
+                pre = int(C["choice"][g, s, r])
+                if pre == 0:
+                    continue
+                if idx < len(self.hide_str):
+                    t = int(TT.TRANSFORM_HUF[pre, int(self.hide_str[idx])])
+                else:
+                    t = pre
+                bits += QB.table_cost(C, g, s, r, t)
+                idx += 1
+        else:
+            bits = int(C["bits_total"][g, s])
+        # keep the stale-address state the reference would carry
+        # (addresses survive into later big_values==0 evaluations)
+        cod_info.address1 = int(C["a1"][g, s])
+        cod_info.address2 = int(C["a2"][g, s])
+        cod_info.address3 = 2 * int(C["bv"][g, s])
+        return bits
+
+    def _exact_eval(self, step, xr, xrabs, xrmax, gr, ch, cod_info):
+        ix, ix_max = Q.quantize(xr, xrabs, xrmax, step)
+        if ix_max > Q.MAX_QUANTIZE_STEP:
+            return 100000
+        self.l3_enc[ch][gr] = ix
+        return self._eval(self.l3_enc[ch][gr], cod_info)
+
+    def _cached_ixmax(self, g, step, xr, xrabs, xrmax):
+        C = self._cost
+        s = step + 127
+        if not (0 <= s < C["bail"].shape[1]):
+            _, ix_max = Q.quantize(xr, xrabs, xrmax, step)
+            return ix_max
+        if C["bail"][g, s]:
+            return 16384
+        if C["approx"][g, s]:
+            _, ix_max = Q.quantize(xr, xrabs, xrmax, step)
+            return ix_max
+        return int(C["ixmax"][g, s])
+
+    def _outer_loop_cached(self, max_bits, xr, xrabs, xrmax, gr, ch, cod_info):
+        g = self._gidx(gr, ch)
+
+        # bin search (MP3_Encoder.py:958-996)
+        nxt = -120
+        count = 120
+        while True:
+            half = count // 2
+            bits = self._cached_eval(g, nxt + half, xr, xrabs, xrmax, gr, ch,
+                                     cod_info)
+            if bits < max_bits:
+                count = half
+            else:
+                nxt += half
+                count -= half
+            if count <= 1:
+                break
+        cod_info.quantizerStepSize = nxt
+
+        cod_info.part2_length = self._part2_length(gr, ch)
+        huff_bits = max_bits - cod_info.part2_length
+
+        # inner loop (MP3_Encoder.py:1064-1095)
+        if huff_bits < 0:
+            cod_info.quantizerStepSize -= 1
+        while True:
+            while self._cached_ixmax(g, cod_info.quantizerStepSize + 1,
+                                     xr, xrabs, xrmax) > Q.MAX_QUANTIZE_STEP:
+                cod_info.quantizerStepSize += 1
+            cod_info.quantizerStepSize += 1
+            bits = self._cached_eval(g, cod_info.quantizerStepSize, xr, xrabs,
+                                     xrmax, gr, ch, cod_info)
+            if bits <= huff_bits:
+                break
+
+        # materialize the final state exactly (ix tensor + all side-info
+        # fields + stego table selection) with one host evaluation
+        final_bits = self._exact_eval(cod_info.quantizerStepSize, xr, xrabs,
+                                      xrmax, gr, ch, cod_info)
+        cod_info.part2_3_length = cod_info.part2_length + final_bits
         return cod_info.part2_3_length
 
     def _bin_search_step_size(self, desired_rate, xr, xrabs, xrmax, gr, ch, cod_info):
@@ -413,13 +574,60 @@ class MP3Encoder:
     # ----------------------------------------------------------- serialization
 
     def _format_bitstream(self, mdct_frame):
-        """MP3_Encoder.py:1266-1360."""
+        """MP3_Encoder.py:1266-1360. Uses the native C serializer when the
+        library is available; the python BitWriter path below is the
+        fallback/oracle (identical bytes)."""
         for ch in range(self.wav.num_of_channels):
             for gr in range(self.granules_per_frame):
                 neg = (mdct_frame[ch][gr] < 0) & (self.l3_enc[ch][gr] > 0)
                 self.l3_enc[ch][gr][neg] *= -1
-        self._encode_side_info()
-        self._encode_main_data()
+
+        if self._nat_ser is None:
+            from mp3stego_tpu import native
+            lib = native.get_lib()
+            use = lib is not None and hasattr(lib, "mp3_format_frame")
+            self._nat_ser = lib if use else False
+            if use:
+                self._nat_cache = np.zeros(1, dtype=np.uint32)
+                self._nat_cache_bits = np.full(1, 32, dtype=np.int32)
+                self._nat_out = np.zeros(1 << 16, dtype=np.uint8)
+        if self._nat_ser:
+            self._format_bitstream_native()
+        else:
+            self._encode_side_info()
+            self._encode_main_data()
+
+    def _format_bitstream_native(self):
+        gi = np.zeros((2, 2, 11), dtype=np.int64)
+        for gr in range(2):
+            for ch in range(2):
+                g = self.gr_info[gr][ch]
+                gi[gr, ch] = (int(g.part2_3_length), int(g.big_values),
+                              int(g.global_gain), int(g.scale_fac_compress),
+                              int(g.region0_count), int(g.region1_count),
+                              int(g.preflag), int(g.scale_fac_scale),
+                              int(g.count1table_select), int(g.count1),
+                              int(g.part2_length))
+        ts = np.stack([[self.gr_info[gr][ch].table_select for ch in range(2)]
+                       for gr in range(2)]).astype(np.int32)
+        written = self._nat_ser.mp3_format_frame(
+            self._nat_cache, self._nat_cache_bits, self._nat_out,
+            len(self._nat_out),
+            self.version, self.layer, self.crc, self.bitrate_index,
+            self.samplerate_index % 3, self.padding, self.ext, self.mode,
+            self.mode_ext, self.copyright, self.original, self.emphasis,
+            self.private_bits, self.wav.num_of_channels,
+            self.granules_per_frame,
+            np.ascontiguousarray(self.scfsi), gi.reshape(-1),
+            np.ascontiguousarray(ts.reshape(-1)),
+            np.ascontiguousarray(self.scale_factor_l.reshape(-1)),
+            _slen1_i32(), _slen2_i32(),
+            np.ascontiguousarray(self.l3_enc.reshape(-1)),
+            _huff_code_u32(), _huff_len_u8(), _linbits_i32(),
+            _band_row_i32(self.samplerate_index))
+        if written < 0:
+            raise RuntimeError("native serializer buffer overflow")
+        self.out_buffer += self._nat_out[:written].tobytes()
 
     def _encode_side_info(self):
         bw = self.bw

@@ -15,7 +15,9 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "src", "mp3_parse.cpp")
+_SRCS = [os.path.join(_DIR, "src", f)
+         for f in sorted(os.listdir(os.path.join(_DIR, "src")))
+         if f.endswith(".cpp")]
 _SO = os.path.join(_DIR, "libmp3stego_native.so")
 
 _lock = threading.Lock()
@@ -26,10 +28,11 @@ _tried = False
 def _build() -> bool:
     try:
         if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+                and all(os.path.getmtime(_SO) >= os.path.getmtime(s)
+                        for s in _SRCS)):
             return True
         cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-               _SRC, "-o", _SO + ".tmp"]
+               *_SRCS, "-o", _SO + ".tmp"]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if r.returncode != 0:
             return False
@@ -69,6 +72,17 @@ def get_lib():
             p_i32, p_i64, p_f64,
             p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
             p_i32, p_i32, p_i32, p_i32, p_u8,
+        ]
+
+        i32 = ctypes.c_int32
+        p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.mp3_format_frame.restype = i64
+        lib.mp3_format_frame.argtypes = [
+            p_u32, p_i32, p_u8, i64,
+            i32, i32, i32, i32, i32, i32, i32, i32,
+            i32, i32, i32, i32, i32, i32, i32,
+            p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
+            p_u32, p_u8, p_i32, p_i32,
         ]
         _lib = lib
         return _lib

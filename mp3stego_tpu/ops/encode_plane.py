@@ -28,14 +28,6 @@ from mp3stego_tpu import tables as T
 from mp3stego_tpu.ops import fixedpoint as fx
 
 
-@functools.lru_cache(maxsize=None)
-def _window_gather_index():
-    """(64,8) sample offsets relative to 32t: 31 - i - 64k (negative = past)."""
-    i = np.arange(64)[:, None]
-    k = np.arange(8)[None, :]
-    return (31 - i - 64 * k).astype(np.int32)
-
-
 _PAST = 480  # deepest lookback: 31-63-448 = -480
 
 
@@ -50,14 +42,19 @@ def analysis_mdct(pcm):
     ts = (n - _PAST) // 32                 # window steps
     tg = ts // 18                          # granules
 
-    # ---- windowing: gather sliding windows then mul-reduce over 8 taps
-    idx = jnp.asarray(_window_gather_index())            # (64,8)
-    t_base = jnp.arange(ts, dtype=jnp.int32) * 32 + _PAST
-    gather = t_base[:, None, None] + idx[None]           # (ts,64,8)
-    win = jnp.asarray(T.ENWINDOW.reshape(64, 8, order="F"))  # en[i+64k] -> [i,k]
-    xs = pcm[:, gather]                                  # (ch,ts,64,8)
-    prod = fx.mul(xs, win[None, None], xp=jnp)           # int32
-    tmp = jnp.sum(prod.astype(jnp.int32), axis=-1, dtype=jnp.int32)   # (ch,ts,64)
+    # ---- windowing over sliding 512-sample frames, gather-free.
+    # W[t, j] = pcm[32t + j] (j < 512) built from 16 strided slices; the
+    # needed sample for (i, k) is pcm[32t + 511 - i - 64k], i.e. index
+    # j' = 511 - j maps bijectively to (k, i) = divmod(j', 64) — so reversing
+    # W and reshaping to (8, 64) aligns it with the window table directly.
+    # (A 3D-index gather here lowers to scalar loads on TPU: ~20x slower.)
+    z = pcm.reshape(ch, (n // 32), 32)                   # 32-sample frames
+    w = jnp.concatenate([z[:, r:r + ts] for r in range(16)],
+                        axis=2)                          # (ch,ts,512)
+    v = w[..., ::-1].reshape(ch, ts, 8, 64)              # [k, i] layout
+    win = jnp.asarray(T.ENWINDOW.reshape(8, 64))         # en[i+64k] -> [k,i]
+    prod = fx.mul(v, win[None, None], xp=jnp)            # int32
+    tmp = jnp.sum(prod.astype(jnp.int32), axis=2, dtype=jnp.int32)    # (ch,ts,64)
 
     # ---- 32-band filter: sum_j mul(fl[b,j], tmp[j])
     fl = jnp.asarray(T.subband_filter_fixed())           # (32,64)
@@ -92,8 +89,16 @@ def analysis_mdct(pcm):
     return freq.reshape(ch, tg, 576)
 
 
+_CHUNK_G = 128  # granules per device dispatch (fixed shape -> one compile)
+
+
 def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
-    """Host wrapper: pad, run, return (ch, Tg, 576) int32 numpy."""
+    """Host wrapper: pad, run, return (ch, Tg, 576) int32 numpy.
+
+    Dispatches in fixed-size granule chunks with one granule of left context
+    (the MDCT reads the previous granule's subband output) and 480 samples of
+    filterbank history, so any file length reuses a single compiled program.
+    """
     ch, n = pcm_ch.shape
     need = num_granules * 576
     pad_front = np.zeros((ch, _PAST), dtype=np.int32)
@@ -103,5 +108,28 @@ def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
     else:
         pcm_ch = pcm_ch[:, :need]
     full = np.concatenate([pad_front, pcm_ch], axis=1)
-    out = analysis_mdct(jnp.asarray(full))
-    return np.asarray(out)
+
+    if num_granules <= _CHUNK_G + 1:
+        out = analysis_mdct(_pad_to(full, _PAST + (_CHUNK_G + 1) * 576))
+        return np.asarray(out)[:, :num_granules]
+
+    pending = []
+    bounds = []
+    a = 0
+    while a < num_granules:
+        s = max(0, a - 1)                       # 1 granule of MDCT context
+        e = min(num_granules, s + _CHUNK_G + 1)
+        sl = full[:, s * 576: e * 576 + _PAST]  # front 480 = history before s
+        pending.append(analysis_mdct(_pad_to(sl, _PAST + (_CHUNK_G + 1) * 576)))
+        bounds.append((a - s, e - s))
+        a = e
+    fetched = jax.device_get(pending)
+    return np.concatenate(
+        [r[:, lo:hi] for r, (lo, hi) in zip(fetched, bounds)], axis=1)
+
+
+def _pad_to(a: np.ndarray, n: int):
+    if a.shape[1] < n:
+        a = np.concatenate(
+            [a, np.zeros((a.shape[0], n - a.shape[1]), a.dtype)], axis=1)
+    return jnp.asarray(a)

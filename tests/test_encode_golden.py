@@ -46,9 +46,10 @@ def encoded(golden_wav):
     chunks = []
 
     def frame_patched(self, mdct_frame):
+        n0 = len(self.out_buffer)
         orig_frame(mdct_frame)
-        chunks.append(self.bw.take_frame())
-        self.out_buffer += chunks[-1]
+        self.out_buffer += self.bw.take_frame()
+        chunks.append(bytes(self.out_buffer[n0:]))
 
     enc._iteration_loop = types.MethodType(iter_patched, enc)
     enc._encode_frame = types.MethodType(frame_patched, enc)
