@@ -1,0 +1,88 @@
+"""Command-line interface: python -m mp3stego_tpu <op> ...
+
+The reference library has no CLI (README documents the Python API only); this
+is an addition exposing the same five façade operations plus the batched
+directory-decode throughput mode.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="mp3stego_tpu",
+        description="TPU-native MP3 codec + steganography")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print process information")
+    sub = p.add_subparsers(dest="op", required=True)
+
+    d = sub.add_parser("decode", help="MP3 -> WAV")
+    d.add_argument("input"), d.add_argument("output")
+
+    e = sub.add_parser("encode", help="WAV -> MP3")
+    e.add_argument("input"), e.add_argument("output")
+    e.add_argument("--bitrate", type=int, default=320)
+
+    h = sub.add_parser("hide", help="hide a message in an MP3")
+    h.add_argument("input"), h.add_argument("output"), h.add_argument("message")
+
+    r = sub.add_parser("reveal", help="reveal a hidden message")
+    r.add_argument("input"), r.add_argument("txt")
+
+    c = sub.add_parser("clear", help="strip hidden data (re-encode)")
+    c.add_argument("input"), c.add_argument("output")
+
+    b = sub.add_parser("decode-batch",
+                       help="decode many MP3s in one batched device program")
+    b.add_argument("inputs", nargs="+")
+    b.add_argument("--outdir", default=".")
+
+    args = p.parse_args(argv)
+    from mp3stego_tpu import Steganography
+
+    s = Steganography(quiet=not args.verbose)
+    if args.op == "decode":
+        bitrate = s.decode_mp3_to_wav(args.input, args.output)
+        print(f"decoded at {bitrate} kbps -> {args.output}")
+    elif args.op == "encode":
+        s.encode_wav_to_mp3(args.input, args.output, args.bitrate)
+        print(f"encoded at {args.bitrate} kbps -> {args.output}")
+    elif args.op == "hide":
+        too_long = s.hide_message(args.input, args.output, args.message)
+        print("warning: message truncated (file too short)" if too_long
+              else f"hidden -> {args.output}")
+        return 1 if too_long else 0
+    elif args.op == "reveal":
+        s.reveal_massage(args.input, args.txt)
+        print(f"revealed -> {args.txt}")
+    elif args.op == "clear":
+        s.clear_file(args.input, args.output)
+        print(f"cleared -> {args.output}")
+    elif args.op == "decode-batch":
+        import os
+
+        import numpy as np
+
+        from mp3stego_tpu.bitstream import decoder_host as dh
+        from mp3stego_tpu.bitstream.id3 import parse_id3
+        from mp3stego_tpu.parallel import decode_files_batched
+        from mp3stego_tpu.utils.wav import write_wav
+
+        pcms = decode_files_batched(args.inputs)
+        for path, pcm in zip(args.inputs, pcms):
+            with open(path, "rb") as f:
+                data = f.read()
+            id3 = parse_id3(data)
+            off = id3.offset if id3.is_valid else 0
+            rate = dh.parse_header(*data[off:off + 4]).sampling_rate or 44100
+            out = os.path.join(
+                args.outdir,
+                os.path.splitext(os.path.basename(path))[0] + ".wav")
+            write_wav(out, rate, (pcm * 32767).astype(np.int16))
+            print(f"{path} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,20 +78,28 @@ class Decoder:
         if not quiet and self.__id3.is_valid:
             self.__parse_metadata()
 
+        from mp3stego_tpu.utils.profiling import StageTimer, trace
+        timer = StageTimer(enabled=not quiet)
         start = time.time()
-        parsed = dh.parse_mp3(self.__data, self.__offset)
-        self.__parsed = parsed
-        self.output_bits = dh.stego_bits(parsed)
+        with trace():
+            with timer.stage("bitstream parse (host)"):
+                parsed = dh.parse_mp3(self.__data, self.__offset)
+                self.__parsed = parsed
+                self.output_bits = dh.stego_bits(parsed)
 
-        from mp3stego_tpu.ops import decode_plane as dp  # deferred jax import
-        pcm = dp.decode_pcm(parsed, self.__precision)
+            from mp3stego_tpu.ops import decode_plane as dp  # deferred jax
+            with timer.stage(f"numeric plane ({self.__precision})"):
+                pcm = dp.decode_pcm(parsed, self.__precision)
         parsing_time = time.time() - start
         if not quiet:
             print('\nParsed', parsed.num_frames, 'frames in', parsing_time,
                   'seconds.')
 
-        write_wav(self.__output_file_path, parsed.header.sampling_rate,
-                  (pcm * 32767).astype(np.int16))
+        with timer.stage("wav write"):
+            write_wav(self.__output_file_path, parsed.header.sampling_rate,
+                      (pcm * 32767).astype(np.int16))
+        if not quiet:
+            timer.print_report()
         if not quiet:
             print(f"Wav file created on {self.__output_file_path}")
 

@@ -188,32 +188,43 @@ class MP3Encoder:
             out[c, :len(s)] = s
         return out << 16
 
-    def encode(self):
+    def encode(self, quiet: bool = True):
         """Encode the full file: one device pass for analysis+MDCT, then the
-        sequential host rate-control/bitstream loop (MP3_Encoder.py:596-618)."""
+        sequential host rate-control/bitstream loop (MP3_Encoder.py:596-618).
+        ``quiet=False`` shows frame progress and a per-stage timing report."""
         from mp3stego_tpu.ops import encode_plane  # deferred jax import
+        from mp3stego_tpu.utils.profiling import StageTimer, progress, trace
+        timer = StageTimer(enabled=not quiet)
         num_frames = self._num_frames()
         if num_frames == 0:
             return
-        streams = self._channel_streams(num_frames)
-        tg = num_frames * self.granules_per_frame
-        # (nch, Tg, 576) int32, exact Q31
-        mdct_all = encode_plane.run_analysis(streams, tg)
+        with trace():
+            with timer.stage("analysis+mdct (device)"):
+                streams = self._channel_streams(num_frames)
+                tg = num_frames * self.granules_per_frame
+                # (nch, Tg, 576) int32, exact Q31
+                mdct_all = encode_plane.run_analysis(streams, tg)
 
-        if self.device_search:
-            from mp3stego_tpu.ops import quant_batch as QB
-            self._cost = QB.cost_all_steps(
-                mdct_all.reshape(-1, 576), self.samplerate_index,
-                with_hide=bool(self.hide_str))
-            self._tg = tg
+            if self.device_search:
+                from mp3stego_tpu.ops import quant_batch as QB
+                with timer.stage("step-cost grid (device)"):
+                    self._cost = QB.cost_all_steps(
+                        mdct_all.reshape(-1, 576), self.samplerate_index,
+                        with_hide=bool(self.hide_str))
+                    self._tg = tg
 
-        for f in range(num_frames):
-            self._frame_idx = f
-            mdct_frame = mdct_all[:, f * self.granules_per_frame:
-                                  (f + 1) * self.granules_per_frame]
-            self._encode_frame(mdct_frame)
-            self.out_buffer += self.bw.take_frame()
-        self.out_buffer += self.bw.take_frame()  # final flush (MP3_Encoder.py:616-618)
+            with timer.stage("rate control + serialize (host)"):
+                for f in progress(range(num_frames), desc="encoding",
+                                  enabled=not quiet):
+                    self._frame_idx = f
+                    mdct_frame = mdct_all[:, f * self.granules_per_frame:
+                                          (f + 1) * self.granules_per_frame]
+                    self._encode_frame(mdct_frame)
+                    self.out_buffer += self.bw.take_frame()
+                # final flush (MP3_Encoder.py:616-618)
+                self.out_buffer += self.bw.take_frame()
+        if not quiet:
+            timer.print_report()
 
     # ------------------------------------------------------------- frame logic
 
@@ -830,7 +841,7 @@ class Encoder:
         (the reference's off-by-one contract at encoder.py:49-51 included)."""
         if not quiet:
             self.__encoder.print_info()
-        self.__encoder.encode()
+        self.__encoder.encode(quiet=quiet)
         self.__encoder.write_mp3_file(self.__output_file_path)
         too_long = self.__encoder.hide_str_offset < len(self.__hide_str) - 1
         if not quiet:
