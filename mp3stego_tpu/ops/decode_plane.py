@@ -363,18 +363,33 @@ def synth_from_blocks(blk, dtype, tail_halo=None, v_halo=None):
     if v_halo is None:
         v_halo = jnp.zeros((ch, 15, 64), dtype)
     v_ext = jnp.concatenate([v_halo, v], axis=1)
-    va_p, vb_p = v_ext[..., :32], v_ext[..., 32:]
-
-    d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
     ts_total = tt * 18
-    pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
-    for j in range(16):  # reference sums j ascending (Frame.py:97-101)
-        src = va_p if j % 2 == 0 else vb_p
-        pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
-            src, 15 - j, ts_total, axis=1)
+
+    if dtype == jnp.float32 and _pallas_fir_enabled():
+        # fused Pallas FIR (opt-in: MP3STEGO_TPU_PALLAS=1); ~1 ulp from the
+        # jnp path due to its even/odd-tap fold, see ops/pallas_kernels.py
+        from mp3stego_tpu.ops import pallas_kernels as pk
+        pcm_steps = pk.synth_fir_host(v_ext, ts_total)
+    else:
+        va_p, vb_p = v_ext[..., :32], v_ext[..., 32:]
+        d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
+        pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
+        for j in range(16):  # reference sums j ascending (Frame.py:97-101)
+            src = va_p if j % 2 == 0 else vb_p
+            pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
+                src, 15 - j, ts_total, axis=1)
 
     pcm = pcm_steps.reshape(ch, tt, 576)
     return pcm, tail[:, -1:], v[:, -15:]
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_fir_enabled() -> bool:
+    import os
+    if os.environ.get("MP3STEGO_TPU_PALLAS", "0") != "1":
+        return False
+    from mp3stego_tpu.ops import pallas_kernels as pk
+    return pk.available()
 
 
 def decode_granules_impl(prep, dtype_name="float64"):

@@ -18,8 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# MP3STEGO_TPU_TEST_TPU=1 keeps the real TPU backend (for tests/test_pallas.py
+# and on-device smoke runs); default is the 8-virtual-device CPU mesh.
+if os.environ.get("MP3STEGO_TPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
