@@ -476,7 +476,9 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
     p.num_frames = F
     p.header = parse_header(*file_data[offset:offset + 4])
     p.ms_stereo = ms.astype(bool)
-    p.duplicate_last_pcm = bool(header_out[6])
+    # the fill loop exits on the frame-count cap before re-checking sync, so
+    # the stale-PCM quirk flag comes from the counting pass
+    p.duplicate_last_pcm = bool(dup[0])
     return p
 
 
