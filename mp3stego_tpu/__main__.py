@@ -37,6 +37,15 @@ def main(argv=None):
                        help="decode many MP3s in one batched device program")
     b.add_argument("inputs", nargs="+")
     b.add_argument("--outdir", default=".")
+    b.add_argument("--resume", action="store_true",
+                   help="skip inputs whose output WAV already exists")
+
+    be = sub.add_parser("encode-batch", help="encode many WAVs (file-parallel)")
+    be.add_argument("inputs", nargs="+")
+    be.add_argument("--outdir", default=".")
+    be.add_argument("--bitrate", type=int, default=320)
+    be.add_argument("--resume", action="store_true",
+                    help="skip inputs whose output MP3 already exists")
 
     args = p.parse_args(argv)
     from mp3stego_tpu import Steganography
@@ -69,18 +78,57 @@ def main(argv=None):
         from mp3stego_tpu.parallel import decode_files_batched
         from mp3stego_tpu.utils.wav import write_wav
 
-        pcms = decode_files_batched(args.inputs)
-        for path, pcm in zip(args.inputs, pcms):
+        def out_of(path):
+            return os.path.join(
+                args.outdir,
+                os.path.splitext(os.path.basename(path))[0] + ".wav")
+
+        inputs = [p for p in args.inputs
+                  if not (args.resume and os.path.exists(out_of(p)))]
+        skipped = len(args.inputs) - len(inputs)
+        if skipped:
+            print(f"resume: skipping {skipped} already-decoded file(s)")
+        pcms = decode_files_batched(inputs, errors="isolate") if inputs else []
+        rc = 0
+        for path, pcm in zip(inputs, pcms):
+            if isinstance(pcm, Exception):
+                print(f"{path}: FAILED ({pcm})")
+                rc = 1
+                continue
             with open(path, "rb") as f:
                 data = f.read()
             id3 = parse_id3(data)
             off = id3.offset if id3.is_valid else 0
             rate = dh.parse_header(*data[off:off + 4]).sampling_rate or 44100
-            out = os.path.join(
-                args.outdir,
-                os.path.splitext(os.path.basename(path))[0] + ".wav")
+            out = out_of(path)
             write_wav(out, rate, (pcm * 32767).astype(np.int16))
             print(f"{path} -> {out}")
+        return rc
+    elif args.op == "encode-batch":
+        import os
+
+        from mp3stego_tpu.parallel import encode_files_batched
+
+        def out_of(path):
+            return os.path.join(
+                args.outdir,
+                os.path.splitext(os.path.basename(path))[0] + ".mp3")
+
+        jobs = [(p, out_of(p)) for p in args.inputs
+                if not (args.resume and os.path.exists(out_of(p)))]
+        skipped = len(args.inputs) - len(jobs)
+        if skipped:
+            print(f"resume: skipping {skipped} already-encoded file(s)")
+        outs = encode_files_batched(jobs, bitrate=args.bitrate,
+                                    errors="isolate")
+        rc = 0
+        for (src, _), res in zip(jobs, outs):
+            if isinstance(res, Exception):
+                print(f"{src}: FAILED ({res})")
+                rc = 1
+            else:
+                print(f"{src} -> {res}")
+        return rc
     return 0
 
 

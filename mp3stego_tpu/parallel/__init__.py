@@ -13,4 +13,5 @@ from mp3stego_tpu.parallel.mesh import make_mesh  # noqa: F401
 from mp3stego_tpu.parallel.batch_decode import (  # noqa: F401
     decode_files_batched, prepare_batch,
 )
+from mp3stego_tpu.parallel.batch_encode import encode_files_batched  # noqa: F401
 from mp3stego_tpu.parallel.frame_shard import decode_granules_sharded  # noqa: F401

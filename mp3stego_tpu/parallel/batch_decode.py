@@ -92,33 +92,53 @@ def _pad_files(a: np.ndarray, n_shard: int) -> np.ndarray:
 
 
 def decode_files_batched(paths: list, mesh: Mesh = None,
-                         dtype: str = "float32") -> list:
+                         dtype: str = "float32",
+                         errors: str = "raise") -> list:
     """Decode many MP3 files in one batched device program.
 
     Returns a list of interleaved PCM float arrays (samples, channels), one per
     file, matching Decoder/decode_pcm output per file.
+
+    ``errors``: "raise" propagates the first per-file parse failure;
+    "isolate" decodes the healthy files and returns the exception object in
+    the failed file's slot (a corrupt file cannot poison the batch).
     """
     preps = []
     metas = []
-    for path in paths:
-        with open(path, "rb") as f:
-            data = f.read()
-        from mp3stego_tpu.bitstream.id3 import parse_id3
-        id3 = parse_id3(data)
-        parsed = dh.parse_mp3(data, id3.offset if id3.is_valid else 0)
-        preps.append(dp.host_prepare(parsed))
-        metas.append(parsed)
+    failures = {}
+    for i, path in enumerate(paths):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            from mp3stego_tpu.bitstream.id3 import parse_id3
+            id3 = parse_id3(data)
+            parsed = dh.parse_mp3(data, id3.offset if id3.is_valid else 0)
+            if parsed.num_frames == 0:
+                raise ValueError(f"{path}: no MP3 frames found")
+            preps.append(dp.host_prepare(parsed))
+            metas.append(parsed)
+        except Exception as e:  # noqa: BLE001 - isolation mode surfaces them
+            if errors != "isolate":
+                raise
+            failures[i] = e
 
-    batch = prepare_batch(preps)
-    out = np.asarray(decode_batch_device(batch, mesh, dtype))
-
-    results = []
-    for i, parsed in enumerate(metas):
-        t = int(batch["lengths"][i])
-        pcm = out[i, :, :t]
-        ch = parsed.header.channels
-        inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-        if parsed.duplicate_last_pcm:
-            inter = np.concatenate([inter, inter[-1152:]], axis=0)
-        results.append(inter)
+    results = [None] * len(paths)
+    if preps:
+        batch = prepare_batch(preps)
+        out = np.asarray(decode_batch_device(batch, mesh, dtype))
+        j = 0
+        for i in range(len(paths)):
+            if i in failures:
+                continue
+            parsed = metas[j]
+            t = int(batch["lengths"][j])
+            pcm = out[j, :, :t]
+            ch = parsed.header.channels
+            inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+            if parsed.duplicate_last_pcm:
+                inter = np.concatenate([inter, inter[-1152:]], axis=0)
+            results[i] = inter
+            j += 1
+    for i, e in failures.items():
+        results[i] = e
     return results

@@ -79,3 +79,39 @@ def test_prepare_batch_padding(parsed):
     assert batch["raw_i8"].shape[0] == 2
     assert batch["raw_i8"].shape[2] == t_full
     assert list(batch["lengths"]) == [t_full, 10]
+
+
+def test_batched_decode_error_isolation(fixture_mp3, tmp_path):
+    bad = tmp_path / "bad.mp3"
+    bad.write_bytes(b"not an mp3 at all")
+    from mp3stego_tpu.parallel import decode_files_batched
+    outs = decode_files_batched([fixture_mp3, str(bad), fixture_mp3],
+                                errors="isolate")
+    assert isinstance(outs[1], Exception)
+    np.testing.assert_array_equal(outs[0], outs[2])
+    with pytest.raises(Exception):
+        decode_files_batched([str(bad)], errors="raise")
+
+
+def test_batched_encode_matches_single(stego_golden, encode_golden, tmp_path):
+    wav = tmp_path / "g.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    from mp3stego_tpu.parallel import encode_files_batched
+    jobs = [(str(wav), str(tmp_path / "a.mp3")),
+            (str(wav), str(tmp_path / "b.mp3"))]
+    outs = encode_files_batched(jobs, bitrate=320)
+    ref = encode_golden["mp3_bytes"].tobytes()
+    for p in outs:
+        with open(p, "rb") as f:
+            assert f.read() == ref
+
+
+def test_batched_encode_error_isolation(stego_golden, tmp_path):
+    wav = tmp_path / "g.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    from mp3stego_tpu.parallel import encode_files_batched
+    jobs = [(str(tmp_path / "missing.wav"), str(tmp_path / "x.mp3")),
+            (str(wav), str(tmp_path / "y.mp3"))]
+    outs = encode_files_batched(jobs, errors="isolate")
+    assert isinstance(outs[0], FileNotFoundError)
+    assert outs[1].endswith("y.mp3")
