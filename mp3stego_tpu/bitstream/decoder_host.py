@@ -72,7 +72,10 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
     if h.layer == 3:
         h.mode_ext = (b3 & 0x20, b3 & 0x10)
     h.padding = bool(b2 & 0x02)
-    idx = ((b2 >> 4) & 0xFF) - 1
+    # clamp the bitrate index like the native parser: nibble 0xF is out of
+    # the 14-entry table (the reference crashes); -1 wraps like python's [-1]
+    idx = ((b2 >> 4) & 0x0F) - 1
+    idx = 13 if (idx < 0 or idx > 13) else idx
     if h.mpeg_version == 1:
         if h.layer == 1:
             h.bit_rate = b2 * 32
@@ -90,6 +93,8 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
 
 
 def frame_size_of(h: FrameHeader) -> int:
+    if h.sampling_rate == 0:   # reserved samplerate bits: stop cleanly
+        return 0               # (the reference divides by zero here)
     size = int(((h.frame_samples / 8) * h.bit_rate) / h.sampling_rate)
     if h.padding:
         size += 1
@@ -308,13 +313,15 @@ def unpack_samples(md: _MainDataBits, si: SideInfo, h: FrameHeader, gr: int, ch:
     if si.window_switching[gr][ch] and si.block_type[gr][ch] == 2:
         region0, region1 = 36, 576
     else:
+        # clamped: corrupt side info can push the band index past 22 and
+        # big_value*2 past 576 (the reference crashes on both; we stop cleanly)
         r0c = int(si.region0_count[gr][ch])
         r1c = int(si.region1_count[gr][ch])
-        region0 = int(long_win[r0c + 1])
-        region1 = int(long_win[r0c + 1 + r1c + 1])
+        region0 = int(long_win[min(r0c + 1, 22)])
+        region1 = int(long_win[min(r0c + 1 + r1c + 1, 22)])
 
     ts = si.table_select[gr][ch]
-    big = int(si.big_value[gr][ch]) * 2
+    big = min(int(si.big_value[gr][ch]) * 2, 576)
     sample = 0
     while sample < big:
         if sample < region0:
@@ -416,7 +423,9 @@ def _native_luts():
     luts = np.zeros((len(books), 1 << T.LUT_BITS), dtype=np.int32)
     for b in books:
         luts[row_of[b]] = T.dec_lut(b)
-    book_row = np.array([row_of.get(int(b), 0) for b in T.DEC_CODEBOOK_OF],
+    # tables with codebook 0 (ids 0/4/14) are unused: sentinel -1 makes the
+    # native decoder skip the pair, like the reference's empty-table scan
+    book_row = np.array([row_of.get(int(b), -1) for b in T.DEC_CODEBOOK_OF],
                         dtype=np.int32)
     return (np.ascontiguousarray(luts.reshape(-1)), book_row,
             np.ascontiguousarray(T.DEC_LINBITS.astype(np.int32)),
@@ -522,6 +531,8 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0) -> ParsedMP3:
             h = parse_header(*file_data[cur:cur + 4])
             prev_hist = [frame_size] + prev_hist[:-1]
             frame_size = frame_size_of(h)
+            if frame_size <= 0:    # malformed header: stop (matches native)
+                break
             frames.append((cur, h, frame_size, list(prev_hist)))
             cur += frame_size
         else:

@@ -86,6 +86,9 @@ class Decoder:
                 parsed = dh.parse_mp3(self.__data, self.__offset)
                 self.__parsed = parsed
                 self.output_bits = dh.stego_bits(parsed)
+                if parsed.header is None:
+                    # no sync word at all (the reference IndexErrors here)
+                    sys.exit(f"File {self.__file_path} is not a valid MP3 file.")
 
             from mp3stego_tpu.ops import decode_plane as dp  # deferred jax
             with timer.stage(f"numeric plane ({self.__precision})"):

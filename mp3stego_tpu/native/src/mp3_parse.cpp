@@ -42,8 +42,19 @@ struct BitReader {
     }
     return v;
   }
+  // Truncated-value read: only the available bits contribute (the reference's
+  // side-info reader iterates a short slice, FrameSideInformation semantics —
+  // e.g. 2 remaining bits read as a 5-bit field give 0b11, not 0b11000).
+  inline uint32_t get_truncated(int64_t p, int n) const {
+    int64_t end = p + n;
+    if (end > nbits) end = nbits;
+    uint32_t v = 0;
+    for (int64_t b = p; b < end; ++b)
+      v = (v << 1) | ((data[b >> 3] >> (7 - (b & 7))) & 1u);
+    return v;
+  }
   inline uint32_t read(int n) {
-    uint32_t v = get(pos, n);
+    uint32_t v = get_truncated(pos, n);
     pos += n;
     return v;
   }
@@ -107,14 +118,17 @@ bool parse_header(const uint8_t* b, Header* h) {
   h->mode_ext0 = (h->layer == 3) ? (b[3] & 0x20) : 0;
   h->padding = (b[2] & 0x02) ? 1 : 0;
   int idx = ((b[2] >> 4) & 0x0F) - 1;
+  if (idx < 0) idx = 13;   // python's rates[-1] wraps to the last entry
+  if (idx > 13) idx = 13;  // nibble 0xF -> idx 14: out of the 14-entry table;
+                           // the reference would crash, we clamp
   h->bit_rate = 0;
   if (h->mpeg_version == 1.0) {
     if (h->layer == 1) h->bit_rate = int64_t(b[2]) * 32;
-    else if (h->layer == 2 && idx >= 0 && idx < 14) h->bit_rate = int64_t(kL2Rates[idx]) * 1000;
-    else if (h->layer == 3 && idx >= 0 && idx < 14) h->bit_rate = int64_t(kL3Rates[idx]) * 1000;
+    else if (h->layer == 2) h->bit_rate = int64_t(kL2Rates[idx]) * 1000;
+    else if (h->layer == 3) h->bit_rate = int64_t(kL3Rates[idx]) * 1000;
   } else {
-    if (h->layer == 1 && idx >= 0 && idx < 14) h->bit_rate = int64_t(kL3Rates[idx]) * 1000;
-    else if (h->layer < 4 && idx >= 0 && idx < 14) h->bit_rate = int64_t(kL2LoRates[idx]) * 1000;
+    if (h->layer == 1) h->bit_rate = int64_t(kL3Rates[idx]) * 1000;
+    else if (h->layer < 4) h->bit_rate = int64_t(kL2LoRates[idx]) * 1000;
   }
   if (h->sampling_rate == 44100) h->sr_idx = 0;
   else if (h->sampling_rate == 48000) h->sr_idx = 1;
@@ -274,19 +288,25 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
   if (si->window_switching[gr][ch] && si->block_type[gr][ch] == 2) {
     region0 = 36; region1 = 576;
   } else {
+    // clamp: corrupt side info can push r0c+r1c+2 past the 23-entry band
+    // table (the reference crashes here; we stop cleanly)
     int r0c = si->region0_count[gr][ch];
     int r1c = si->region1_count[gr][ch];
-    region0 = long_win[r0c + 1];
-    region1 = long_win[r0c + 1 + r1c + 1];
+    int i0 = r0c + 1; if (i0 > 22) i0 = 22;
+    int i1 = r0c + 1 + r1c + 1; if (i1 > 22) i1 = 22;
+    region0 = long_win[i0];
+    region1 = long_win[i1];
   }
 
   const int* ts = si->table_select[gr][ch];
   int big = si->big_value[gr][ch] * 2;
+  if (big > 576) big = 576;  // corrupt big_value: reference overruns, we stop
   int sample = 0;
   while (sample < big) {
     int table_num = sample < region0 ? ts[0] : (sample < region1 ? ts[1] : ts[2]);
     if (table_num == 0) { sample += 2; continue; }
     int book = L.book_of[table_num];
+    if (book < 0) { sample += 2; continue; }  // unused codebook (ids 4/14)
     int linbits = L.linbits[table_num];
     int maxv = L.maxval[table_num];
     uint32_t idx = peek_fast(md, md_len, bit, kLutBits);
@@ -346,15 +366,23 @@ int64_t assemble_main_data(const uint8_t* file, int64_t n, int64_t curr_offset,
                            int64_t out_cap) {
   int constant = (h.channels == 1) ? 21 : 36;
   if (h.crc == 0) constant += 2;
+  // mirrors python slice semantics file[loc:loc+len] exactly, including the
+  // negative-index wrap a corrupt main_data_begin triggers (the reference
+  // reads from the file TAIL in that case — bug-compatible)
+  auto norm = [&](int64_t idx) -> int64_t {
+    if (idx < 0) idx += n;
+    if (idx < 0) idx = 0;
+    if (idx > n) idx = n;
+    return idx;
+  };
   auto copy_range = [&](int64_t from, int64_t len, int64_t at) -> int64_t {
     if (len <= 0) return 0;
-    if (from < 0) from = 0;
-    int64_t end = from + len;
-    if (end > n) end = n;
-    int64_t m = end - from;
+    int64_t s0 = norm(from);
+    int64_t e0 = norm(from + len);
+    int64_t m = e0 - s0;
     if (m < 0) m = 0;
     if (at + m > out_cap) m = out_cap - at;
-    std::memcpy(out + at, file + from, size_t(m));
+    std::memcpy(out + at, file + s0, size_t(m));
     return m;
   };
   if (si.main_data_begin == 0) {

@@ -160,3 +160,42 @@ def test_huffman_tables_decode_encode_duals():
                 assert packed & 31 == ln
                 assert packed >> 9 == x
                 assert (packed >> 5) & 15 == y
+
+
+# ------------------------------------------------------------------ fuzz parity
+
+def test_fuzz_native_matches_python_on_corrupt_streams():
+    """The C++ parser and the python oracle must agree (and stay memory-safe)
+    on corrupted/truncated streams: bit flips, truncations, junk blocks."""
+    from mp3stego_tpu import native
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with open("/root/reference/tests/test.mp3", "rb") as f:
+        data = bytearray(f.read())
+    rng = np.random.default_rng(20260816)
+    for trial in range(120):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(rng.integers(1, 30)):
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 1:
+            buf = buf[:int(rng.integers(4, len(buf)))]
+        else:
+            i = int(rng.integers(0, len(buf) - 64))
+            buf[i:i + 64] = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        b = bytes(buf)
+        p_py = dh.parse_mp3(b, 0, backend="python")
+        p_nat = dh.parse_mp3(b, 0, backend="native")
+        if p_nat is None:
+            continue
+        assert p_py.num_frames == p_nat.num_frames, f"trial {trial}"
+        if p_py.num_frames:
+            for f_ in ("raw_samples", "table_select", "scale_fac_l",
+                       "global_gain", "frame_sizes"):
+                np.testing.assert_array_equal(
+                    getattr(p_py, f_), getattr(p_nat, f_),
+                    err_msg=f"trial {trial} field {f_}")
+            assert p_py.duplicate_last_pcm == p_nat.duplicate_last_pcm
