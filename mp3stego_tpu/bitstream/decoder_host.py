@@ -7,6 +7,11 @@ Behavioural reference (bit-for-bit): /root/reference/mp3stego/decoder/
   Frame.py:288-363 (frame size + reservoir assembly, incl. the doubled first-frame
   entry in the previous-size history), Frame.py:365-559 (scalefactor + sample unpack).
 
+Deliberate deviations from reference crashes on malformed input (both this
+oracle and the C++ twin stop cleanly instead; differential-fuzzed to agree):
+reserved samplerate/bitrate header values, big_value > 288 pairs, and
+region counts past the band table.
+
 Everything here is sequential/irregular and stays on host; the output is a
 ``ParsedMP3`` whose arrays are ready for the batched TPU numeric plane.
 """

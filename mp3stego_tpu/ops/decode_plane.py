@@ -5,9 +5,11 @@ The reference decodes granule-by-granule with carried state
 Here the whole file is one dense batch:
 
 * requantize     — LUT gathers: sign * pow43[|ix|] * 2^(exp1/4) * 2^(-exp2);
-                   exponent index maps are precomputed on host (static per
-                   samplerate + block-shape walk, including the reference's
-                   stuck-counter quirks for mixed blocks).
+                   the per-sample exponent index maps are reconstructed ON
+                   DEVICE from per-granule side-info fields + static walk
+                   tables (including the reference's stuck-counter quirks for
+                   mixed blocks), so only compact int8/int16 fields cross the
+                   host->HBM link.
 * MS stereo      — masked vector op.
 * reorder        — static permutation (with the reference's zero-filled tail for
                    short blocks, Frame.py:574-602).
@@ -21,8 +23,9 @@ Here the whole file is one dense batch:
                    V_{t-j}[(j%2)*32+n]: a 16-tap FIR over the V history,
                    accumulated in the reference's j-order for bit-exactness.
 
-All ops preserve the reference's floating-point evaluation order so the float64
-path is bit-identical; the float32 path is the TPU throughput mode.
+The jitted plane is the float32 TPU throughput mode; the float64 parity twin
+(``decode_granules_np``) reproduces the reference float-for-float on host
+(XLA's FMA contraction perturbs the last ulp, see its docstring).
 """
 
 import functools
