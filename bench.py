@@ -92,4 +92,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled chip occasionally throws transient internal errors; the
+    # driver runs this once, so retry rather than record a crash
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# attempt {attempt + 1} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(5)
