@@ -1,0 +1,239 @@
+"""On-device Huffman sample decode: the variable-length bit-scan as a batched
+jitted program (SURVEY.md §7.3 "plan B").
+
+The reference's hottest loop (decoder/Frame.py:443-559) walks each granule's
+main-data bits sequentially. The symbol stream is irregular, but the scan
+carries only (bit cursor, sample cursor) and every granule is independent — so
+the whole file decodes as ONE `lax.fori_loop` over symbol slots, vmapped
+implicitly across granules: step k decodes the k-th big-values pair (or later
+the k-th count1 quad) of EVERY granule at once, with lanes masked off as their
+granule finishes. Work per lane is a handful of LUT gathers; the loop length
+is the static worst case (288 pairs + 144 quads).
+
+The host still assembles the bit-reservoir main_data windows (byte juggling,
+decoder_host.assemble_main_data) and unpacks scalefactors (tiny); this kernel
+replaces the per-sample symbol scan, so the device input is the packed
+main_data itself (~audio bitrate) instead of the unpacked sample plane.
+
+Used when MP3STEGO_TPU_DEVICE_HUFFMAN=1 (decode_pcm float32 path); the C++
+host parser remains the default and the parity oracle. Outputs are identical
+(tests/test_huffman_device.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp3stego_tpu import tables as T
+
+_LUT_BITS = T.LUT_BITS  # 19
+
+
+@functools.lru_cache(maxsize=1)
+def _device_tables():
+    books = sorted({int(b) for b in T.DEC_CODEBOOK_OF if b != 0})
+    row_of = {b: i for i, b in enumerate(books)}
+    luts = np.zeros((len(books), 1 << _LUT_BITS), dtype=np.int32)
+    for b in books:
+        luts[row_of[b]] = T.dec_lut(b)
+    # -1 sentinel: unused codebooks (table ids 0/4/14) decode as skip
+    book_row = np.array([row_of.get(int(b), -1) if i not in (0, 4, 14) else -1
+                         for i, b in enumerate(T.DEC_CODEBOOK_OF)],
+                        dtype=np.int32)
+    return (luts, book_row, T.DEC_LINBITS.astype(np.int32),
+            T.DEC_MAXVAL.astype(np.int32), T.QUAD_LUT.astype(np.int32))
+
+
+def _peek2(words, bit, n):
+    """MSB-first n-bit (n <= 25) read at per-lane ``bit`` offsets from
+    (G, W) big-endian-packed uint32 buffers, zero-extended past the end
+    (matches the reference's _MainDataBits semantics)."""
+    wmax = words.shape[-1] - 1
+    w = jnp.clip(bit >> 5, 0, wmax).astype(jnp.int32)
+    off = (bit & 31).astype(jnp.uint32)
+    hi = jnp.take_along_axis(words, w[..., None], axis=-1)[..., 0]
+    lo = jnp.take_along_axis(words, jnp.minimum(w + 1, wmax)[..., None],
+                             axis=-1)[..., 0]
+    wide = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    out = (wide << off.astype(jnp.uint64)) >> jnp.uint64(64 - n)
+    return out.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
+                          ts, c1sel):
+    """Batched Huffman sample decode.
+
+    words   (G, W) uint32  — big-endian packed main_data bits per granule,
+                             zero-padded (>= 2 pad words)
+    start_bit (G,) int32   — first sample bit (after scalefactors)
+    max_bit (G,) int32     — start + part2_3_length
+    region0/region1 (G,)   — region boundaries in samples
+    big2    (G,) int32     — big_values * 2 (clamped to 576)
+    ts      (G, 3) int32   — table_select per region
+    c1sel   (G,) int32     — count1 table select
+    -> (G, 576) int32 sample values
+    """
+    luts_np, book_row_np, linbits_np, maxval_np, quad_np = _device_tables()
+    luts_flat = jnp.asarray(luts_np.reshape(-1))
+    book_row = jnp.asarray(book_row_np)
+    linbits_t = jnp.asarray(linbits_np)
+    maxval_t = jnp.asarray(maxval_np)
+    quad_lut = jnp.asarray(quad_np)
+
+    g = words.shape[0]
+    out0 = jnp.zeros((g, 576), jnp.int32)
+
+    # ---------------- phase 1: big-values pairs (288 slots max)
+    def pair_step(k, state):
+        bit, out = state
+        sample = jnp.int32(2 * k)
+        active = sample < big2
+        table = jnp.where(sample < region0, ts[:, 0],
+                          jnp.where(sample < region1, ts[:, 1], ts[:, 2]))
+        book = book_row[jnp.clip(table, 0, 31)]
+        decodable = active & (table != 0) & (book >= 0)
+
+        idx = _peek2(words, bit, _LUT_BITS)
+        # flat single-element gather (2D fancy indexing would materialize a
+        # (G, 2^19) row gather and OOM at scale)
+        packed = luts_flat[jnp.maximum(book, 0) * (1 << _LUT_BITS) + idx]
+        size = packed & 31
+        hit = decodable & (size > 0)   # size==0: corrupt stream, skip pair
+        bit = jnp.where(hit, bit + size, bit)
+
+        vx = packed >> 9
+        vy = (packed >> 5) & 15
+        lb = linbits_t[jnp.clip(table, 0, 31)]
+        mv = maxval_t[jnp.clip(table, 0, 31)]
+
+        def read_value(v, bit):
+            esc = hit & (lb != 0) & (v == mv - 1)
+            linbit = jnp.where(esc, _peek2(words, bit, 16) >> (16 - lb), 0)
+            # variable-width read: take lb bits (lb in 1..13); emulate via
+            # 16-bit peek shifted down — exact since lb <= 13 when esc
+            bit = jnp.where(esc, bit + lb, bit)
+            signed = hit & (v > 0)
+            neg = jnp.where(signed, _peek2(words, bit, 1), 0)
+            bit = jnp.where(signed, bit + 1, bit)
+            val = jnp.where(neg > 0, -(v + linbit), v + linbit)
+            return jnp.where(hit, val, 0), bit
+
+        v0, bit = read_value(vx, bit)
+        v1, bit = read_value(vy, bit)
+        write = hit
+        out = out.at[jnp.arange(g), jnp.minimum(sample, 574)].set(
+            jnp.where(write, v0, out[jnp.arange(g), jnp.minimum(sample, 574)]))
+        out = out.at[jnp.arange(g), jnp.minimum(sample + 1, 575)].set(
+            jnp.where(write, v1,
+                      out[jnp.arange(g), jnp.minimum(sample + 1, 575)]))
+        return bit, out
+
+    bit, out = jax.lax.fori_loop(0, 288, pair_step, (start_bit, out0))
+
+    # ---------------- phase 2: count1 quads; each lane has its own sample
+    # cursor (= big2 + 4*q) and stops at max_bit or sample+4 >= 576
+    def quad_step(q, state):
+        bit, out = state
+        sample = big2 + 4 * q
+        active = (bit < max_bit) & (sample + 4 < 576)
+
+        use_b = c1sel == 1
+        bsv = _peek2(words, bit, 4)
+        vals_b = jnp.stack([1 - ((bsv >> 3) & 1), 1 - ((bsv >> 2) & 1),
+                            1 - ((bsv >> 1) & 1), 1 - (bsv & 1)], axis=-1)
+        qidx = _peek2(words, bit, 6)
+        qpacked = quad_lut[qidx]
+        qsize = qpacked & 31
+        p = qpacked >> 5
+        vals_a = jnp.stack([(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1],
+                           axis=-1)
+        vals = jnp.where(use_b[..., None], vals_b, vals_a)
+        bit = jnp.where(active, bit + jnp.where(use_b, 4, qsize), bit)
+
+        def sign_one(i, st):
+            bit, vals = st
+            v = vals[:, i]
+            signed = active & (v > 0)
+            neg = jnp.where(signed, _peek2(words, bit, 1), 0)
+            bit = jnp.where(signed, bit + 1, bit)
+            vals = vals.at[:, i].set(jnp.where(neg > 0, -v, v))
+            return bit, vals
+
+        bit, vals = jax.lax.fori_loop(0, 4, sign_one, (bit, vals))
+        rows = jnp.arange(g)
+        for i in range(4):
+            pos = jnp.minimum(sample + i, 575)
+            out = out.at[rows, pos].set(
+                jnp.where(active, vals[:, i], out[rows, pos]))
+        return bit, out
+
+    bit, out = jax.lax.fori_loop(0, 144, quad_step, (bit, out))
+    return out
+
+
+# ----------------------------------------------------------------- host glue
+
+
+def pack_descriptors(descriptors: list) -> dict:
+    """Pack parse_mp3_light descriptors into device arrays. main_data bytes
+    become big-endian uint32 words with >= 4 zero pad words (bit reads can
+    overshoot max_bit by a codeword + linbits + signs)."""
+    g = len(descriptors)
+    wmax = max(1, max((len(d["md"]) + 3) // 4 for d in descriptors)) + 4
+    words = np.zeros((g, wmax), dtype=np.uint32)
+    for i, d in enumerate(descriptors):
+        md = d["md"]
+        pad = (-len(md)) % 4
+        arr = np.frombuffer(md + b"\x00" * pad, dtype=">u4")
+        words[i, :len(arr)] = arr
+    return dict(
+        words=words,
+        start_bit=np.array([d["start_bit"] for d in descriptors], np.int32),
+        max_bit=np.array([d["max_bit"] for d in descriptors], np.int32),
+        region0=np.array([d["region0"] for d in descriptors], np.int32),
+        region1=np.array([d["region1"] for d in descriptors], np.int32),
+        big2=np.array([d["big2"] for d in descriptors], np.int32),
+        ts=np.stack([d["ts"] for d in descriptors]).astype(np.int32),
+        c1sel=np.array([d["c1sel"] for d in descriptors], np.int32),
+    )
+
+
+def decode_raw_device(descriptors: list):
+    """parse_mp3_light descriptors -> device-resident (2ch, T, 576) int32 raw
+    sample plane (the drop-in for prep['raw_dense'])."""
+    pk = pack_descriptors(descriptors)
+    raw = decode_samples_device(
+        jnp.asarray(pk["words"]), jnp.asarray(pk["start_bit"]),
+        jnp.asarray(pk["max_bit"]), jnp.asarray(pk["region0"]),
+        jnp.asarray(pk["region1"]), jnp.asarray(pk["big2"]),
+        jnp.asarray(pk["ts"]), jnp.asarray(pk["c1sel"]))
+    t = raw.shape[0] // 2
+    return raw.reshape(t, 2, 576).transpose(1, 0, 2)
+
+
+def decode_pcm_device(file_data: bytes, offset: int = 0):
+    """Full decode with the Huffman bit-scan ON DEVICE: host does only the
+    sync walk, side info, reservoir splice and scalefactors. Returns
+    (interleaved PCM float32 ndarray, ParsedMP3)."""
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+
+    parsed, descriptors = dh.parse_mp3_light(file_data, offset)
+    if parsed.num_frames == 0:
+        return np.zeros((0, 2), np.float32), parsed
+    raw_dev = decode_raw_device(descriptors)       # stays on device
+
+    prep = dp.host_prepare(parsed)                 # raw fields unused
+    args = {k: jnp.asarray(prep[k]) for k in dp.ALL_KEYS
+            if k not in ("raw_i8",) + dp.EXC_KEYS}
+    args["raw_dense"] = raw_dev
+    pcm = np.asarray(dp.decode_granules(args, dtype_name="float32"))
+    ch = parsed.header.channels
+    t = pcm.shape[1]
+    inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+    if parsed.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    return inter, parsed
