@@ -108,6 +108,7 @@ class MP3Encoder:
         self._tg = 0
         self._frame_idx = 0
         self._nat_ser = None
+        self._last_exact_step = None
 
         self.mode = w.mpeg_mode
         self.bitrate = w.bitrate
@@ -404,12 +405,18 @@ class MP3Encoder:
         C = self._cost
         s = step + 127
         if not (0 <= s < C["bail"].shape[1]):
-            return self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+            bits = self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+            self._last_exact_step = step if bits != 100000 else None
+            return bits
         if C["bail"][g, s]:
+            self._last_exact_step = None
             return 100000
         if C["approx"][g, s] or C["bv"][g, s] == 0 \
                 or C["ixmax"][g, s] > Q.MAX_QUANTIZE_STEP:
-            return self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+            bits = self._exact_eval(step, xr, xrabs, xrmax, gr, ch, cod_info)
+            self._last_exact_step = step if bits != 100000 else None
+            return bits
+        self._last_exact_step = None
 
         if self.hide_str != "":
             from mp3stego_tpu.ops import quant_batch as QB
@@ -491,9 +498,13 @@ class MP3Encoder:
                 break
 
         # materialize the final state exactly (ix tensor + all side-info
-        # fields + stego table selection) with one host evaluation
-        final_bits = self._exact_eval(cod_info.quantizerStepSize, xr, xrabs,
-                                      xrmax, gr, ch, cod_info)
+        # fields + stego table selection) with one host evaluation — unless
+        # the last search evaluation already ran the exact path at this step
+        if self._last_exact_step == cod_info.quantizerStepSize:
+            final_bits = bits
+        else:
+            final_bits = self._exact_eval(cod_info.quantizerStepSize, xr,
+                                          xrabs, xrmax, gr, ch, cod_info)
         cod_info.part2_3_length = cod_info.part2_length + final_bits
         return cod_info.part2_3_length
 
