@@ -58,6 +58,8 @@ def _slen2_i32():
 def _band_row_i32(sr_idx):
     return np.ascontiguousarray(
         T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32))
+
+
 _EN_TOT_KRIT = 10
 _EN_DIF_KRIT = 100
 _EN_SCFSI_BAND_KRIT = 10
