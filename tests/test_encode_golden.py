@@ -122,3 +122,40 @@ def test_hide_bytes(golden_wav, stego_golden):
     enc.encode()
     assert bytes(enc.out_buffer) == stego_golden["hidden_short"].tobytes()
     assert enc.hide_str_offset >= len(bits) - 1
+
+
+def _synth_wav(tmp_path, sig, rate):
+    import struct
+    pcm = np.clip(np.stack([sig, sig[::-1]], axis=1), -32768,
+                  32767).astype(np.int16)
+    payload = pcm.tobytes()
+    h = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    h += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, rate, rate * 4, 4, 16)
+    h += b"data" + struct.pack("<I", len(payload)) + payload
+    p = tmp_path / "synth.wav"
+    p.write_bytes(h)
+    return str(p)
+
+
+@pytest.mark.parametrize("kind", ["noise", "silence", "square", "impulses"])
+def test_device_search_matches_host_oracle(kind, tmp_path):
+    """Differential fuzz: the device cost-grid replay must be byte-identical
+    to the pure host search on adversarial signals (full-scale noise hits the
+    float-path fallback; silence hits the big_values==0 stale-address path),
+    in both clear and hide modes."""
+    rng = np.random.default_rng(11)
+    n = 4 * 1152
+    t = np.arange(n) / 44100.0
+    sig = {
+        "noise": rng.integers(-32768, 32767, n).astype(float),
+        "silence": np.zeros(n),
+        "square": 32767 * np.sign(np.sin(2 * np.pi * 100 * t)),
+        "impulses": np.where(rng.random(n) < 0.01, 32767.0, 0.0),
+    }[kind]
+    wav = _synth_wav(tmp_path, sig, 44100)
+    for hide in ("", "10" * 40):
+        e1 = MP3Encoder(read_wav(wav, 128), hide_str=hide)
+        e1.encode()
+        e2 = MP3Encoder(read_wav(wav, 128), hide_str=hide, device_search=False)
+        e2.encode()
+        assert bytes(e1.out_buffer) == bytes(e2.out_buffer), (kind, bool(hide))
