@@ -15,6 +15,11 @@ def main(argv=None):
         description="TPU-native MP3 codec + steganography")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print process information")
+    p.add_argument("--precision", choices=("float64", "float32"),
+                   default="float64",
+                   help="decode numeric plane: float64 = bit-exact parity "
+                        "(host), float32 = TPU (<=1 LSB int16 deviation at "
+                        "~1e-4 rate)")
     sub = p.add_subparsers(dest="op", required=True)
 
     d = sub.add_parser("decode", help="MP3 -> WAV")
@@ -50,7 +55,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     from mp3stego_tpu import Steganography
 
-    s = Steganography(quiet=not args.verbose)
+    s = Steganography(quiet=not args.verbose, precision=args.precision)
     if args.op == "decode":
         bitrate = s.decode_mp3_to_wav(args.input, args.output)
         print(f"decoded at {bitrate} kbps -> {args.output}")

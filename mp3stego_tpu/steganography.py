@@ -4,10 +4,17 @@ API-compatible with the reference mp3stego.steganography (steganography.py:10-18
 including the ``reveal_massage`` spelling, the ``len#message`` framing, sys.exit
 path validation, and the always-delete temporary-WAV behaviour of
 hide/reveal/clear. Built on the TPU-native Decoder/Encoder stacks.
+
+Beyond the reference surface, the constructor takes ``precision``:
+``"float64"`` (default) is the bit-exact parity mode (host NumPy numeric
+plane, byte-identical WAVs), ``"float32"`` runs the decode numeric plane on
+the TPU — on the golden corpus the int16 output differs from the parity mode
+on ~1e-4 of samples by at most 1 LSB (see tests/test_precision.py).
 """
 
 import os
 import sys
+from contextlib import contextmanager
 
 from mp3stego_tpu.models.decoder import Decoder
 from mp3stego_tpu.models.encoder import Encoder
@@ -19,58 +26,76 @@ def str_to_binary_str(string: str) -> str:
     return "".join(format(b, "08b") for b in data)
 
 
+def _frame_message(message: str) -> str:
+    """Length-prefix framing used by hide: ``"{len}#{msg}"`` -> bit string."""
+    return str_to_binary_str(f"{len(message)}#{message}")
+
+
+def _exists_or_exit(path: str):
+    if not os.path.exists(path):
+        sys.exit(f'File {path} not found.')
+
+
+def _mp3_to_wav_paths(input_file_path: str, wav_file_path: str = "") -> str:
+    """Validate an (mp3 in, wav out) pair; derive the default wav path.
+
+    Same checks, messages and default (``input[:-4] + ".wav"``) as the
+    reference (steganography.py:65-73).
+    """
+    _exists_or_exit(input_file_path)
+    if wav_file_path == '':
+        wav_file_path = input_file_path[:-4] + ".wav"
+    if input_file_path[-4:] != '.mp3' or wav_file_path[-4:] != '.wav':
+        sys.exit("input_file_path must be mp3 file, wav_file_path must be wav file.")
+    return wav_file_path
+
+
+def _wav_to_mp3_paths(wav_file_path: str, output_file_path: str):
+    """Validate a (wav in, mp3 out) pair (reference steganography.py:75-78)."""
+    _exists_or_exit(wav_file_path)
+    if output_file_path[-4:] != '.mp3' or wav_file_path[-4:] != '.wav':
+        sys.exit("wav_file_path must be wav file, output_file_path must be mp3 file.")
+
+
 class Steganography:
     """Façade for encode/decode/hide/reveal/clear over MP3 files.
 
     :param quiet: if False, prints information about the processes and the files.
+    :param precision: decode numeric plane mode — "float64" (bit-exact parity,
+        host) or "float32" (TPU; ≤1 LSB int16 deviation at ~1e-4 rate).
     """
 
-    def __init__(self, quiet: bool = True):
+    def __init__(self, quiet: bool = True, precision: str = "float64"):
         self.quiet = quiet
-        self.__encoder = None
-        self.__decoder = None
-        self.__bitrate = 0
+        self.precision = precision
+        self._last_bitrate = 0
+        self._last_decoder = None
 
-    # ------------------------------------------------------------------ private
+    @contextmanager
+    def _banner(self, start: str, finish: str):
+        """The reference's Start/Finished framing prints, quiet-gated."""
+        if not self.quiet:
+            print(f"\n##################\n{start}")
+        yield
+        if not self.quiet:
+            print(f"\nFinished {finish}.\n##################")
 
-    def __encode(self, wav_file_path, output_file_path, bitrate=320, quiet=True,
-                 hide=False, massage=""):
-        binary_str = ""
-        if hide:
-            massage = str(len(massage)) + "#" + massage
-            binary_str = str_to_binary_str(massage)
-        self.__encoder = Encoder(wav_file_path, output_file_path, bitrate=bitrate,
-                                 hide_str=binary_str)
-        return self.__encoder.encode(quiet=quiet)
+    def _decode(self, input_file_path, wav_file_path, reveal=False,
+                txt_file_path=""):
+        self._last_decoder = Decoder(input_file_path, wav_file_path,
+                                     precision=self.precision)
+        self._last_bitrate = self._last_decoder.decode(
+            self.quiet, reveal=reveal, txt_file_path=txt_file_path)
 
-    def __decode(self, input_file_path, wav_file_path, quiet=True, reveal=False,
-                 txt_file_path=""):
-        self.__decoder = Decoder(input_file_path, wav_file_path)
-        self.__bitrate = self.__decoder.decode(quiet, reveal=reveal,
-                                               txt_file_path=txt_file_path)
+    def _encode(self, wav_file_path, output_file_path, bitrate, hide_bits=""):
+        encoder = Encoder(wav_file_path, output_file_path, bitrate=bitrate,
+                          hide_str=hide_bits)
+        return encoder.encode(quiet=self.quiet)
 
-    def __delete_wav_file(self, quiet=True):
-        self.__decoder.delete_wav_file()
-        if not quiet:
+    def _drop_temp_wav(self):
+        self._last_decoder.delete_wav_file()
+        if not self.quiet:
             print("Wav file has been deleted.")
-
-    @staticmethod
-    def __file_existence(file: str):
-        if not os.path.exists(file):
-            sys.exit(f'File {file} not found.')
-
-    def __check_for_decoder(self, input_file_path: str, wav_file_path: str = ""):
-        self.__file_existence(input_file_path)
-        if wav_file_path == '':
-            wav_file_path = input_file_path[:-4] + ".wav"
-        if input_file_path[-4:] != '.mp3' or wav_file_path[-4:] != '.wav':
-            sys.exit("input_file_path must be mp3 file, wav_file_path must be wav file.")
-        return wav_file_path
-
-    def __check_for_encoder(self, wav_file_path: str, output_file_path: str):
-        self.__file_existence(wav_file_path)
-        if output_file_path[-4:] != '.mp3' or wav_file_path[-4:] != '.wav':
-            sys.exit("wav_file_path must be wav file, output_file_path must be mp3 file.")
 
     # ------------------------------------------------------------------- public
 
@@ -82,14 +107,10 @@ class Steganography:
         :param output_file_path: the output mp3 file desired path.
         :param bitrate: the bitrate of the wav file.
         """
-        if not self.quiet:
-            print(f"\n##################\nStart Encoding {wav_file_path} to  "
-                  f"{output_file_path}.")
-        self.__check_for_encoder(wav_file_path, output_file_path)
-        self.__encode(wav_file_path, output_file_path, hide=False, bitrate=bitrate,
-                      quiet=self.quiet)
-        if not self.quiet:
-            print("\nFinished Encoding.\n##################")
+        with self._banner(f"Start Encoding {wav_file_path} to  "
+                          f"{output_file_path}.", "Encoding"):
+            _wav_to_mp3_paths(wav_file_path, output_file_path)
+            self._encode(wav_file_path, output_file_path, bitrate)
 
     def decode_mp3_to_wav(self, input_file_path: str, wav_file_path: str = "") -> int:
         """Decode an mp3 file into a wav file; returns the bitrate in kbps.
@@ -97,14 +118,11 @@ class Steganography:
         :param input_file_path: the input mp3 file path.
         :param wav_file_path: the output wav file desired path.
         """
-        if not self.quiet:
-            print(f"\n##################\nStart Decoding {input_file_path} to  "
-                  f"{wav_file_path}.")
-        wav_file_path = self.__check_for_decoder(input_file_path, wav_file_path)
-        self.__decode(input_file_path, wav_file_path, reveal=False, quiet=self.quiet)
-        if not self.quiet:
-            print("\nFinished Decoding.\n##################")
-        return self.__bitrate
+        with self._banner(f"Start Decoding {input_file_path} to  "
+                          f"{wav_file_path}.", "Decoding"):
+            wav_file_path = _mp3_to_wav_paths(input_file_path, wav_file_path)
+            self._decode(input_file_path, wav_file_path)
+        return self._last_bitrate
 
     def reveal_massage(self, input_file_path: str, txt_file_path: str):
         """Reveal a hidden string from an mp3 file into a txt file.
@@ -112,17 +130,14 @@ class Steganography:
         :param input_file_path: the input mp3 file path.
         :param txt_file_path: the output txt file desired path.
         """
-        if not self.quiet:
-            print(f"\n##################\nStart Revealing hidden message in "
-                  f"{input_file_path} to  {txt_file_path}.")
-        wav_file_path = self.__check_for_decoder(input_file_path, "")
-        if txt_file_path[-4:] != '.txt':
-            sys.exit("txt_file_path must be txt file.")
-        self.__decode(input_file_path, wav_file_path, reveal=True, quiet=self.quiet,
-                      txt_file_path=txt_file_path)
-        self.__delete_wav_file(quiet=self.quiet)
-        if not self.quiet:
-            print("\nFinished Revealing.\n##################")
+        with self._banner(f"Start Revealing hidden message in "
+                          f"{input_file_path} to  {txt_file_path}.", "Revealing"):
+            wav_file_path = _mp3_to_wav_paths(input_file_path)
+            if txt_file_path[-4:] != '.txt':
+                sys.exit("txt_file_path must be txt file.")
+            self._decode(input_file_path, wav_file_path, reveal=True,
+                         txt_file_path=txt_file_path)
+            self._drop_temp_wav()
 
     def hide_message(self, input_file_path: str, output_file_path: str,
                      message: str) -> bool:
@@ -132,19 +147,15 @@ class Steganography:
         :param output_file_path: the output mp3 desired path.
         :param message: the message to hide in the mp3 file.
         """
-        if not self.quiet:
-            print(f"\n##################\nStart Hiding {message} in "
-                  f"{output_file_path}.")
-        wav_file_path = self.__check_for_decoder(input_file_path, "")
-        self.__decode(input_file_path, wav_file_path, reveal=False, quiet=self.quiet)
-
-        self.__check_for_encoder(wav_file_path, output_file_path)
-        too_long = self.__encode(wav_file_path, output_file_path, hide=True,
-                                 bitrate=self.__bitrate, quiet=self.quiet,
-                                 massage=message)
-        self.__delete_wav_file(quiet=self.quiet)
-        if not self.quiet:
-            print("\nFinished Hiding.\n##################")
+        with self._banner(f"Start Hiding {message} in {output_file_path}.",
+                          "Hiding"):
+            wav_file_path = _mp3_to_wav_paths(input_file_path)
+            self._decode(input_file_path, wav_file_path)
+            _wav_to_mp3_paths(wav_file_path, output_file_path)
+            too_long = self._encode(wav_file_path, output_file_path,
+                                    bitrate=self._last_bitrate,
+                                    hide_bits=_frame_message(message))
+            self._drop_temp_wav()
         return too_long
 
     def clear_file(self, input_file_path: str, output_file_path: str):
@@ -153,15 +164,11 @@ class Steganography:
         :param input_file_path: the input mp3 file path.
         :param output_file_path: the output mp3 desired path.
         """
-        if not self.quiet:
-            print(f"\n##################\nStart Cleaning {input_file_path} into "
-                  f"{output_file_path}.")
-        wav_file_path = self.__check_for_decoder(input_file_path, "")
-        self.__decode(input_file_path, wav_file_path, reveal=False, quiet=self.quiet)
-
-        self.__check_for_encoder(wav_file_path, output_file_path)
-        self.__encode(wav_file_path, output_file_path, hide=False,
-                      bitrate=self.__bitrate, quiet=self.quiet)
-        self.__delete_wav_file(quiet=self.quiet)
-        if not self.quiet:
-            print("\nFinished Cleaning.\n##################")
+        with self._banner(f"Start Cleaning {input_file_path} into "
+                          f"{output_file_path}.", "Cleaning"):
+            wav_file_path = _mp3_to_wav_paths(input_file_path)
+            self._decode(input_file_path, wav_file_path)
+            _wav_to_mp3_paths(wav_file_path, output_file_path)
+            self._encode(wav_file_path, output_file_path,
+                         bitrate=self._last_bitrate)
+            self._drop_temp_wav()
