@@ -193,13 +193,29 @@ class MP3Encoder:
 
     def encode(self, quiet: bool = True):
         """Encode the full file: one device pass for analysis+MDCT, then the
-        sequential host rate-control/bitstream loop (MP3_Encoder.py:596-618).
+        rate-control search and bitstream serialization (MP3_Encoder.py:596-618).
+
+        Three engines, all byte-identical:
+          * search plane (default, no hide): bisection + inner loop run ON
+            DEVICE for all granules at once (ops/search_plane);
+          * cost grid (hide mode): all-steps device costing + sequential host
+            replay (ops/quant_batch) — the stego bit cursor is sequential;
+          * host oracle (``device_search=False``): pure NumPy reference twin.
         ``quiet=False`` shows frame progress and a per-stage timing report."""
+        import os as _os
+
         from mp3stego_tpu.ops import encode_plane  # deferred jax import
         from mp3stego_tpu.utils.profiling import StageTimer, progress, trace
         timer = StageTimer(enabled=not quiet)
         num_frames = self._num_frames()
         if num_frames == 0:
+            return
+        if (self.device_search and not self.hide_str
+                and _os.environ.get("MP3STEGO_TPU_SEARCH_PLANE", "1") != "0"):
+            with trace():
+                self._encode_plane(num_frames, timer)
+            if not quiet:
+                timer.print_report()
             return
         with trace():
             with timer.stage("analysis+mdct (device)"):
@@ -228,6 +244,236 @@ class MP3Encoder:
                 self.out_buffer += self.bw.take_frame()
         if not quiet:
             timer.print_report()
+
+    # ---------------------------------------------------------- search plane
+
+    def _encode_plane(self, num_frames: int, timer):
+        """Whole-file encode via the device-resident search (ops/search_plane):
+        analysis + rate-control search + final quantization never leave the
+        TPU; the host verifies float-fallback cells, redoes flagged granules
+        with the exact oracle, applies the reservoir chain and serializes.
+        Byte-identical to the sequential path (tests/test_search_plane.py)."""
+        from mp3stego_tpu.ops import encode_plane
+        from mp3stego_tpu.ops import search_plane as SP
+
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        tg = num_frames * gpf
+
+        with timer.stage("analysis+mdct (device)"):
+            streams = self._channel_streams(num_frames)
+            mdct_dev = encode_plane.run_analysis_device(streams, tg)
+            xr_dev = mdct_dev.reshape(-1, 576)   # lane g = ch*tg + f*gpf + gr
+
+        paddings, mean_bits_f = self._plane_framing(num_frames)
+        maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                            Q.MAX_BITS_ALLOWANCE)
+        max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
+
+        with timer.stage("rate search (device)"):
+            res = SP.search_all(xr_dev, max_bits_lanes, self.samplerate_index)
+        en_tot_raw = en_raw = None
+        if self.version == 3:
+            with timer.stage("scfsi sums (device)"):
+                en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
+                                                   self.samplerate_index)
+        with timer.stage("verify+redo (host)"):
+            self._plane_redo(res, xr_dev, max_bits_lanes, tg)
+        with timer.stage("assemble+serialize (host)"):
+            self._plane_finish(res, en_tot_raw, en_raw, num_frames, paddings,
+                               mean_bits_f, tg)
+
+    def _plane_framing(self, num_frames: int):
+        """Per-frame padding + mean_bits — the data-independent preamble of
+        _encode_frame (MP3_Encoder.py:630-641), run for the whole file."""
+        paddings = []
+        mean_bits_f = []
+        for _ in range(num_frames):
+            if self.frac_slots_per_frame:
+                self.padding = 1 if self.slot_lag <= (
+                    self.frac_slots_per_frame - 1.0) else 0
+                self.slot_lag += self.padding - self.frac_slots_per_frame
+            paddings.append(self.padding)
+            bits_per_frame = 8 * (self.whole_slots_per_frame + self.padding)
+            mean_bits_f.append(int((bits_per_frame - self.side_info_len)
+                                   / self.granules_per_frame))
+        return paddings, mean_bits_f
+
+    def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int) -> int:
+        """Verify float-fallback (approx) evaluations against the exact host
+        formula and redo flagged granules with the sequential oracle, carrying
+        true cross-granule address state per (gr, ch) slot."""
+        from mp3stego_tpu.ops import quant_np
+        from mp3stego_tpu.ops import search_plane as SP
+
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        redo = res["flags"] != 0
+        nlog = np.minimum(res["nlog"], SP.S_MAXLOG)
+        verify = (nlog > 0) & ~redo
+        if verify.any():
+            lanes = np.flatnonzero(verify)
+            reps = nlog[lanes]
+            cell_lane = np.repeat(lanes, reps)
+            cell_j = np.concatenate([np.arange(r) for r in reps])
+            steps = res["log_steps"][cell_lane, cell_j]
+            dbits = res["log_bits"][cell_lane, cell_j]
+            rows = SP.fetch_rows(xr_dev, lanes)
+            row_idx = np.searchsorted(lanes, cell_lane)
+            hbits, hbvs = quant_np.verify_cells(rows[row_idx], steps,
+                                                self.samplerate_index)
+            bad = (hbits != dbits) | (hbvs <= 0)
+            if bad.any():
+                redo[np.unique(cell_lane[bad])] = True
+
+        lanes = np.flatnonzero(redo)
+        if len(lanes) == 0:
+            return 0
+        rows = SP.fetch_rows(xr_dev, lanes)
+        rowmap = {int(l): rows[i] for i, l in enumerate(lanes)}
+        searched = res["xrmax0"] == 0
+        nf = tg // gpf
+        for ch in range(nch):
+            for gr in range(gpf):
+                addr = (0, 0, 0)
+                for f in range(nf):
+                    g = ch * tg + f * gpf + gr
+                    if g in rowmap:
+                        r = quant_np.oracle_search(
+                            rowmap[g], int(max_bits_lanes[g]), addr,
+                            self.samplerate_index)
+                        for k in ("step", "bits", "bv", "c1", "a1", "a2",
+                                  "a3", "r0c", "r1c", "cts"):
+                            res[k][g] = r[k]
+                        res["ch0"][g], res["ch1"][g], res["ch2"][g] = r["ch"]
+                        res["ix"][g] = r["ix"]
+                        addr = (r["a1"], r["a2"], r["a3"])
+                    elif searched[g]:
+                        addr = (int(res["a1"][g]), int(res["a2"][g]),
+                                int(res["a3"][g]))
+        return len(lanes)
+
+    def _plane_scfsi(self, tot_raw, en_raw, searched, nf: int, tg: int):
+        """Vectorized _calc_scfsi (MP3_Encoder.py:817-892) from the device's
+        int32 energy sums: the int-truncated log2 energies and the four
+        band criteria, per (frame, ch). Returns (nf, ch, 4) int32."""
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        with np.errstate(all="ignore"):
+            vals = np.log(tot_raw.astype(np.float64) * 4.768371584e-7) / _LN2
+            en_tot = np.where(tot_raw != 0, vals, 0.0).astype(np.int32)
+            vv = np.log(en_raw.astype(np.float64) * 4.768371584e-7) / _LN2
+            en = np.where(en_raw != 0, vv, 0.0).astype(np.int32)
+        et = en_tot.reshape(nch, nf, gpf)
+        eb = en.reshape(nch, nf, gpf, 21)
+        xm = searched.reshape(nch, nf, gpf)
+        cond = (2 + xm[..., 0].astype(np.int64) + xm[..., 1].astype(np.int64)
+                + (np.abs(et[..., 0].astype(np.int64) - et[..., 1])
+                   < _EN_TOT_KRIT)
+                + (np.abs(eb[..., 0, :].astype(np.int64)
+                          - eb[..., 1, :]).sum(-1) < _EN_DIF_KRIT))
+        scfsi = np.zeros((nch, nf, 4), np.int32)
+        for b in range(4):
+            s, e = _SCFSI_BAND_LONG[b], _SCFSI_BAND_LONG[b + 1]
+            d = np.abs(eb[..., 0, s:e].astype(np.int64)
+                       - eb[..., 1, s:e]).sum(-1)
+            scfsi[..., b] = d < _EN_SCFSI_BAND_KRIT
+        scfsi = np.where((cond == 6)[..., None], scfsi, 0)
+        return scfsi.transpose(1, 0, 2)
+
+    def _plane_finish(self, res: dict, en_tot_raw, en_raw, nf: int, paddings,
+                      mean_bits_f, tg: int):
+        """Reservoir chain, stuffing, scfsi, global-gain slot chain and frame
+        serialization from the plane's per-granule results."""
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        searched = res["xrmax0"] == 0
+
+        # the stego cursor advances even when not hiding (MP3_Encoder.py:808)
+        self.hide_str_offset += int(
+            (res["ch0"][searched] > 0).sum() + (res["ch1"][searched] > 0).sum()
+            + (res["ch2"][searched] > 0).sum())
+
+        scfsi_f = None
+        if self.version == 3:
+            scfsi_f = self._plane_scfsi(en_tot_raw, en_raw, searched, nf, tg)
+
+        # global_gain: quantizerStepSize persists per (gr, ch) slot across
+        # frames, so skipped (xrmax==0) granules reuse the last searched step
+        steps = res["step"].reshape(nch, nf, gpf)
+        smask = searched.reshape(nch, nf, gpf)
+        last = np.where(smask, np.arange(nf)[None, :, None], -1)
+        np.maximum.accumulate(last, axis=1, out=last)
+        carried = np.where(
+            last >= 0,
+            np.take_along_axis(steps, np.maximum(last, 0), axis=1), 0)
+        gg = carried + 210
+
+        # reservoir chain + stuffing (exact float order, MP3_Encoder.py:812,
+        # 1097-1145); stuffing mutates the serialized part2_3_length
+        p23 = res["bits"].astype(np.float64)
+        for f in range(nf):
+            mb = mean_bits_f[f]
+            self.mean_bits = mb
+            for ch in range(nch):
+                for gr in range(gpf):
+                    g = ch * tg + f * gpf + gr
+                    self.resv_size += (mb / nch) - float(res["bits"][g])
+            if nch == 2 and (mb & 1):
+                self.resv_size += 1
+            over = max(0.0, self.resv_size - self.resv_max)
+            self.resv_size -= over
+            stuffing = over
+            over = self.resv_size % 8
+            if over:
+                stuffing += over
+                self.resv_size -= over
+            if stuffing:
+                g00 = f * gpf
+                if p23[g00] + stuffing < Q.MAX_BITS_ALLOWANCE:
+                    p23[g00] += stuffing
+                else:
+                    for gr in range(gpf):
+                        for ch in range(nch):
+                            g = ch * tg + f * gpf + gr
+                            if not stuffing:
+                                break
+                            extra = Q.MAX_BITS_ALLOWANCE - p23[g]
+                            bits_this = min(extra, stuffing)
+                            p23[g] += bits_this
+                            stuffing -= bits_this
+                    self.resv_drain = stuffing  # never serialized (ref quirk)
+
+        # serialize every frame through the standard writers
+        zeros_mdct = np.zeros((nch, gpf, 576), np.int32)
+        ix_l = res["ix"].reshape(nch, nf, gpf, 576)
+        for f in range(nf):
+            self.padding = int(paddings[f])
+            if self.version == 3:
+                for ch in range(nch):
+                    self.scfsi[ch, :4] = scfsi_f[f, ch]
+            for gr in range(gpf):
+                for ch in range(nch):
+                    g = ch * tg + f * gpf + gr
+                    gi = self.gr_info[gr][ch]
+                    gi.part2_3_length = p23[g]
+                    gi.big_values = int(res["bv"][g])
+                    gi.count1 = int(res["c1"][g])
+                    gi.global_gain = int(gg[ch, f, gr])
+                    gi.scale_fac_compress = 0
+                    gi.region0_count = int(res["r0c"][g])
+                    gi.region1_count = int(res["r1c"][g])
+                    gi.preflag = 0
+                    gi.scale_fac_scale = 0
+                    gi.count1table_select = int(res["cts"][g])
+                    gi.part2_length = 0
+                    gi.table_select[0] = int(res["ch0"][g])
+                    gi.table_select[1] = int(res["ch1"][g])
+                    gi.table_select[2] = int(res["ch2"][g])
+            self.l3_enc = np.ascontiguousarray(ix_l[:, f].astype(np.int32))
+            self._format_bitstream(zeros_mdct)
+            self.out_buffer += self.bw.take_frame()
+        self.out_buffer += self.bw.take_frame()
 
     # ------------------------------------------------------------- frame logic
 

@@ -89,7 +89,12 @@ def analysis_mdct(pcm):
     return freq.reshape(ch, tg, 576)
 
 
-_CHUNK_G = 128  # granules per device dispatch (fixed shape -> one compile)
+_CHUNK_G = 128       # granules per dispatch for small files (fixed shape)
+_CHUNK_G_BIG = 1024  # for long files: fewer host<->device round trips
+
+
+def _an_chunk(num_granules: int) -> int:
+    return _CHUNK_G if num_granules <= 4 * _CHUNK_G else _CHUNK_G_BIG
 
 
 def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
@@ -109,8 +114,9 @@ def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
         pcm_ch = pcm_ch[:, :need]
     full = np.concatenate([pad_front, pcm_ch], axis=1)
 
-    if num_granules <= _CHUNK_G + 1:
-        out = analysis_mdct(_pad_to(full, _PAST + (_CHUNK_G + 1) * 576))
+    cg = _an_chunk(num_granules)
+    if num_granules <= cg + 1:
+        out = analysis_mdct(_pad_to(full, _PAST + (cg + 1) * 576))
         return np.asarray(out)[:, :num_granules]
 
     pending = []
@@ -118,14 +124,45 @@ def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
     a = 0
     while a < num_granules:
         s = max(0, a - 1)                       # 1 granule of MDCT context
-        e = min(num_granules, s + _CHUNK_G + 1)
+        e = min(num_granules, s + cg + 1)
         sl = full[:, s * 576: e * 576 + _PAST]  # front 480 = history before s
-        pending.append(analysis_mdct(_pad_to(sl, _PAST + (_CHUNK_G + 1) * 576)))
+        pending.append(analysis_mdct(_pad_to(sl, _PAST + (cg + 1) * 576)))
         bounds.append((a - s, e - s))
         a = e
     fetched = jax.device_get(pending)
     return np.concatenate(
         [r[:, lo:hi] for r, (lo, hi) in zip(fetched, bounds)], axis=1)
+
+
+def run_analysis_device(pcm_ch: np.ndarray, num_granules: int):
+    """Like :func:`run_analysis` but returns a RESIDENT (ch, Tg, 576) device
+    array — no host fetch. The search plane (ops/search_plane) consumes the
+    spectra on device, so the 4·Tg·576-byte transfer is skipped entirely."""
+    ch, n = pcm_ch.shape
+    need = num_granules * 576
+    pad_front = np.zeros((ch, _PAST), dtype=np.int32)
+    if n < need:
+        pcm_ch = np.concatenate(
+            [pcm_ch, np.zeros((ch, need - n), dtype=np.int32)], axis=1)
+    else:
+        pcm_ch = pcm_ch[:, :need]
+    full = np.concatenate([pad_front, pcm_ch], axis=1)
+
+    cg = _an_chunk(num_granules)
+    if num_granules <= cg + 1:
+        out = analysis_mdct(_pad_to(full, _PAST + (cg + 1) * 576))
+        return out[:, :num_granules]
+
+    parts = []
+    a = 0
+    while a < num_granules:
+        s = max(0, a - 1)
+        e = min(num_granules, s + cg + 1)
+        sl = full[:, s * 576: e * 576 + _PAST]
+        r = analysis_mdct(_pad_to(sl, _PAST + (cg + 1) * 576))
+        parts.append(r[:, a - s:e - s])
+        a = e
+    return jnp.concatenate(parts, axis=1)
 
 
 def _pad_to(a: np.ndarray, n: int):

@@ -1,0 +1,494 @@
+"""Device-resident rate-control search: the encoder's full bisection + inner
+loop for EVERY granule as one batched TPU program.
+
+The reference searches sequentially per granule (~8 evaluations of quantize ->
+run-length -> table-select -> bit-count each, MP3_Encoder.py:958-996,
+1064-1095). ops/quant_batch costs all 128 steps and replays on host — exact,
+but 128x the needed compute. Here the search itself runs on device: an 8-round
+bisection (``fori_loop``) followed by a masked ``while_loop`` for the inner
+loop, all granules advancing in lockstep on their own step sizes. Only ~8-12
+evaluations ever happen per granule, each a dense (lanes, 576) vector pass.
+
+Bit-exactness strategy (the reference mixes an integer LUT path with a float64
+fallback, MP3_Encoder.py:403-409, and f64 is unavailable on TPU):
+
+  * LUT region (ln < 10000): ``int2idx[ln]`` is reproduced EXACTLY without the
+    10k-entry gather — a float32 ``ln^(3/4)`` seed corrected against a packed
+    1002-entry threshold table (ix changes are monotone in ln). Verified
+    exhaustively over the full domain by tests/test_search_plane.py.
+  * float region (ln >= 10000): evaluated in float32 and LOGGED (step, bits).
+    After the batch, the host re-evaluates every logged cell with the exact
+    float64 formula (ops/quant_np) and compares the bits the trajectory
+    consumed; any mismatch sends that granule to the exact host oracle.
+  * stale-address semantics (subdivide leaves address1..3 untouched when
+    big_values == 0, MP3_Encoder.py:1010-1012): the address triple is carried
+    per lane through the search. A lane that CONSUMES its cross-granule
+    initial addresses in a bits-affecting way (big_values==0 & count1>0 while
+    still "virgin") is flagged for host redo, because the true initial value
+    chains through the previous granule of the same (gr, ch) slot.
+
+Flag bits returned per lane (``FLAG_*``): any set bit means the granule must
+be redone by the sequential host oracle (models/encoder.py); on real audio
+corpora the redo rate is well under 1%.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp3stego_tpu import tables as T
+
+S_MAXLOG = 24          # logged approx evaluations per lane
+# lanes per device dispatch; the env knob lets the CPU test mesh compile a
+# smaller while_loop program (results are chunk-size independent)
+CHUNK = int(os.environ.get("MP3STEGO_TPU_SEARCH_CHUNK", "512"))
+CHUNK_BIG = 4 * CHUNK  # for long files: fewer dispatches
+_BAIL = 165140         # 8192**(4/3): quantize's quick-reject threshold
+MAX_STEP = 8192        # MAX_QUANTIZE_STEP
+
+FLAG_ADDR = 1          # consumed virgin (cross-granule) stale addresses
+FLAG_LOGOVF = 2        # approx-eval log overflow
+FLAG_OOB = 4           # step outside the 128-entry steptab (reference IndexError)
+FLAG_ITER = 8          # inner-loop iteration cap hit
+FLAG_FINAL_APPROX = 16  # final (serialized) eval had float-path samples
+FLAG_IXBAND = 32       # approx eval with ixmax near the 8192 gate
+
+
+@functools.lru_cache(maxsize=None)
+def _sconsts():
+    steptab, steptabi, int2idx = T.loop_tables()
+    # thresholds th[k] = first ln with int2idx[ln] == k (int2idx is monotone,
+    # increments are <= 1 so every k in [0, int2idx[9999]] is hit)
+    kmax = int(int2idx[9999])
+    # th[k] = first ln with int2idx[ln] == k; int2idx[ln] == #{k >= 1: th[k] <= ln}
+    th = np.searchsorted(int2idx, np.arange(1, kmax + 1),
+                         side="left").astype(np.int32)         # (kmax,)
+    hlen = T.HUFF_LEN.astype(np.int32)
+    pair_pack = (hlen[13] | (hlen[15] << 8) | (hlen[16] << 16)
+                 | (hlen[24] << 24)).reshape(-1)               # (256,)
+    quad_pack = (hlen[32, 0, :16] | (hlen[33, 0, :16] << 8))   # (16,)
+    return dict(
+        steptabi=steptabi.astype(np.int64),
+        steptab_f32=steptab.astype(np.float32),
+        th=th,
+        pair_pack=pair_pack, quad_pack=quad_pack,
+        linmax=T.HUFF_LINMAX.astype(np.int32),
+        linbits=T.HUFF_LINBITS.astype(np.int32),
+        subdv=T.SUBDV_TABLE.astype(np.int32),
+    )
+
+
+def _quantize(labs64, xrabs_f32, xrmax64, s, c):
+    """Vector quantize at per-lane steps ``s``. Exact in the LUT region;
+    float32 (flagged) in the reference's float64-fallback region."""
+    sidx = jnp.clip(s + 127, 0, 127)
+    oob = (s + 127) != sidx
+    scalei = jnp.asarray(c["steptabi"])[sidx]                  # (C,) i64
+    mr = (xrmax64 * scalei + 2147483648) >> 32
+    bail = mr > _BAIL
+    ln = ((labs64 * scalei[:, None] + 2147483648) >> 32).astype(jnp.int32)
+    approx = jnp.any(ln >= 10000, axis=1)
+    lnc = jnp.minimum(ln, 9999)
+    # exact int2idx[lnc] as a threshold rank — a fused compare+reduce beats a
+    # 10k-entry gather ~2.5x on TPU (gathers lower to scalar loads)
+    ixl = jnp.sum((lnc[..., None] >= jnp.asarray(c["th"])[None, None, :])
+                  .astype(jnp.int32), axis=-1)
+    d = (xrabs_f32 * jnp.asarray(c["steptab_f32"])[sidx][:, None]
+         * jnp.float32(4.656612875e-10))
+    ixa = jnp.floor(jnp.exp2(0.75 * jnp.log2(
+        jnp.maximum(d, jnp.float32(1e-30))))).astype(jnp.int32)
+    ix = jnp.where(ln < 10000, ixl, ixa)
+    ixmax = jnp.max(ix, axis=1)
+    ixmax_eff = jnp.where(bail, 16384, ixmax)
+    return ix, ixmax_eff, approx, oob
+
+
+def _cost(ix, addr_in, band, c):
+    """The shared search-evaluation body: run lengths -> count1 -> subdivide
+    (stale addresses kept when big_values==0) -> table select -> bit count.
+    Mirrors ops/quant.py / MP3_Encoder.py:266-291,171-211,998-1036,1147-1264."""
+    n = ix.shape[0]
+    pos = jnp.arange(576, dtype=jnp.int32)
+    nz = ix != 0
+    any_nz = jnp.any(nz, axis=1)
+    last = jnp.max(jnp.where(nz, pos, -1), axis=1)
+    i0 = jnp.where(any_nz, ((last + 2) >> 1) << 1, 0)
+    lim = jnp.max(jnp.where(ix > 1, pos + 1, 0), axis=1)
+    k = jnp.maximum(0, jnp.minimum((i0 - lim) // 4, i0 // 4))
+    c1 = k
+    bvr = i0 - 4 * k
+    bv = bvr >> 1
+    has_bv = bv > 0
+
+    # count1 quad costs in both alignments (the region starts at 2bv mod 4)
+    quad_pack = jnp.asarray(c["quad_pack"])
+
+    qvals = jnp.arange(16, dtype=jnp.int32)
+
+    def quad_costs(vals):
+        sb = jnp.sum((vals != 0).astype(jnp.int32), axis=-1)
+        p = jnp.clip(vals[..., 0] + (vals[..., 1] << 1)
+                     + (vals[..., 2] << 2) + (vals[..., 3] << 3), 0, 15)
+        q = jnp.sum(jnp.where(p[..., None] == qvals[None, None, :],
+                              quad_pack[None, None, :], 0), axis=-1)
+        return (q & 255) + sb, (q >> 8) + sb
+
+    qe0, qe1 = quad_costs(ix.reshape(n, 144, 4))
+    qo0, qo1 = quad_costs(ix[:, 2:574].reshape(n, 143, 4))
+    qidx_e = jnp.arange(144, dtype=jnp.int32)
+    qidx_o = jnp.arange(143, dtype=jnp.int32)
+    first_e = bvr >> 2
+    first_o = (bvr - 2) >> 2
+    me = ((qidx_e[None, :] >= first_e[:, None])
+          & (qidx_e[None, :] < first_e[:, None] + c1[:, None]))
+    mo = ((qidx_o[None, :] >= first_o[:, None])
+          & (qidx_o[None, :] < first_o[:, None] + c1[:, None]))
+    even = (bvr & 3) == 0
+    sum0 = jnp.where(even, jnp.sum(jnp.where(me, qe0, 0), axis=1),
+                     jnp.sum(jnp.where(mo, qo0, 0), axis=1))
+    sum1 = jnp.where(even, jnp.sum(jnp.where(me, qe1, 0), axis=1),
+                     jnp.sum(jnp.where(mo, qo1, 0), axis=1))
+    cts = jnp.where(sum0 < sum1, 0, 1).astype(jnp.int32)
+
+    # subdivide; addresses stay stale when big_values == 0
+    bandj = jnp.asarray(band)                                  # (23,)
+    scfb_anz = jnp.sum(bandj[None, :] < bvr[:, None], axis=1,
+                       dtype=jnp.int32)
+    kmax = jnp.sum(bandj[None, :] <= bvr[:, None], axis=1,
+                   dtype=jnp.int32) - 1
+    sd = jnp.asarray(c["subdv"])[jnp.clip(scfb_anz, 0, 22)]
+    tc0 = jnp.maximum(0, jnp.minimum(sd[:, 0], kmax - 1))
+    a1n = bandj[tc0 + 1]
+    kmax2 = kmax - (tc0 + 1)
+    tc1 = jnp.maximum(0, jnp.minimum(sd[:, 1], kmax2 - 1))
+    a2n = bandj[jnp.clip(tc0 + 1 + tc1 + 1, 0, 22)]
+    a1 = jnp.where(has_bv, a1n, addr_in[:, 0])
+    a2 = jnp.where(has_bv, a2n, addr_in[:, 1])
+    a3 = jnp.where(has_bv, bvr, addr_in[:, 2])
+    r0c = jnp.where(has_bv, tc0, 0)
+    r1c = jnp.where(has_bv, tc1, 0)
+
+    # per-pair cost channels under the 4 representative tables
+    x = ix[:, 0::2]
+    y = ix[:, 1::2]
+    xc = jnp.minimum(x, 15)
+    yc = jnp.minimum(y, 15)
+    signs = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
+    nesc = (x > 14).astype(jnp.int32) + (y > 14).astype(jnp.int32)
+    pvals = jnp.arange(256, dtype=jnp.int32)
+    pidx = xc * 16 + yc
+    pk = jnp.sum(jnp.where(pidx[..., None] == pvals[None, None, :],
+                           jnp.asarray(c["pair_pack"])[None, None, :], 0),
+                 axis=-1)
+    ch13 = (pk & 255) + signs
+    ch15 = ((pk >> 8) & 255) + signs
+    ch16 = ((pk >> 16) & 255) + signs
+    ch24 = ((pk >> 24) & 255) + signs
+
+    ppos = pos[0::2]
+    starts = jnp.stack([jnp.zeros_like(a1), a1, a2], axis=-1)  # (C,3)
+    ends = jnp.stack([a1, a2, bvr], axis=-1)
+    pm = ((ppos[None, None, :] >= starts[..., None])
+          & (ppos[None, None, :] < ends[..., None]))           # (C,3,288)
+
+    def rsum(chan):
+        return jnp.sum(jnp.where(pm, chan[:, None, :], 0), axis=-1)
+
+    rc13 = rsum(ch13)
+    rc15 = rsum(ch15)
+    rc16 = rsum(ch16)
+    rc24 = rsum(ch24)
+    rnesc = rsum(nesc)
+
+    sm = ((pos[None, None, :] >= starts[..., None])
+          & (pos[None, None, :] < ends[..., None]))            # (C,3,576)
+    m = jnp.max(jnp.where(sm, ix[:, None, :], 0), axis=-1)     # (C,3)
+
+    linmax = jnp.asarray(c["linmax"])
+    linbits = jnp.asarray(c["linbits"])
+    nl_choice = jnp.where(rc15 <= rc13, 15, 13)
+    nl_cost = jnp.where(rc15 <= rc13, rc15, rc13)
+    ixm = m - 15
+    t16 = 15 + jnp.sum(linmax[None, None, 15:24] < ixm[..., None],
+                       axis=-1, dtype=jnp.int32)
+    t24 = 24 + jnp.sum(linmax[None, None, 24:32] < ixm[..., None],
+                       axis=-1, dtype=jnp.int32)
+    cost16 = jnp.where(t16 == 15, rc15,
+                       rc16 + linbits[jnp.clip(t16, 0, 31)] * rnesc)
+    cost24 = rc24 + linbits[jnp.clip(t24, 24, 31)] * rnesc
+    esc_choice = jnp.where(cost24 < cost16, t24, t16)
+    esc_cost = jnp.where(cost24 < cost16, cost24, cost16)
+
+    choice = jnp.where(m == 0, 0, jnp.where(m < 15, nl_choice, esc_choice))
+    rcost = jnp.where(m == 0, 0, jnp.where(m < 15, nl_cost, esc_cost))
+    active = jnp.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
+    choice = jnp.where(active, choice, 0)
+    rcost = jnp.where(active & (choice != 0), rcost, 0)
+
+    bits = jnp.sum(rcost, axis=-1) + jnp.minimum(sum0, sum1)
+
+    # float-fallback risk: approx samples carry +-1-ish float32 error, which
+    # can only change the consumed bits through the ESC table choice — i.e.
+    # when an active region's max sits near a linmax threshold (the pair
+    # costs themselves are invariant: approx values clip to (15,15) and stay
+    # > 14 for the linbits count). Evals without risk need no host check.
+    near = jnp.any(jnp.abs((m - 15)[..., None]
+                           - linmax[None, None, 15:32]) <= 4, axis=-1)
+    risk = jnp.any((m >= 15) & near & active, axis=-1)
+    return dict(bits=bits, bv=bv, c1=c1, a1=a1, a2=a2, a3=a3,
+                r0c=r0c, r1c=r1c, choice=choice, cts=cts, has_bv=has_bv,
+                risk=risk)
+
+
+_FIN_ROWS = ("step", "bits", "bv", "c1", "a1", "a2", "a3", "r0c", "r1c",
+             "ch0", "ch1", "ch2", "cts", "flags", "nlog", "xrmax0", "iters")
+
+
+@functools.partial(jax.jit, static_argnames=("sr_idx",))
+def _search_chunk_jit(xr, max_bits, sr_idx):
+    """(C,576) i32 spectra + (C,) i32 bit budgets -> packed search results."""
+    c = _sconsts()
+    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
+    n = xr.shape[0]
+    labs64 = jnp.abs(xr.astype(jnp.int64))
+    xrabs32 = jnp.abs(xr)
+    xrabs_f32 = xrabs32.astype(jnp.float32)
+    xrmax = jnp.max(jnp.maximum(xrabs32, 0), axis=1)
+    xrmax64 = xrmax.astype(jnp.int64)
+    need = xrmax > 0
+    i32z = jnp.zeros(n, jnp.int32)
+
+    def log_push(st, do_log, s, bits):
+        lane_slot = (jnp.arange(S_MAXLOG, dtype=jnp.int32)[None, :]
+                     == st["nlog"][:, None]) & do_log[:, None]
+        st["log_steps"] = jnp.where(lane_slot, s[:, None], st["log_steps"])
+        st["log_bits"] = jnp.where(lane_slot, bits[:, None], st["log_bits"])
+        st["flags"] |= jnp.where(do_log & (st["nlog"] >= S_MAXLOG),
+                                 jnp.int32(FLAG_LOGOVF), jnp.int32(0))
+        st["nlog"] = st["nlog"] + do_log.astype(jnp.int32)
+        return st
+
+    def evaluate(st, s, live):
+        """One search evaluation at per-lane steps ``s`` for ``live`` lanes.
+        Returns (bits_for_comparison, cost-dict, gate) and updates carried
+        address/virgin/flag/log state exactly like the reference's _eval."""
+        ix, ixmax_eff, approx, oob = _quantize(labs64, xrabs_f32, xrmax64, s, c)
+        st["flags"] |= jnp.where(live & oob, jnp.int32(FLAG_OOB), jnp.int32(0))
+        st["flags"] |= jnp.where(
+            live & approx & (jnp.abs(ixmax_eff - MAX_STEP) <= 8),
+            jnp.int32(FLAG_IXBAND), jnp.int32(0))
+        co = _cost(ix, st["addr"], band, c)
+        gate = live & (ixmax_eff <= MAX_STEP)
+        bits = jnp.where(ixmax_eff > MAX_STEP, jnp.int32(100000),
+                         co["bits"].astype(jnp.int32))
+        new_addr = jnp.stack([co["a1"], co["a2"], co["a3"]], axis=-1)
+        st["flags"] |= jnp.where(
+            gate & (~co["has_bv"]) & (co["c1"] > 0) & st["virgin"],
+            jnp.int32(FLAG_ADDR), jnp.int32(0))
+        st["addr"] = jnp.where(gate[:, None], new_addr, st["addr"])
+        st["virgin"] = st["virgin"] & ~(gate & co["has_bv"])
+        st = log_push(st, gate & approx & co["risk"], s, bits)
+        return st, bits, co, ix, approx, gate
+
+    state = dict(
+        nxt=jnp.full(n, -120, jnp.int32), count=jnp.full(n, 120, jnp.int32),
+        running=need, addr=jnp.zeros((n, 3), jnp.int32),
+        virgin=jnp.ones(n, bool), flags=i32z, nlog=i32z,
+        log_steps=jnp.zeros((n, S_MAXLOG), jnp.int32),
+        log_bits=jnp.zeros((n, S_MAXLOG), jnp.int32),
+    )
+
+    # ---- bisection: 8 masked rounds (count: 120->60->30->15->8->4->2->1)
+    def bis_body(_, st):
+        live = st["running"]
+        half = st["count"] // 2
+        s = st["nxt"] + half
+        st, bits, _, _, _, _ = evaluate(st, s, live)
+        cond = bits < max_bits
+        st["count"] = jnp.where(live, jnp.where(cond, half, st["count"] - half),
+                                st["count"])
+        st["nxt"] = jnp.where(live & ~cond, st["nxt"] + half, st["nxt"])
+        st["running"] = live & (st["count"] > 1)
+        return st
+
+    state = jax.lax.fori_loop(0, 8, bis_body, state)
+    step0 = state["nxt"]
+    huff_bits = max_bits  # part2_length is identically 0 (slen[0] == 0)
+
+    inner = dict(
+        step=step0, done=~need, it=jnp.int32(0),
+        f_step=i32z, f_bits=i32z, f_bv=i32z, f_c1=i32z,
+        f_a1=i32z, f_a2=i32z, f_a3=i32z, f_r0c=i32z, f_r1c=i32z,
+        f_ch=jnp.zeros((n, 3), jnp.int32), f_cts=i32z,
+        f_ix=jnp.zeros((n, 576), jnp.int16),
+        addr=state["addr"], virgin=state["virgin"], flags=state["flags"],
+        nlog=state["nlog"], log_steps=state["log_steps"],
+        log_bits=state["log_bits"],
+    )
+
+    def inner_cond(st):
+        return jnp.any(~st["done"]) & (st["it"] < 160)
+
+    def inner_body(st):
+        pend = ~st["done"]
+        s1 = st["step"] + 1
+        sub = dict(addr=st["addr"], virgin=st["virgin"], flags=st["flags"],
+                   nlog=st["nlog"], log_steps=st["log_steps"],
+                   log_bits=st["log_bits"])
+        ix, ixmax_eff, approx, oob = _quantize(labs64, xrabs_f32, xrmax64,
+                                               s1, c)
+        sub["flags"] |= jnp.where(pend & oob, jnp.int32(FLAG_OOB),
+                                  jnp.int32(0))
+        sub["flags"] |= jnp.where(
+            pend & approx & (jnp.abs(ixmax_eff - MAX_STEP) <= 8),
+            jnp.int32(FLAG_IXBAND), jnp.int32(0))
+        skip = ixmax_eff > MAX_STEP
+        ev = pend & ~skip
+        co = _cost(ix, sub["addr"], band, c)
+        bits = co["bits"].astype(jnp.int32)
+        new_addr = jnp.stack([co["a1"], co["a2"], co["a3"]], axis=-1)
+        sub["flags"] |= jnp.where(
+            ev & (~co["has_bv"]) & (co["c1"] > 0) & sub["virgin"],
+            jnp.int32(FLAG_ADDR), jnp.int32(0))
+        sub["addr"] = jnp.where(ev[:, None], new_addr, sub["addr"])
+        sub["virgin"] = sub["virgin"] & ~(ev & co["has_bv"])
+        sub = log_push(sub, ev & approx & co["risk"], s1, bits)
+
+        fin = ev & (bits <= huff_bits)
+        sub["flags"] |= jnp.where(fin & approx, jnp.int32(FLAG_FINAL_APPROX),
+                                  jnp.int32(0))
+        ix_signed = jnp.where(xr < 0, -ix, ix).astype(jnp.int16)
+        out = dict(st)
+        out.update(sub)
+        out["step"] = jnp.where(pend, s1, st["step"])
+        out["done"] = st["done"] | fin
+        out["it"] = st["it"] + 1
+        out["f_step"] = jnp.where(fin, s1, st["f_step"])
+        out["f_bits"] = jnp.where(fin, bits, st["f_bits"])
+        out["f_bv"] = jnp.where(fin, co["bv"], st["f_bv"])
+        out["f_c1"] = jnp.where(fin, co["c1"], st["f_c1"])
+        out["f_a1"] = jnp.where(fin, co["a1"], st["f_a1"])
+        out["f_a2"] = jnp.where(fin, co["a2"], st["f_a2"])
+        out["f_a3"] = jnp.where(fin, co["a3"], st["f_a3"])
+        out["f_r0c"] = jnp.where(fin, co["r0c"], st["f_r0c"])
+        out["f_r1c"] = jnp.where(fin, co["r1c"], st["f_r1c"])
+        out["f_ch"] = jnp.where(fin[:, None], co["choice"], st["f_ch"])
+        out["f_cts"] = jnp.where(fin, co["cts"], st["f_cts"])
+        out["f_ix"] = jnp.where(fin[:, None], ix_signed, st["f_ix"])
+        return out
+
+    st = jax.lax.while_loop(inner_cond, inner_body, inner)
+    flags = st["flags"] | jnp.where(~st["done"], jnp.int32(FLAG_ITER),
+                                    jnp.int32(0))
+
+    fin = jnp.stack([
+        st["f_step"], st["f_bits"], st["f_bv"], st["f_c1"],
+        st["f_a1"], st["f_a2"], st["f_a3"], st["f_r0c"], st["f_r1c"],
+        st["f_ch"][:, 0], st["f_ch"][:, 1], st["f_ch"][:, 2], st["f_cts"],
+        flags, st["nlog"], (~need).astype(jnp.int32),
+        jnp.broadcast_to(st["it"], st["f_step"].shape),
+    ]).astype(jnp.int32)                                       # (ROWS, C)
+    return fin, st["f_ix"], st["log_steps"], st["log_bits"]
+
+
+@functools.partial(jax.jit, static_argnames=("sr_idx",))
+def _scfsi_sums(xr, sr_idx):
+    """Per-granule scfsi energy sums (MP3_Encoder.py:817-850): int32-wrapping
+    sums of mulsr(xr,xr)>>10 over each long scalefactor band + the total.
+    int32 wraparound is modular, so band sums via cumulative-sum differences
+    equal the reference's in-order wrapped partial sums exactly."""
+    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
+    xr64 = xr.astype(jnp.int64)
+    terms = (((xr64 * xr64) + 1073741824) >> 31).astype(jnp.int32) >> 10
+    total = jnp.sum(terms, axis=1, dtype=jnp.int32)
+    csum = jnp.cumsum(terms, axis=1, dtype=jnp.int32)
+    csz = jnp.concatenate(
+        [jnp.zeros((xr.shape[0], 1), jnp.int32), csum], axis=1)
+    lo = jnp.asarray(band[:21].astype(np.int32))
+    hi = jnp.asarray(band[1:22].astype(np.int32))
+    en = csz[:, hi] - csz[:, lo]
+    return total, en
+
+
+def scfsi_sums(xr_dev, sr_idx: int):
+    """Resident (N,576) spectra -> ((N,) total, (N,21) per-band) int32 sums."""
+    total, en = _scfsi_sums(xr_dev, sr_idx)
+    tot, en_h = _fetch_pieces([total, en])
+    return tot, en_h
+
+
+def fetch_rows(xr_dev, idx: np.ndarray) -> np.ndarray:
+    """Gather (M,576) spectra rows on device, fetch to host."""
+    if len(idx) == 0:
+        return np.zeros((0, 576), np.int32)
+    rows = jax.jit(lambda a, i: a[i])(xr_dev, jnp.asarray(idx, jnp.int32))
+    return np.asarray(rows)
+
+
+def _fetch_pieces(bufs, piece_bytes=1 << 20):
+    """device_get with every buffer split into ~1MB pieces: the tunneled host
+    link degrades badly on single large transfers but parallelizes well over
+    many medium ones (measured: 8MB single = 7MB/s; 1MB x 11 batched = 25+MB/s)."""
+    split = []
+    plan = []
+    for b in bufs:
+        nbytes = b.size * b.dtype.itemsize
+        if nbytes <= piece_bytes or b.ndim == 0:
+            split.append(b)
+            plan.append(None)
+            continue
+        rows_per = max(1, int(piece_bytes // max(1, (nbytes // b.shape[0]))))
+        pieces = [b[i:i + rows_per] for i in range(0, b.shape[0], rows_per)]
+        plan.append(len(pieces))
+        split.extend(pieces)
+    got = jax.device_get(split)
+    out = []
+    pos = 0
+    for p in plan:
+        if p is None:
+            out.append(got[pos])
+            pos += 1
+        else:
+            out.append(np.concatenate(got[pos:pos + p], axis=0))
+            pos += p
+    return out
+
+
+def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
+    """Run the device search for all lanes.
+
+    :param xr_dev: resident (N, 576) int32 spectra (device array).
+    :param max_bits: (N,) int32 per-lane bit budgets.
+    :param sr_idx: samplerate index (selects scalefactor band row).
+    :return: dict of (N,) numpy arrays (keys _FIN_ROWS) plus ``ix`` (N,576)
+        int16 signed quantized samples and ``log_steps``/``log_bits``
+        (N, S_MAXLOG) for approx-cell verification.
+    """
+    n = xr_dev.shape[0]
+    chunk = CHUNK if n <= 4 * CHUNK else CHUNK_BIG
+    pad = (-n) % chunk
+    mb = np.asarray(max_bits, np.int32)
+    if pad:
+        mb = np.concatenate([mb, np.zeros(pad, np.int32)])
+    pending = []
+    for i in range(0, n + pad, chunk):
+        xs = jax.lax.dynamic_slice_in_dim(xr_dev, i, chunk, axis=0) \
+            if i + chunk <= n else \
+            jnp.pad(xr_dev[i:], ((0, i + chunk - n), (0, 0)))
+        pending.append(_search_chunk_jit(xs, jnp.asarray(mb[i:i + chunk]),
+                                         sr_idx))
+    flat = [b for tup in pending for b in tup]
+    got = _fetch_pieces(flat)
+    fins = [got[i] for i in range(0, len(got), 4)]
+    ixs = [got[i] for i in range(1, len(got), 4)]
+    lsteps = [got[i] for i in range(2, len(got), 4)]
+    lbits = [got[i] for i in range(3, len(got), 4)]
+    fin = np.concatenate(fins, axis=1)[:, :n]
+    out = {k: fin[r] for r, k in enumerate(_FIN_ROWS)}
+    out["ix"] = np.concatenate(ixs, axis=0)[:n]
+    out["log_steps"] = np.concatenate(lsteps, axis=0)[:n]
+    out["log_bits"] = np.concatenate(lbits, axis=0)[:n]
+    return out

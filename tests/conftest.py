@@ -7,6 +7,11 @@ layer on virtual devices). The bit-exact float64 parity paths are CPU anyway.
 
 import os
 
+# smaller search-plane chunks: the CPU mesh compiles the search while_loop
+# far faster at 128 lanes (results are chunk-size independent; the TPU smoke
+# target exercises the production sizes)
+os.environ.setdefault("MP3STEGO_TPU_SEARCH_CHUNK", "128")
+
 # jax may already be imported at interpreter start (TPU tunnel integration
 # pre-imports it), so env vars alone are too late — set the config directly
 # before any backend initializes.

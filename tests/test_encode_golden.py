@@ -12,6 +12,13 @@ from mp3stego_tpu.utils.wav import read_wav
 
 
 @pytest.fixture(scope="module")
+def monkeypatch_module():
+    mp = pytest.MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+@pytest.fixture(scope="module")
 def golden_wav(tmp_path_factory, stego_golden):
     p = tmp_path_factory.mktemp("wav") / "golden.wav"
     p.write_bytes(stego_golden["wav_bytes"].tobytes())
@@ -19,9 +26,12 @@ def golden_wav(tmp_path_factory, stego_golden):
 
 
 @pytest.fixture(scope="module")
-def encoded(golden_wav):
+def encoded(golden_wav, monkeypatch_module):
     """Run the encoder once, capturing per-frame state at the same points the
-    golden capture hooks used (post-iteration-loop, pre-sign-flip)."""
+    golden capture hooks used (post-iteration-loop, pre-sign-flip). Pins the
+    sequential cost-grid engine — these hooks instrument its per-frame state;
+    the search-plane engine is golden-tested in tests/test_search_plane.py."""
+    monkeypatch_module.setenv("MP3STEGO_TPU_SEARCH_PLANE", "0")
     enc = MP3Encoder(read_wav(golden_wav, 320))
     caps = []
     orig_iter = enc._iteration_loop

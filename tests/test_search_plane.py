@@ -1,0 +1,177 @@
+"""Device search plane (ops/search_plane) correctness.
+
+Three layers of evidence:
+  1. the threshold-rank reproduction of the int2idx quantizer LUT is verified
+     EXHAUSTIVELY over its whole domain (pure integer compares — backend
+     independent);
+  2. per-lane device search results equal the exact host oracle
+     (ops/quant_np.oracle_search) on randomized spectra, including lanes that
+     exercise the float64-fallback region;
+  3. whole-file encodes through the plane are byte-identical to the cost-grid
+     replay path and to the reference-captured golden.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mp3stego_tpu import tables as T
+from mp3stego_tpu.models.encoder import Encoder, MP3Encoder
+from mp3stego_tpu.utils.wav import read_wav
+
+
+def test_int2idx_threshold_rank_exhaustive():
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.ops.search_plane import _sconsts
+
+    _, _, int2idx = T.loop_tables()
+    th = _sconsts()["th"]
+    lnc = np.arange(10000, dtype=np.int32)
+    rank = np.asarray(
+        jnp.sum((jnp.asarray(lnc)[:, None] >= jnp.asarray(th)[None, :])
+                .astype(jnp.int32), axis=-1))
+    assert (rank == int2idx[:10000]).all()
+
+
+def _random_lanes(rng, n, scale_bits):
+    """Random spectra with realistic dynamic ranges (some quiet, some hot)."""
+    xr = np.zeros((n, 576), np.int32)
+    for i in range(n):
+        b = int(rng.integers(4, scale_bits))
+        row = rng.integers(-(1 << b), 1 << b, size=576)
+        # sparsify the tail like a real spectrum
+        cut = int(rng.integers(10, 576))
+        row[cut:] = row[cut:] // (1 << min(b, 12))
+        xr[i] = row.astype(np.int32)
+    if n >= 2:
+        xr[0] = 0            # silent lane: search skipped
+        xr[1, 300:] = 0      # pure small-values lane
+        xr[1, :300] = rng.integers(-1, 2, size=300)
+    return xr
+
+
+def test_plane_lanes_match_oracle():
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.ops import quant_np
+    from mp3stego_tpu.ops import search_plane as SP
+
+    rng = np.random.default_rng(7)
+    n = SP.CHUNK
+    xr = _random_lanes(rng, n, 28)
+    max_bits = rng.integers(500, 4000, size=n).astype(np.int32)
+    res = SP.search_all(jnp.asarray(xr), max_bits, sr_idx=0)
+
+    checked = 0
+    for g in range(n):
+        if res["xrmax0"][g]:
+            continue
+        if res["flags"][g]:
+            continue  # flagged lanes go to the host oracle in production
+        # verify the logged approx cells like production does
+        ok = True
+        nlog = min(int(res["nlog"][g]), SP.S_MAXLOG)
+        if nlog:
+            hb, hbv = quant_np.verify_cells(
+                np.repeat(xr[g][None], nlog, 0),
+                res["log_steps"][g, :nlog], 0)
+            ok = (hb == res["log_bits"][g, :nlog]).all() and (hbv > 0).all()
+        if not ok:
+            continue
+        r = quant_np.oracle_search(xr[g], int(max_bits[g]), (0, 0, 0), 0)
+        for k in ("step", "bits", "bv", "c1", "a1", "a2", "a3", "r0c", "r1c",
+                  "cts"):
+            assert res[k][g] == r[k], (g, k, res[k][g], r[k])
+        assert (res["ch0"][g], res["ch1"][g], res["ch2"][g]) == r["ch"], g
+        assert (res["ix"][g] == r["ix"]).all(), g
+        checked += 1
+    assert checked > n // 2  # the sweep must actually compare most lanes
+
+
+def _encode_bytes(wav_path, bitrate=320, plane=True):
+    os.environ["MP3STEGO_TPU_SEARCH_PLANE"] = "1" if plane else "0"
+    try:
+        w = read_wav(wav_path, bitrate)
+        e = MP3Encoder(w)
+        e.encode(quiet=True)
+        return bytes(e.out_buffer)
+    finally:
+        os.environ.pop("MP3STEGO_TPU_SEARCH_PLANE", None)
+
+
+def test_plane_matches_golden_fixture(tmp_path, stego_golden, encode_golden):
+    wav = tmp_path / "fx.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    out = _encode_bytes(str(wav))
+    assert out == encode_golden["mp3_bytes"].tobytes()
+
+
+def test_plane_matches_grid_random(tmp_path):
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(3)
+    sr = 44100
+    t = np.arange(sr)  # 1 s
+    sig = (0.5 * np.sin(2 * np.pi * 441 * t / sr)
+           + 0.2 * rng.standard_normal(len(t)))
+    pcm = np.clip(sig * 28000, -32768, 32767).astype(np.int16)
+    stereo = np.stack([pcm, pcm[::-1]], axis=1)
+    wav = tmp_path / "r.wav"
+    write_wav(str(wav), sr, stereo)
+    assert _encode_bytes(str(wav), plane=True) == \
+        _encode_bytes(str(wav), plane=False)
+
+
+def test_plane_forced_redo_path(tmp_path, stego_golden, encode_golden,
+                                monkeypatch):
+    """Force every lane through the host-oracle redo (flags all set): the
+    sequential fallback with true cross-granule address chains must still be
+    byte-identical to the golden."""
+    from mp3stego_tpu.ops import search_plane as SP
+
+    orig = SP.search_all
+
+    def sabotage(xr_dev, max_bits, sr_idx):
+        res = orig(xr_dev, max_bits, sr_idx)
+        res["flags"] = np.where(res["xrmax0"] == 0, 1, res["flags"])
+        return res
+
+    monkeypatch.setattr(SP, "search_all", sabotage)
+    wav = tmp_path / "fx.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    out = _encode_bytes(str(wav))
+    assert out == encode_golden["mp3_bytes"].tobytes()
+
+
+def test_plane_multirate(tmp_path, stego_golden):
+    """Plane output equals the grid path at other samplerates/bitrates."""
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(11)
+    for sr, br in ((32000, 128), (48000, 256)):
+        t = np.arange(sr // 2)
+        sig = 0.4 * np.sin(2 * np.pi * 300 * t / sr) \
+            + 0.1 * rng.standard_normal(len(t))
+        pcm = np.clip(sig * 20000, -32768, 32767).astype(np.int16)
+        stereo = np.stack([pcm, -pcm], axis=1)
+        wav = tmp_path / f"m{sr}.wav"
+        write_wav(str(wav), sr, stereo)
+        assert _encode_bytes(str(wav), br, plane=True) == \
+            _encode_bytes(str(wav), br, plane=False), (sr, br)
+
+
+def test_hide_mode_keeps_grid_path(tmp_path, stego_golden):
+    """hide_str forces the sequential stego-cursor path; output must match
+    the committed hide golden."""
+    wav = tmp_path / "fx.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    from mp3stego_tpu.steganography import _frame_message
+
+    e = Encoder(str(wav), str(tmp_path / "h.mp3"), bitrate=320,
+                hide_str=_frame_message("ddd"))
+    too_long = e.encode(quiet=True)
+    assert too_long is False
+    assert (tmp_path / "h.mp3").read_bytes() == \
+        stego_golden["hidden_short"].tobytes()
