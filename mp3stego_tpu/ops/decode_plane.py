@@ -522,6 +522,34 @@ def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
     return inter
 
 
+_DEC_BUCKET = 128  # granule bucket: any file length reuses a few compiles
+
+
+def _pad_prep_granules(prep: dict, t_pad: int) -> dict:
+    """Zero-pad the granule axis (padded granules decode to silence and the
+    synthesis chain is causal, so real output is unchanged; callers trim)."""
+    out = dict(prep)
+    for k in T_AXIS1_KEYS:
+        a = prep[k]
+        width = [(0, 0)] * a.ndim
+        width[1] = (0, t_pad - a.shape[1])
+        out[k] = np.pad(a, width)
+    for k in T_AXIS0_KEYS:
+        a = prep[k]
+        width = [(0, 0)] * a.ndim
+        width[0] = (0, t_pad - a.shape[0])
+        out[k] = np.pad(a, width)
+    return out
+
+
 def _decode_call(prep, dtype):
+    from mp3stego_tpu.utils.transfer import fetch_pieces
+    t = prep["raw_i8"].shape[1]
+    t_pad = -(-t // _DEC_BUCKET) * _DEC_BUCKET
+    if t_pad != t:
+        prep = _pad_prep_granules(prep, t_pad)
     args = {k: jnp.asarray(prep[k]) for k in ALL_KEYS}
-    return decode_granules(args, dtype_name=dtype)
+    out = decode_granules(args, dtype_name=dtype)
+    ch = out.shape[0]
+    flat = fetch_pieces([out.reshape(ch * t_pad, 576)])[0]
+    return flat.reshape(ch, t_pad, 576)[:, :t]

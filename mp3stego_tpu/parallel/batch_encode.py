@@ -1,45 +1,165 @@
-"""Batched multi-file encode: the encode-side throughput mode.
+"""Device-sharded batched encode: many WAV files as one stacked device program.
 
-Encoding is file-parallel (no cross-file state): each file's analysis/MDCT and
-rate-control cost grid run as chunked device programs (already shape-stable,
-so every file reuses the same compiled executables), and a host thread pool
-overlaps the per-file host replay/serialization with the device work of other
-files (the native parser/serializer and jax dispatch release the GIL).
+The encode twin of parallel/batch_decode: per-file PCM streams are padded to a
+common (bucketed) granule count and stacked on a file axis; the analysis/MDCT
+plane and the FULL rate-control search (ops/search_plane) then run as one
+vmapped device program with the file axis laid out on the mesh's ``files``
+axis (NamedSharding — encoding is file-parallel, zero collectives). Only the
+reservoir/stuffing chain and frame serialization stay on host, overlapped in a
+thread pool (the native serializer releases the GIL).
+
+The reference has no multi-file mode at all (SURVEY.md §2.2); this layer is
+the TPU-native throughput construct for it.
 """
 
 import os
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
 
-def encode_files_batched(jobs: list, bitrate: int = 320,
+# granule-count bucket: bounds the number of compiled shapes (env knob so the
+# CPU test mesh can compile small programs)
+_BUCKET_G = int(os.environ.get("MP3STEGO_TPU_BATCH_BUCKET_G", "256"))
+
+
+def _bucket(n: int) -> int:
+    return -(-n // _BUCKET_G) * _BUCKET_G
+
+
+def _bucket_files(f: int) -> int:
+    """Round the file axis up to a power of two (padded files are silent and
+    cost one skipped lane pass) so batch sizes reuse compiled programs."""
+    n = 1
+    while n < f:
+        n <<= 1
+    return n
+
+
+def encode_files_batched(jobs: list, bitrate: int = 320, mesh=None,
                          max_workers: int = None,
                          errors: str = "raise") -> list:
     """Encode many WAV files: ``jobs`` is a list of (wav_path, mp3_path).
 
-    Returns the list of output paths (or, with ``errors="isolate"``, the
-    exception object in the slot of any file that failed).
+    Output bytes are identical to per-file :class:`MP3Encoder` runs. Files are
+    grouped by (samplerate, channel count) — each group is one stacked device
+    program. ``mesh``: optional jax Mesh with a ``files`` axis to shard over.
+
+    ``errors``: "raise" propagates the first failure; "isolate" encodes the
+    healthy files and returns the exception object in the failed file's slot
+    (read_wav validation failures raise SystemExit — isolated too).
     """
     from mp3stego_tpu.models.encoder import MP3Encoder
     from mp3stego_tpu.utils.wav import read_wav
 
-    def one(job):
-        wav_path, mp3_path = job
-        if not os.path.exists(wav_path):
-            raise FileNotFoundError(wav_path)
-        enc = MP3Encoder(read_wav(wav_path, bitrate))
-        enc.encode()
+    items = []
+    failures = {}
+    for i, (wav_path, mp3_path) in enumerate(jobs):
+        try:
+            if not os.path.exists(wav_path):
+                raise FileNotFoundError(wav_path)
+            enc = MP3Encoder(read_wav(wav_path, bitrate))
+            nf = enc._num_frames()
+            if nf == 0:
+                raise ValueError(f"{wav_path}: no samples to encode")
+            items.append((i, mp3_path, enc, nf))
+        except BaseException as e:  # noqa: BLE001 - incl. SystemExit from read_wav
+            if errors != "isolate" or isinstance(e, KeyboardInterrupt):
+                raise
+            failures[i] = e
+
+    results = [None] * len(jobs)
+    groups = {}
+    for it in items:
+        enc = it[2]
+        groups.setdefault(
+            (enc.samplerate_index, enc.wav.num_of_channels), []).append(it)
+    for (sr_idx, nch), group in groups.items():
+        _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors)
+    for i, e in failures.items():
+        results[i] = e
+    return results
+
+
+def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mp3stego_tpu.ops import search_plane as SP
+    from mp3stego_tpu.ops.encode_plane import _PAST, analysis_mdct
+    from mp3stego_tpu.ops import quant as Q
+
+    gpf = group[0][2].granules_per_frame
+    tgs = [nf * gpf for (_, _, _, nf) in group]
+    tg_max = _bucket(max(tgs))
+    f_n = len(group)
+    f_pad = _bucket_files(f_n)
+    if mesh is not None:
+        m = mesh.shape["files"]
+        f_pad += (-f_pad) % m
+
+    # stacked, front-padded PCM; zero tail granules decode to xrmax==0 lanes
+    pcm = np.zeros((f_pad, nch, _PAST + tg_max * 576), np.int32)
+    max_bits = np.zeros((f_pad, nch * tg_max), np.int32)
+    framing = []
+    for j, (_, _, enc, nf) in enumerate(group):
+        s = enc._channel_streams(nf)
+        pcm[j, :, _PAST:_PAST + s.shape[1]] = s
+        paddings, mean_bits_f = enc._plane_framing(nf)
+        framing.append((paddings, mean_bits_f))
+        maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                            Q.MAX_BITS_ALLOWANCE)
+        lane_block = np.repeat(maxb_f, gpf)              # (tg,)
+        for ch in range(nch):
+            max_bits[j, ch * tg_max: ch * tg_max + tgs[j]] = lane_block
+
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("files"))
+        pcm_dev = jax.device_put(pcm, spec)
+    else:
+        pcm_dev = jnp.asarray(pcm)
+
+    xr = jax.vmap(analysis_mdct)(pcm_dev)                # (F, nch, TG, 576)
+    xr = xr.reshape(f_pad, nch * tg_max, 576)
+    res_all = SP.search_batch(xr, max_bits, sr_idx)
+    version3 = group[0][2].version == 3
+    if version3:
+        tot_all, en_all = SP.scfsi_sums(
+            xr.reshape(f_pad * nch * tg_max, 576), sr_idx)
+        tot_all = tot_all.reshape(f_pad, nch * tg_max)
+        en_all = en_all.reshape(f_pad, nch * tg_max, 21)
+
+    def finish(j):
+        i, mp3_path, enc, nf = group[j]
+        tg = tgs[j]
+        # compact the padded per-channel lane blocks to the enc layout
+        # (g = ch * tg + f * gpf + gr)
+        lanes = np.concatenate(
+            [np.arange(ch * tg_max, ch * tg_max + tg) for ch in range(nch)])
+        res = {k: np.ascontiguousarray(res_all[k][j][lanes])
+               for k in SP._FIN_ROWS}
+        res["ix"] = np.ascontiguousarray(res_all["ix"][j][lanes])
+        res["log_steps"] = res_all["log_steps"][j][lanes]
+        res["log_bits"] = res_all["log_bits"][j][lanes]
+        xr_c = xr[j][jnp.asarray(lanes)]
+        enc._plane_redo(res, xr_c, max_bits[j][lanes], tg)
+        en_tot_raw = en_raw = None
+        if version3:
+            en_tot_raw = tot_all[j][lanes]
+            en_raw = en_all[j][lanes]
+        paddings, mean_bits_f = framing[j]
+        enc._plane_finish(res, en_tot_raw, en_raw, nf, paddings,
+                          mean_bits_f, tg)
         enc.write_mp3_file(mp3_path)
         return mp3_path
 
     workers = max_workers or min(8, (os.cpu_count() or 1))
-    results = []
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        futures = [ex.submit(one, j) for j in jobs]
-        for f in futures:
+        futures = {ex.submit(finish, j): group[j][0] for j in range(f_n)}
+        for fut, i in futures.items():
             try:
-                results.append(f.result())
-            except Exception as e:  # noqa: BLE001 - isolation mode
-                if errors != "isolate":
+                results[i] = fut.result()
+            except BaseException as e:  # noqa: BLE001 - isolation mode
+                if errors != "isolate" or isinstance(e, KeyboardInterrupt):
                     raise
-                results.append(e)
-    return results
+                results[i] = e

@@ -11,6 +11,7 @@ import os
 # far faster at 128 lanes (results are chunk-size independent; the TPU smoke
 # target exercises the production sizes)
 os.environ.setdefault("MP3STEGO_TPU_SEARCH_CHUNK", "128")
+os.environ.setdefault("MP3STEGO_TPU_BATCH_BUCKET_G", "64")
 
 # jax may already be imported at interpreter start (TPU tunnel integration
 # pre-imports it), so env vars alone are too late — set the config directly

@@ -115,3 +115,63 @@ def test_batched_encode_error_isolation(stego_golden, tmp_path):
     outs = encode_files_batched(jobs, errors="isolate")
     assert isinstance(outs[0], FileNotFoundError)
     assert outs[1].endswith("y.mp3")
+
+
+def test_batched_encode_sharded_mesh(stego_golden, encode_golden, tmp_path):
+    """File axis sharded over the 8-device mesh: bytes identical per file."""
+    from mp3stego_tpu.parallel import encode_files_batched, make_mesh
+
+    wav = tmp_path / "g.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    mesh = make_mesh(files=8, frames=1)
+    jobs = [(str(wav), str(tmp_path / f"s{i}.mp3")) for i in range(3)]
+    outs = encode_files_batched(jobs, bitrate=320, mesh=mesh)
+    ref = encode_golden["mp3_bytes"].tobytes()
+    for p in outs:
+        with open(p, "rb") as f:
+            assert f.read() == ref
+
+
+def test_batched_encode_mixed_lengths_and_rates(tmp_path):
+    """Mixed durations and samplerates batch into separate device groups and
+    still match per-file encodes byte for byte."""
+    import os
+
+    from mp3stego_tpu.models.encoder import MP3Encoder
+    from mp3stego_tpu.parallel import encode_files_batched
+    from mp3stego_tpu.utils.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(5)
+    jobs = []
+    for i, (sr, secs) in enumerate(((44100, 0.3), (44100, 0.7), (32000, 0.4))):
+        t = np.arange(int(sr * secs))
+        sig = 0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t / sr) \
+            + 0.05 * rng.standard_normal(len(t))
+        pcm = np.clip(sig * 20000, -32768, 32767).astype(np.int16)
+        stereo = np.stack([pcm, -pcm], axis=1)
+        wav = tmp_path / f"mix{i}.wav"
+        write_wav(str(wav), sr, stereo)
+        jobs.append((str(wav), str(tmp_path / f"mix{i}.mp3")))
+
+    outs = encode_files_batched(jobs, bitrate=128)
+    for (wav_path, _), out in zip(jobs, outs):
+        enc = MP3Encoder(read_wav(wav_path, 128))
+        enc.encode()
+        with open(out, "rb") as f:
+            assert f.read() == bytes(enc.out_buffer), wav_path
+
+
+def test_batched_encode_isolates_sys_exit(stego_golden, tmp_path):
+    """read_wav validation failures raise SystemExit (reference parity);
+    errors='isolate' must keep them in their slot, not kill the batch."""
+    from mp3stego_tpu.parallel import encode_files_batched
+
+    good = tmp_path / "g.wav"
+    good.write_bytes(stego_golden["wav_bytes"].tobytes())
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVEjunkjunkjunk" * 8)
+    jobs = [(str(bad), str(tmp_path / "bad.mp3")),
+            (str(good), str(tmp_path / "good.mp3"))]
+    outs = encode_files_batched(jobs, errors="isolate")
+    assert isinstance(outs[0], BaseException)
+    assert outs[1].endswith("good.mp3")
