@@ -41,6 +41,10 @@ class FrameHeader:
     channels: int = 2
     mode_ext: tuple = (0, 0)
     sr_idx: int = 0                # 0=44.1k, 1=48k, 2=32k (MPEG-1)
+    # secondary fields (FrameHeader.py:100-110): no decode effect, parsed for
+    # header-object parity with the reference
+    emphasis: int = 0              # 0 none, 1 50/15us, 2 reserved, 3 CCITT
+    info: tuple = (False, False, False)  # (private, copyright, original)
 
     @property
     def frame_samples(self) -> int:
@@ -94,6 +98,8 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
         elif h.layer < 4:
             h.bit_rate = _L2LO_RATES[idx] * 1000
     h.sr_idx = T.SAMPLERATE_INDEX.get(h.sampling_rate, 0)
+    h.emphasis = b3 & 0x03
+    h.info = (bool(b2 & 0x01), bool(b3 & 0x08), bool(b3 & 0x04))
     return h
 
 
@@ -497,23 +503,35 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
 
 
 def parse_mp3(file_data: bytes, offset: int = 0,
-              backend: str = "auto") -> ParsedMP3:
+              backend: str = "auto", progress_cb=None) -> ParsedMP3:
     """Full host pass: walk frames, parse side info, unpack scalefactors + samples.
 
     ``backend``: "auto" uses the native C++ parser when available (≈100x the
     python path on the reference's hottest loop), "python" forces the NumPy
     fallback/oracle, "native" requires the native library.
+    ``progress_cb(n_bytes)``: byte-progress hook (the reference's tqdm bar over
+    bytes decoded, MP3_Parser.py:67); the native parser reports once at the end.
     """
     if backend in ("auto", "native"):
         p = parse_mp3_native(file_data, offset)
         if p is not None:
+            if progress_cb is not None:
+                progress_cb(int(p.frame_sizes.sum()) if p.num_frames else 0)
             return p
         if backend == "native":
-            raise RuntimeError("native parser unavailable (g++ build failed?)")
-    return _parse_mp3_python(file_data, offset)
+            from mp3stego_tpu import native
+            if native.get_lib() is None:
+                raise RuntimeError(
+                    "native parser unavailable (g++ build failed?)")
+            raise RuntimeError(
+                "native parser returned an inconsistent frame walk (fill "
+                "pass disagreed with the counting pass) — file truncated "
+                "mid-frame or parser bug; use backend='python' to decode")
+    return _parse_mp3_python(file_data, offset, progress_cb)
 
 
-def _parse_mp3_python(file_data: bytes, offset: int = 0) -> ParsedMP3:
+def _parse_mp3_python(file_data: bytes, offset: int = 0,
+                      progress_cb=None) -> ParsedMP3:
     """Pure-python host pass (fallback + golden-test oracle)."""
     p = ParsedMP3()
     n = len(file_data)
@@ -576,6 +594,8 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0) -> ParsedMP3:
                 unpack_samples(md, si, h, gr, ch, bit, max_bit,
                                p.raw_samples[fi, gr, ch])
                 bit = max_bit
+        if progress_cb is not None:
+            progress_cb(fsize)
         p.side_infos.append(si)
         p.block_type[fi] = si.block_type
         p.mixed_block_flag[fi] = si.mixed_block_flag

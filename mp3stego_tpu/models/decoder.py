@@ -78,12 +78,16 @@ class Decoder:
         if not quiet and self.__id3.is_valid:
             self.__parse_metadata()
 
-        from mp3stego_tpu.utils.profiling import StageTimer, trace
+        from mp3stego_tpu.utils.profiling import StageTimer, byte_bar, trace
         timer = StageTimer(enabled=not quiet)
         start = time.time()
         with trace():
             with timer.stage("bitstream parse (host)"):
-                parsed = dh.parse_mp3(self.__data, self.__offset)
+                bar = byte_bar(len(self.__data) - self.__offset,
+                               enabled=not quiet)
+                parsed = dh.parse_mp3(self.__data, self.__offset,
+                                      progress_cb=bar.update)
+                bar.close()
                 self.__parsed = parsed
                 self.output_bits = dh.stego_bits(parsed)
                 if parsed.header is None:

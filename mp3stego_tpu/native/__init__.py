@@ -18,7 +18,28 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "src", f)
          for f in sorted(os.listdir(os.path.join(_DIR, "src")))
          if f.endswith(".cpp")]
-_SO = os.path.join(_DIR, "libmp3stego_native.so")
+
+
+def _host_tag() -> str:
+    """Host fingerprint baked into the .so filename: the library is built
+    with -march=native, so a package directory copied to a different CPU
+    must rebuild instead of silently loading (and SIGILL-ing on) a binary
+    compiled for another microarchitecture."""
+    import hashlib
+    import platform
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        bits.append(platform.processor() or "")
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
+_SO = os.path.join(_DIR, f"libmp3stego_native-{_host_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None

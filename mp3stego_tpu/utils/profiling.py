@@ -84,3 +84,23 @@ def progress(iterable, desc: str = "", enabled: bool = True):
         return tqdm(iterable, desc=desc)
     except Exception:
         return iterable
+
+
+class _NullBar:
+    def update(self, n=0):
+        pass
+
+    def close(self):
+        pass
+
+
+def byte_bar(total: int, enabled: bool = True, desc: str = "decoding"):
+    """Byte-progress bar (the reference's per-byte decode tqdm,
+    MP3_Parser.py:67); a no-op object when disabled or tqdm is missing."""
+    if not enabled:
+        return _NullBar()
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return _NullBar()
+    return tqdm(total=total, unit="B", unit_scale=True, desc=desc)

@@ -97,13 +97,15 @@ def read_wav(path: str, bitrate: int = 320) -> WavFile:
         buf = np.concatenate([buf, np.zeros(want - len(buf), dtype=np.int16)])
     w.buffer = buf
 
-    # bitrate/samplerate index validation (WAV_Reader.py:27-28,112-118)
+    # bitrate/samplerate index validation, in the reference's order: bitrate
+    # FIRST, with the MPEG version derived from the (possibly -1) samplerate
+    # index exactly like find_mpeg_version (WAV_Reader.py:27-28, util.py:110)
     from mp3stego_tpu import tables as T
     sr_idx = next((i for i in range(9)
                    if w.samplerate == int(T.SAMPLE_RATES[i])), -1)
-    if sr_idx < 0:
-        sys.exit("Unsupported samplerate configuration.")
     version = 3 if sr_idx < 3 else (2 if sr_idx < 6 else 0)
     if not any(bitrate == int(T.BIT_RATES[i][version]) for i in range(16)):
         sys.exit("Unsupported bitrate configuration.")
+    if sr_idx < 0:
+        sys.exit("Unsupported samplerate configuration.")
     return w

@@ -178,3 +178,18 @@ def test_float32_pcm_close(parsed):
     mismatch = np.abs(i64.astype(np.int32) - i32.astype(np.int32))
     assert mismatch.max() <= 1
     assert (mismatch > 0).mean() < 0.05
+
+
+def test_header_secondary_fields():
+    """Emphasis + private/copyright/original bits (FrameHeader.py:100-110):
+    no decode effect, but the header object carries them like the reference."""
+    from mp3stego_tpu.bitstream.decoder_host import parse_header
+
+    # 0xFF 0xFB: MPEG-1 layer III no-CRC; b2 sets 320kbps/44.1k + private bit;
+    # b3 sets stereo + copyright/original + CITT emphasis
+    h = parse_header(0xFF, 0xFB, 0xE0 | 0x01, 0x08 | 0x04 | 0x03)
+    assert h.emphasis == 3
+    assert h.info == (True, True, True)
+    h2 = parse_header(0xFF, 0xFB, 0xE0, 0x01)
+    assert h2.emphasis == 1
+    assert h2.info == (False, False, False)
