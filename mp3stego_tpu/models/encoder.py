@@ -470,7 +470,11 @@ class MP3Encoder:
                     gi.table_select[0] = int(res["ch0"][g])
                     gi.table_select[1] = int(res["ch1"][g])
                     gi.table_select[2] = int(res["ch2"][g])
-            self.l3_enc = np.ascontiguousarray(ix_l[:, f].astype(np.int32))
+            # l3_enc always carries 2 granule slots: the serializer indexes
+            # (ch*2+gr)*576 regardless of granules_per_frame (C twin layout)
+            l3 = np.zeros((nch, 2, 576), np.int32)
+            l3[:, :gpf] = ix_l[:, f]
+            self.l3_enc = l3
             self._format_bitstream(zeros_mdct)
             self.out_buffer += self.bw.take_frame()
         self.out_buffer += self.bw.take_frame()
