@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end batched MP3 decode throughput (realtime-x) on one chip.
+"""Benchmark: MP3 codec throughput on one chip, over a corpus (not just the
+37 KB fixture), plus pass/fail checks of the TPU-only kernels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the headline
+batched-decode realtime-x (north star: 100x, BASELINE.json). Every other
+measurement goes to stderr and to BENCH_DETAIL.json next to this script:
 
-End-to-end = native host bitstream parse (C++ sync walk, side info, reservoir,
-Huffman sample unpack) + dense batching + the batched TPU decode plane
-(requantize -> stereo -> alias -> IMDCT -> synthesis), per BASELINE.json's
-"batched throughput mode". Baseline = the driver's north-star target of 100x
-realtime on one chip (the Python reference publishes no numbers and decodes
-slower than realtime, BASELINE.md).
+  decode: 64x fixture batch | 120 s single stream | mixed samplerates |
+          ragged-length batch
+  encode: 30 s single stream @320 kbps | 8-file batch     (VERDICT item 3/6)
+  checks: Pallas fused synthesis FIR, on-device Huffman decode — correctness
+          records per round instead of silently-skipped opt-in paths (item 5)
 """
 
 import json
@@ -19,75 +21,199 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = "/root/reference/tests/test.mp3"
 N_FILES = 64
 ITERS = 5
+DETAIL = {}
 
 
-def main():
+def _fixture_path():
+    if os.path.exists(FIXTURE):
+        return FIXTURE
+    gold = np.load(os.path.join(REPO, "tests", "golden", "encode_golden.npz"))
+    p = "/tmp/bench_fixture.mp3"
+    with open(p, "wb") as f:
+        f.write(gold["mp3_bytes"].tobytes())
+    return p
+
+
+def _synth_wav(path, seconds, sr, seed):
+    from mp3stego_tpu.utils.wav import write_wav
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds))
+    sig = (0.35 * np.sin(2 * np.pi * 440 * t / sr)
+           + 0.2 * np.sin(2 * np.pi * 1321 * t / sr) * np.sin(2 * np.pi * t / sr)
+           + 0.06 * rng.standard_normal(len(t)))
+    pcm = np.clip(sig * 22000, -32768, 32767).astype(np.int16)
+    write_wav(path, sr, np.stack([pcm, np.roll(pcm, sr // 100)], axis=1))
+    return path
+
+
+def _mp3_of(wav, mp3, bitrate):
+    from mp3stego_tpu.models.encoder import Encoder
+    if not os.path.exists(mp3):
+        Encoder(wav, mp3, bitrate=bitrate).encode(quiet=True)
+    return mp3
+
+
+def _note(name, value, unit):
+    DETAIL[name] = {"value": round(float(value), 2), "unit": unit}
+    print(f"# {name}: {value:.1f} {unit}", file=sys.stderr)
+
+
+def bench_decode_fixture_batch():
     import jax
 
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
     from mp3stego_tpu.parallel.batch_decode import _decode_batch, prepare_batch
 
-    fixture = FIXTURE
-    if not os.path.exists(fixture):
-        # standalone fallback: rebuild an equivalent fixture from the goldens
-        gold = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tests", "golden", "encode_golden.npz"))
-        fixture = "/tmp/bench_fixture.mp3"
-        with open(fixture, "wb") as f:
-            f.write(gold["mp3_bytes"].tobytes())
-
-    with open(fixture, "rb") as f:
+    with open(_fixture_path(), "rb") as f:
         data = f.read()
-
     pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1))
 
-    def host_one(_):
-        return dp.host_prepare(dh.parse_mp3(data, 0))
-
-    def batch_args(batch):
-        return {k: batch[k] for k in dp.ALL_KEYS}
-
     def pipeline_once():
-        preps = list(pool.map(host_one, range(N_FILES)))
+        preps = list(pool.map(
+            lambda _: dp.host_prepare(dh.parse_mp3(data, 0)), range(N_FILES)))
         batch = prepare_batch(preps)
-        return _decode_batch(batch_args(batch), dtype_name="float32")
+        return _decode_batch({k: batch[k] for k in dp.ALL_KEYS},
+                             dtype_name="float32")
 
     parsed = dh.parse_mp3(data, 0)
-    jax.block_until_ready(pipeline_once())   # warm compile + native build
-
+    jax.block_until_ready(pipeline_once())
     t0 = time.time()
     for _ in range(ITERS):
         out = pipeline_once()
     jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
+    audio = parsed.num_frames * N_FILES * 1152 / parsed.header.sampling_rate
+    rt = audio / dt
+    _note("decode 64x fixture batch (end-to-end)", rt, "x realtime")
+    return rt
 
-    frames = parsed.num_frames * N_FILES
-    audio_seconds = frames * 1152 / parsed.header.sampling_rate
-    realtime_x = audio_seconds / dt
 
-    # device-plane-only throughput for context
-    batch = prepare_batch([dp.host_prepare(parsed)] * N_FILES)
-    dev_args = jax.device_put(batch_args(batch))
-    jax.block_until_ready(_decode_batch(dev_args, dtype_name="float32"))
+def bench_decode_long():
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+
+    wav = _synth_wav("/tmp/bench_120.wav", 120.0, 44100, 1)
+    mp3 = _mp3_of(wav, "/tmp/bench_120.mp3", 320)
+    with open(mp3, "rb") as f:
+        data = f.read()
+    for rep in range(2):
+        t0 = time.time()
+        parsed = dh.parse_mp3(data, 0)
+        pcm = dp.decode_pcm(parsed, "float32")
+        dt = time.time() - t0
+    audio = parsed.num_frames * 1152 / parsed.header.sampling_rate
+    _note("decode 120s single stream (end-to-end)", audio / dt, "x realtime")
+    assert pcm.shape[0] >= int(audio * 44100) - 1152
+
+
+def bench_decode_mixed():
+    """Mixed samplerates + ragged lengths through the batched decode mode."""
+    from mp3stego_tpu.parallel import decode_files_batched
+
+    files = []
+    for i, (sr, secs) in enumerate(
+            ((32000, 3.0), (44100, 7.0), (48000, 5.0), (44100, 2.0))):
+        wav = _synth_wav(f"/tmp/bench_mix{i}.wav", secs, sr, 10 + i)
+        files.append(_mp3_of(wav, f"/tmp/bench_mix{i}.mp3", 128))
+    audio = 3.0 + 7.0 + 5.0 + 2.0
+    decode_files_batched(files)           # warm compiles
     t0 = time.time()
-    for _ in range(10):
-        out = _decode_batch(dev_args, dtype_name="float32")
-    jax.block_until_ready(out)
-    dev_dt = (time.time() - t0) / 10
-    print(f"# end-to-end: {realtime_x:.0f}x realtime ({frames / dt:.0f} fps, "
-          f"batch={N_FILES}, {dt * 1e3:.1f}ms/iter, host workers="
-          f"{pool._max_workers}); device plane alone: "
-          f"{audio_seconds / dev_dt:.0f}x", file=sys.stderr)
+    outs = decode_files_batched(files)
+    dt = time.time() - t0
+    assert all(not isinstance(o, Exception) for o in outs)
+    _note("decode mixed-rate ragged batch (4 files)", audio / dt, "x realtime")
 
+
+def bench_encode():
+    from mp3stego_tpu.models.encoder import MP3Encoder
+    from mp3stego_tpu.utils.wav import read_wav
+
+    wav = _synth_wav("/tmp/bench_enc30.wav", 30.0, 44100, 2)
+    for rep in range(2):                  # rep0 warms compiles
+        enc = MP3Encoder(read_wav(wav, 320))
+        t0 = time.time()
+        enc.encode(quiet=True)
+        dt = time.time() - t0
+    rt = 30.0 / dt
+    _note("encode 30s single stream @320kbps", rt, "x realtime")
+
+    from mp3stego_tpu.parallel import encode_files_batched
+    jobs = [(wav, f"/tmp/bench_enc_b{i}.mp3") for i in range(8)]
+    encode_files_batched(jobs, bitrate=320)
+    t0 = time.time()
+    outs = encode_files_batched(jobs, bitrate=320)
+    dt = time.time() - t0
+    assert all(isinstance(o, str) for o in outs)
+    _note("encode 8x30s batch @320kbps (aggregate)", 8 * 30.0 / dt,
+          "x realtime")
+    return rt
+
+
+def check_tpu_kernels():
+    """Correctness records for the opt-in device kernels on the real chip."""
+    import jax
+
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+
+    with open(_fixture_path(), "rb") as f:
+        data = f.read()
+    parsed = dh.parse_mp3(data, 0)
+    base = dp.decode_pcm(parsed, "float32")
+
+    # Pallas fused synthesis FIR
+    status = "skip (no TPU)"
+    try:
+        from mp3stego_tpu.ops import pallas_kernels as pk
+        if pk.available():
+            os.environ["MP3STEGO_TPU_PALLAS"] = "1"
+            dp._pallas_fir_enabled.cache_clear()
+            try:
+                out = dp.decode_pcm(parsed, "float32")
+                ok = np.allclose(out, base, atol=1e-6)
+                status = "PASS" if ok else "FAIL (mismatch vs XLA path)"
+            finally:
+                os.environ.pop("MP3STEGO_TPU_PALLAS", None)
+                dp._pallas_fir_enabled.cache_clear()
+    except Exception as e:  # noqa: BLE001
+        status = f"FAIL ({type(e).__name__}: {str(e)[:80]})"
+    DETAIL["pallas synthesis FIR"] = {"status": status}
+    print(f"# pallas synthesis FIR: {status}", file=sys.stderr)
+
+    # on-device Huffman sample decode (plan B) vs the host parser
+    try:
+        from mp3stego_tpu.ops import huffman_device as hd
+        pcm_dev, _ = hd.decode_pcm_device(data, 0)
+        ok = pcm_dev.shape == base.shape and np.allclose(pcm_dev, base,
+                                                         atol=1e-6)
+        status = "PASS" if ok else "FAIL (mismatch vs host-parse path)"
+    except Exception as e:  # noqa: BLE001
+        status = f"FAIL ({type(e).__name__}: {str(e)[:80]})"
+    DETAIL["device huffman decode"] = {"status": status}
+    print(f"# device huffman decode: {status}", file=sys.stderr)
+    _ = jax
+
+
+def main():
+    headline = bench_decode_fixture_batch()
+    bench_decode_long()
+    bench_decode_mixed()
+    bench_encode()
+    check_tpu_kernels()
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(DETAIL, f, indent=1)
     print(json.dumps({
-        "metric": "batched MP3 decode, end-to-end (host parse + TPU plane)",
-        "value": round(realtime_x, 1),
+        "metric": "batched MP3 decode, end-to-end (host parse + TPU plane); "
+                  "corpus + encode numbers in BENCH_DETAIL.json",
+        "value": round(headline, 1),
         "unit": "x realtime per chip",
-        "vs_baseline": round(realtime_x / 100.0, 3),
+        "vs_baseline": round(headline / 100.0, 3),
     }))
 
 
