@@ -196,6 +196,14 @@ def check_tpu_kernels():
         status = f"FAIL ({type(e).__name__}: {str(e)[:80]})"
     DETAIL["device huffman decode"] = {"status": status}
     print(f"# device huffman decode: {status}", file=sys.stderr)
+
+    # record the auto-selected Huffman-unpack backend (host C++ wins end-to-
+    # end whenever loadable; the device bit-scan covers toolchain-less hosts)
+    from mp3stego_tpu.models.decoder import _huffman_backend
+    sel = _huffman_backend("float32")
+    DETAIL["huffman backend auto-select"] = {"choice": sel}
+    print(f"# huffman backend auto-select (float32 path): {sel}",
+          file=sys.stderr)
     _ = jax
 
 

@@ -405,7 +405,7 @@ class ParsedMP3:
     num_frames: int = 0
     header: FrameHeader = None                    # first frame's header
     frame_sizes: np.ndarray = None                # (F,)
-    raw_samples: np.ndarray = None                # (F,2,2,576) float64
+    raw_samples: np.ndarray = None                # (F,2,2,576) int32
     # per-(frame,gr,ch) parameters for the numeric plane:
     block_type: np.ndarray = None                 # (F,2,2) int32
     mixed_block_flag: np.ndarray = None
@@ -469,7 +469,7 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
     F = fcount
     header_out = np.zeros(8, dtype=np.int32)
     p.frame_sizes = np.zeros(F, dtype=np.int64)
-    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.float64)
+    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.int32)
     z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
     arrs = {name: z(F, 2, 2) for name in
             ("block_type", "mixed_block_flag", "window_switching",
@@ -569,7 +569,7 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
         return p
     z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
     p.frame_sizes = np.array([f[2] for f in frames], dtype=np.int64)
-    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.float64)
+    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.int32)
     for name in ("block_type", "mixed_block_flag", "window_switching", "global_gain",
                  "scale_fac_scale", "pre_flag"):
         setattr(p, name, z(F, 2, 2))
@@ -654,7 +654,7 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
         return p, []
     z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
     p.frame_sizes = np.array([f[2] for f in frames], dtype=np.int64)
-    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.float64)
+    p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.int32)
     for name in ("block_type", "mixed_block_flag", "window_switching",
                  "global_gain", "scale_fac_scale", "pre_flag"):
         setattr(p, name, z(F, 2, 2))

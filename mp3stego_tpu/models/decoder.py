@@ -21,6 +21,27 @@ from mp3stego_tpu.bitstream.id3 import parse_id3
 from mp3stego_tpu.utils.wav import write_wav
 
 
+def _huffman_backend(precision: str) -> str:
+    """Which engine unpacks Huffman samples (SURVEY §7.3 plans A/B).
+
+    Measured end-to-end on the v5e chip: the C++ host parser beats the
+    on-device bit-scan at every batch size (the device scan's 432-step
+    sequential fori_loop is latency-bound, ~1ms/step on this link), but the
+    device scan beats the pure-PYTHON fallback by a wide margin. So: "host"
+    whenever the native library is loadable, "device" when it is not and the
+    TPU float32 plane is in use. MP3STEGO_TPU_DEVICE_HUFFMAN=1/0 overrides.
+    """
+    env = os.environ.get("MP3STEGO_TPU_DEVICE_HUFFMAN")
+    if env == "1":
+        return "device"
+    if env == "0":
+        return "host"
+    if precision != "float32":
+        return "host"   # the f64 parity plane is host NumPy end to end
+    from mp3stego_tpu import native
+    return "host" if native.get_lib() is not None else "device"
+
+
 class Decoder:
     """Decode an MP3 file into a WAV file (and optionally reveal hidden data).
 
@@ -81,22 +102,42 @@ class Decoder:
         from mp3stego_tpu.utils.profiling import StageTimer, byte_bar, trace
         timer = StageTimer(enabled=not quiet)
         start = time.time()
+        backend = _huffman_backend(self.__precision)
         with trace():
-            with timer.stage("bitstream parse (host)"):
-                bar = byte_bar(len(self.__data) - self.__offset,
-                               enabled=not quiet)
-                parsed = dh.parse_mp3(self.__data, self.__offset,
-                                      progress_cb=bar.update)
-                bar.close()
-                self.__parsed = parsed
-                self.output_bits = dh.stego_bits(parsed)
-                if parsed.header is None:
-                    # no sync word at all (the reference IndexErrors here)
-                    sys.exit(f"File {self.__file_path} is not a valid MP3 file.")
+            if backend == "device":
+                # plan B: host does only sync walk/side info/reservoir; the
+                # Huffman bit-scan and the numeric plane run on device
+                from mp3stego_tpu.ops import huffman_device as hd
+                with timer.stage("decode (device huffman)"):
+                    pcm_i16, parsed = hd.decode_pcm_i16_device(
+                        self.__data, self.__offset)
+                    self.__parsed = parsed
+                    self.output_bits = dh.stego_bits(parsed)
+                    if parsed.header is None:
+                        sys.exit(f"File {self.__file_path} is not a valid "
+                                 f"MP3 file.")
+            else:
+                with timer.stage("bitstream parse (host)"):
+                    bar = byte_bar(len(self.__data) - self.__offset,
+                                   enabled=not quiet)
+                    parsed = dh.parse_mp3(self.__data, self.__offset,
+                                          progress_cb=bar.update)
+                    bar.close()
+                    self.__parsed = parsed
+                    self.output_bits = dh.stego_bits(parsed)
+                    if parsed.header is None:
+                        # no sync word at all (the reference IndexErrors here)
+                        sys.exit(f"File {self.__file_path} is not a valid "
+                                 f"MP3 file.")
 
-            from mp3stego_tpu.ops import decode_plane as dp  # deferred jax
-            with timer.stage(f"numeric plane ({self.__precision})"):
-                pcm = dp.decode_pcm(parsed, self.__precision)
+                from mp3stego_tpu.ops import decode_plane as dp  # deferred jax
+                with timer.stage(f"numeric plane ({self.__precision})"):
+                    if self.__precision == "float64":
+                        pcm_i16 = (dp.decode_pcm(parsed, "float64")
+                                   * 32767).astype(np.int16)
+                    else:
+                        # fused device plane + int16 conversion (half fetch)
+                        pcm_i16 = dp.decode_pcm_i16(parsed)
         parsing_time = time.time() - start
         if not quiet:
             print('\nParsed', parsed.num_frames, 'frames in', parsing_time,
@@ -104,7 +145,7 @@ class Decoder:
 
         with timer.stage("wav write"):
             write_wav(self.__output_file_path, parsed.header.sampling_rate,
-                      (pcm * 32767).astype(np.int16))
+                      pcm_i16)
         if not quiet:
             timer.print_report()
         if not quiet:

@@ -80,8 +80,6 @@ def get_lib():
         p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-
         lib.mp3_count_frames.restype = i64
         lib.mp3_count_frames.argtypes = [p_u8, i64, i64, p_i32]
 
@@ -90,7 +88,7 @@ def get_lib():
             p_u8, i64, i64,
             p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
             i64,
-            p_i32, p_i64, p_f64,
+            p_i32, p_i64, p_i32,   # raw samples are integral (int32)
             p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
             p_i32, p_i32, p_i32, p_i32, p_u8,
         ]

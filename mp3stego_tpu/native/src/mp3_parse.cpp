@@ -280,8 +280,8 @@ struct Luts {
 
 void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
                     int sr_idx, int gr, int ch, int64_t bit, int64_t max_bit,
-                    const Luts& L, double* out) {
-  std::memset(out, 0, 576 * sizeof(double));
+                    const Luts& L, int32_t* out) {
+  std::memset(out, 0, 576 * sizeof(int32_t));
   const int32_t* long_win = L.band_index_long + sr_idx * 23;
 
   int region0, region1;
@@ -326,7 +326,7 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
         sign = peek_fast(md, md_len, bit, 1) ? -1 : 1;
         bit += 1;
       }
-      out[sample + i] = double(sign * (values[i] + linbit));
+      out[sample + i] = int32_t(sign * (values[i] + linbit));
     }
     sample += 2;
   }
@@ -461,7 +461,7 @@ int64_t mp3_parse(
     int64_t max_frames,
     int32_t* header_out,       // [8]: sr_idx, bitrate_kbps_x1000? see python
     int64_t* frame_sizes,      // [F]
-    double* raw,               // [F,2,2,576]
+    int32_t* raw,              // [F,2,2,576]
     int32_t* block_type,       // [F,2,2] each
     int32_t* mixed_block_flag, int32_t* window_switching, int32_t* global_gain,
     int32_t* scale_fac_scale, int32_t* pre_flag,

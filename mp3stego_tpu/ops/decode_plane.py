@@ -148,7 +148,7 @@ def host_prepare(p) -> dict:
     # Huffman sample plane as int8 + sparse int16 escapes: almost all values
     # are |x| <= 15; only linbits samples exceed int8. This halves (vs int16)
     # the dominant host->HBM transfer.
-    raw = to_ct(p.raw_samples).astype(np.int32)     # (2, T, 576)
+    raw = to_ct(p.raw_samples)                      # (2, T, 576) int32
     exc_ch, exc_t, exc_s = np.nonzero((raw > 127) | (raw < -128))
     exc_val = raw[exc_ch, exc_t, exc_s].astype(np.int16)
     raw_i8 = np.clip(raw, -128, 127).astype(np.int8)
@@ -542,14 +542,41 @@ def _pad_prep_granules(prep: dict, t_pad: int) -> dict:
     return out
 
 
-def _decode_call(prep, dtype):
+def _decode_call(prep, dtype, to_i16=False):
     from mp3stego_tpu.utils.transfer import fetch_pieces
     t = prep["raw_i8"].shape[1]
     t_pad = -(-t // _DEC_BUCKET) * _DEC_BUCKET
     if t_pad != t:
         prep = _pad_prep_granules(prep, t_pad)
     args = {k: jnp.asarray(prep[k]) for k in ALL_KEYS}
-    out = decode_granules(args, dtype_name=dtype)
+    if to_i16:
+        out = _decode_granules_i16(args)
+    else:
+        out = decode_granules(args, dtype_name=dtype)
     ch = out.shape[0]
     flat = fetch_pieces([out.reshape(ch * t_pad, 576)])[0]
     return flat.reshape(ch, t_pad, 576)[:, :t]
+
+
+@jax.jit
+def _decode_granules_i16(args):
+    """float32 plane + the WAV int16 conversion ON DEVICE (halves the fetch).
+    The two-step f32->i32->i16 cast reproduces numpy's
+    ``(pcm * 32767).astype(int16)`` (truncate toward zero, wrap mod 2^16)."""
+    pcm = decode_granules_impl(args, dtype_name="float32")
+    return (pcm * jnp.float32(32767)).astype(jnp.int32).astype(jnp.int16)
+
+
+def decode_pcm_i16(p) -> np.ndarray:
+    """ParsedMP3 -> interleaved int16 PCM (samples, channels): the float32
+    TPU path fused with the WAV conversion, fetched at half the bytes."""
+    if p.num_frames == 0:
+        return np.zeros((0, 2), np.int16)
+    prep = host_prepare(p)
+    pcm = _decode_call(prep, "float32", to_i16=True)
+    ch = p.header.channels
+    t = pcm.shape[1]
+    inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+    if p.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    return inter

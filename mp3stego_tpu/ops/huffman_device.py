@@ -214,6 +214,41 @@ def decode_raw_device(descriptors: list):
     return raw.reshape(t, 2, 576).transpose(1, 0, 2)
 
 
+def decode_pcm_i16_device(file_data: bytes, offset: int = 0):
+    """Full decode with the Huffman bit-scan ON DEVICE, fused with the WAV
+    int16 conversion (models/decoder.py's float32 path when the native host
+    parser is unavailable). Returns (int16 interleaved PCM, ParsedMP3)."""
+    import jax
+
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+    from mp3stego_tpu.utils.transfer import fetch_pieces
+
+    parsed, descriptors = dh.parse_mp3_light(file_data, offset)
+    if parsed.num_frames == 0:
+        return np.zeros((0, 2), np.int16), parsed
+    raw_dev = decode_raw_device(descriptors)       # (2, T, 576) resident
+
+    prep = dp.host_prepare(parsed)                 # raw fields unused
+    t = raw_dev.shape[1]
+    t_pad = -(-t // dp._DEC_BUCKET) * dp._DEC_BUCKET
+    if t_pad != t:
+        prep = dp._pad_prep_granules(prep, t_pad)
+        raw_dev = jnp.pad(raw_dev, ((0, 0), (0, t_pad - t), (0, 0)))
+    args = {k: jnp.asarray(prep[k]) for k in dp.ALL_KEYS
+            if k not in ("raw_i8",) + dp.EXC_KEYS}
+    args["raw_dense"] = raw_dev
+    out = dp._decode_granules_i16(args)
+    pcm = fetch_pieces([out.reshape(2 * t_pad, 576)])[0] \
+        .reshape(2, t_pad, 576)[:, :t]
+    ch = parsed.header.channels
+    inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+    if parsed.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    _ = jax
+    return inter, parsed
+
+
 def decode_pcm_device(file_data: bytes, offset: int = 0):
     """Full decode with the Huffman bit-scan ON DEVICE: host does only the
     sync walk, side info, reservoir splice and scalefactors. Returns
