@@ -195,11 +195,15 @@ class MP3Encoder:
         """Encode the full file: one device pass for analysis+MDCT, then the
         rate-control search and bitstream serialization (MP3_Encoder.py:596-618).
 
-        Three engines, all byte-identical:
-          * search plane (default, no hide): bisection + inner loop run ON
-            DEVICE for all granules at once (ops/search_plane);
-          * cost grid (hide mode): all-steps device costing + sequential host
-            replay (ops/quant_batch) — the stego bit cursor is sequential;
+        Engines, all byte-identical:
+          * search plane (default): bisection + inner loop run ON DEVICE for
+            all granules at once (ops/search_plane);
+          * hide hybrid (default with ``hide_str``): sequential host search
+            while the stego bit cursor is live (its position depends on every
+            earlier granule's table choices), then the plane for the rest of
+            the file;
+          * cost grid (MP3STEGO_TPU_SEARCH_PLANE=0): all-steps device costing
+            + sequential host replay (ops/quant_batch);
           * host oracle (``device_search=False``): pure NumPy reference twin.
         ``quiet=False`` shows frame progress and a per-stage timing report."""
         import os as _os
@@ -210,10 +214,13 @@ class MP3Encoder:
         num_frames = self._num_frames()
         if num_frames == 0:
             return
-        if (self.device_search and not self.hide_str
+        if (self.device_search
                 and _os.environ.get("MP3STEGO_TPU_SEARCH_PLANE", "1") != "0"):
             with trace():
-                self._encode_plane(num_frames, timer)
+                if self.hide_str:
+                    self._encode_hide_hybrid(num_frames, timer, quiet)
+                else:
+                    self._encode_plane(num_frames, timer)
             if not quiet:
                 timer.print_report()
             return
@@ -299,7 +306,8 @@ class MP3Encoder:
                                    / self.granules_per_frame))
         return paddings, mean_bits_f
 
-    def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int) -> int:
+    def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int,
+                    addr_seed=None) -> int:
         """Verify float-fallback (approx) evaluations against the exact host
         formula and redo flagged granules with the sequential oracle, carrying
         true cross-granule address state per (gr, ch) slot."""
@@ -335,7 +343,8 @@ class MP3Encoder:
         nf = tg // gpf
         for ch in range(nch):
             for gr in range(gpf):
-                addr = (0, 0, 0)
+                addr = (0, 0, 0) if addr_seed is None else \
+                    tuple(int(a) for a in addr_seed[gr, ch])
                 for f in range(nf):
                     g = ch * tg + f * gpf + gr
                     if g in rowmap:
@@ -382,7 +391,7 @@ class MP3Encoder:
         return scfsi.transpose(1, 0, 2)
 
     def _plane_finish(self, res: dict, en_tot_raw, en_raw, nf: int, paddings,
-                      mean_bits_f, tg: int):
+                      mean_bits_f, tg: int, step_seed=None):
         """Reservoir chain, stuffing, scfsi, global-gain slot chain and frame
         serialization from the plane's per-granule results."""
         gpf = self.granules_per_frame
@@ -404,9 +413,11 @@ class MP3Encoder:
         smask = searched.reshape(nch, nf, gpf)
         last = np.where(smask, np.arange(nf)[None, :, None], -1)
         np.maximum.accumulate(last, axis=1, out=last)
+        seed = np.zeros((nch, 1, gpf), np.int64) if step_seed is None \
+            else step_seed.reshape(nch, 1, gpf)
         carried = np.where(
             last >= 0,
-            np.take_along_axis(steps, np.maximum(last, 0), axis=1), 0)
+            np.take_along_axis(steps, np.maximum(last, 0), axis=1), seed)
         gg = carried + 210
 
         # reservoir chain + stuffing (exact float order, MP3_Encoder.py:812,
@@ -444,9 +455,17 @@ class MP3Encoder:
                             stuffing -= bits_this
                     self.resv_drain = stuffing  # never serialized (ref quirk)
 
-        # serialize every frame through the standard writers
-        zeros_mdct = np.zeros((nch, gpf, 576), np.int32)
+        # serialize: one batched native call for the whole file when the C
+        # library is available, else the per-frame python writers
         ix_l = res["ix"].reshape(nch, nf, gpf, 576)
+        from mp3stego_tpu import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "mp3_format_frames"):
+            self._plane_serialize_native(lib, res, p23, gg, scfsi_f, paddings,
+                                         ix_l, nf, tg)
+            return
+
+        zeros_mdct = np.zeros((nch, gpf, 576), np.int32)
         for f in range(nf):
             self.padding = int(paddings[f])
             if self.version == 3:
@@ -478,6 +497,149 @@ class MP3Encoder:
             self._format_bitstream(zeros_mdct)
             self.out_buffer += self.bw.take_frame()
         self.out_buffer += self.bw.take_frame()
+
+    def _plane_serialize_native(self, lib, res, p23, gg, scfsi_f, paddings,
+                                ix_l, nf, tg):
+        """Whole-file serialization in ONE C call (mp3_format_frames): all
+        per-frame side info is assembled as vectorized arrays, so no Python
+        per-frame loop remains on the encode path."""
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+
+        def lanes_to_fgc(a):
+            # (nch*tg,) lane layout -> (nf, gpf, nch)
+            return np.moveaxis(a.reshape(nch, nf, gpf), 0, 2)
+
+        gi = np.zeros((nf, 2, 2, 11), np.int64)
+        gi[:, :gpf, :nch, 0] = lanes_to_fgc(p23).astype(np.int64)
+        gi[:, :gpf, :nch, 1] = lanes_to_fgc(res["bv"])
+        gi[:, :gpf, :nch, 2] = np.moveaxis(gg, 0, 2)
+        gi[:, :gpf, :nch, 4] = lanes_to_fgc(res["r0c"])
+        gi[:, :gpf, :nch, 5] = lanes_to_fgc(res["r1c"])
+        gi[:, :gpf, :nch, 8] = lanes_to_fgc(res["cts"])
+        gi[:, :gpf, :nch, 9] = lanes_to_fgc(res["c1"])
+
+        ts = np.zeros((nf, 2, 2, 3), np.int32)
+        for r, key in enumerate(("ch0", "ch1", "ch2")):
+            ts[:, :gpf, :nch, r] = lanes_to_fgc(res[key])
+        sfl = np.zeros((nf, 2, 2, 22), np.int32)
+        scfsi = np.zeros((nf, 2, 4), np.int32)
+        if self.version == 3 and scfsi_f is not None:
+            scfsi[:, :nch] = scfsi_f[:, :nch]
+        l3 = np.zeros((nf, 2, 2, 576), np.int32)
+        l3[:, :nch, :gpf] = np.moveaxis(ix_l, 0, 1)
+
+        out = np.zeros(nf * 2016 + 4096, np.uint8)
+        # continue the persistent 32-bit bitstream cache when a sequential
+        # head already serialized frames (hide hybrid): up to 3 of its bytes
+        # are still cached and flush into the first tail word. Residual bits
+        # at EOF are dropped — the reference's __flush does the same
+        # (MP3_Encoder.py:1549-1552).
+        if self._nat_ser and getattr(self, "_nat_cache", None) is not None:
+            cache, cache_bits = self._nat_cache, self._nat_cache_bits
+        else:
+            cache = np.zeros(1, dtype=np.uint32)
+            cache_bits = np.full(1, 32, dtype=np.int32)
+        written = lib.mp3_format_frames(
+            cache, cache_bits, out, len(out), nf,
+            self.version, self.layer, self.crc, self.bitrate_index,
+            self.samplerate_index % 3,
+            np.ascontiguousarray(np.asarray(paddings, np.int32)),
+            self.ext, self.mode, self.mode_ext, self.copyright,
+            self.original, self.emphasis, self.private_bits, nch, gpf,
+            np.ascontiguousarray(scfsi.reshape(-1)),
+            np.ascontiguousarray(gi.reshape(-1)),
+            np.ascontiguousarray(ts.reshape(-1)),
+            np.ascontiguousarray(sfl.reshape(-1)),
+            _slen1_i32(), _slen2_i32(),
+            np.ascontiguousarray(l3.reshape(-1)),
+            _huff_code_u32(), _huff_len_u8(), _linbits_i32(),
+            _band_row_i32(self.samplerate_index))
+        if written < 0:
+            raise RuntimeError("native serializer buffer overflow")
+        self.out_buffer += out[:written].tobytes()
+
+    def _encode_hide_hybrid(self, num_frames: int, timer, quiet: bool):
+        """Hide-mode encode: the embedded-bit cursor advances by the number of
+        nonzero table selections per granule (MP3_Encoder.py:808-809), so
+        granule searches are order-dependent WHILE bits remain to embed. Run
+        the exact sequential search frame by frame until the cursor exhausts,
+        then hand the remaining frames to the device search plane, seeding its
+        cross-granule carries (stale addresses, quantizerStepSize slot chain)
+        from the boundary state."""
+        import jax.numpy as jnp
+
+        from mp3stego_tpu.ops import encode_plane
+        from mp3stego_tpu.ops import search_plane as SP
+
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        tg = num_frames * gpf
+
+        with timer.stage("analysis+mdct (device)"):
+            streams = self._channel_streams(num_frames)
+            mdct_dev = encode_plane.run_analysis_device(streams, tg)
+            xr_dev = mdct_dev.reshape(-1, 576)
+
+        # head: sequential exact search while the cursor is live; spectra
+        # rows are fetched in blocks
+        self._cost = None
+        block = {}
+        blk_n = 32
+        f = 0
+        with timer.stage("hide head (host search)"):
+            while f < num_frames and self.hide_str_offset < len(self.hide_str):
+                if f not in block:
+                    lo = f
+                    hi = min(num_frames, f + blk_n)
+                    lanes = np.concatenate(
+                        [ch * tg + np.arange(lo * gpf, hi * gpf)
+                         for ch in range(nch)])
+                    rows = SP.fetch_rows(xr_dev, lanes)
+                    rows = rows.reshape(nch, (hi - lo) * gpf, 576)
+                    block = {lo + i: rows[:, i * gpf:(i + 1) * gpf]
+                             for i in range(hi - lo)}
+                self._encode_frame(block.pop(f))
+                self.out_buffer += self.bw.take_frame()
+                f += 1
+        if f == num_frames:
+            self.out_buffer += self.bw.take_frame()
+            return
+
+        # tail: device plane over the remaining frames, carries seeded
+        nf_t = num_frames - f
+        tg_t = nf_t * gpf
+        lanes = np.concatenate(
+            [ch * tg + np.arange(f * gpf, num_frames * gpf)
+             for ch in range(nch)])
+        xr_tail = xr_dev[jnp.asarray(lanes)]
+        paddings, mean_bits_f = self._plane_framing(nf_t)
+        maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                            Q.MAX_BITS_ALLOWANCE)
+        max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
+
+        addr_seed = np.zeros((gpf, nch, 3), np.int64)
+        step_seed = np.zeros((nch, gpf), np.int64)
+        for gr in range(gpf):
+            for ch in range(nch):
+                gi = self.gr_info[gr][ch]
+                addr_seed[gr, ch] = (gi.address1, gi.address2, gi.address3)
+                step_seed[ch, gr] = gi.quantizerStepSize
+
+        with timer.stage("rate search (device)"):
+            res = SP.search_all(xr_tail, max_bits_lanes,
+                                self.samplerate_index)
+        en_tot_raw = en_raw = None
+        if self.version == 3:
+            with timer.stage("scfsi sums (device)"):
+                en_tot_raw, en_raw = SP.scfsi_sums(xr_tail,
+                                                   self.samplerate_index)
+        with timer.stage("verify+redo (host)"):
+            self._plane_redo(res, xr_tail, max_bits_lanes, tg_t,
+                             addr_seed=addr_seed)
+        with timer.stage("assemble+serialize (host)"):
+            self._plane_finish(res, en_tot_raw, en_raw, nf_t, paddings,
+                               mean_bits_f, tg_t, step_seed=step_seed)
 
     # ------------------------------------------------------------- frame logic
 

@@ -103,6 +103,15 @@ def get_lib():
             p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
             p_u32, p_u8, p_i32, p_i32,
         ]
+        lib.mp3_format_frames.restype = i64
+        lib.mp3_format_frames.argtypes = [
+            p_u32, p_i32, p_u8, i64,
+            i64,
+            i32, i32, i32, i32, i32, p_i32, i32, i32,
+            i32, i32, i32, i32, i32, i32, i32,
+            p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
+            p_u32, p_u8, p_i32, p_i32,
+        ]
         _lib = lib
         return _lib
 

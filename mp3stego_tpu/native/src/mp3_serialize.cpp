@@ -223,4 +223,38 @@ int64_t mp3_format_frame(
   return bs.pos <= out_cap ? bs.pos : -1;
 }
 
+// Serialize a whole file's frames in one call (the search-plane encode path,
+// models/encoder.py::_plane_finish): per-frame state comes as arrays with a
+// leading frame axis, eliminating the per-frame Python marshalling loop.
+// Returns total bytes written, or -1 on overflow.
+int64_t mp3_format_frames(
+    uint32_t* cache, int32_t* cache_bits, uint8_t* out, int64_t out_cap,
+    int64_t num_frames,
+    int32_t version, int32_t layer, int32_t crc, int32_t bitrate_index,
+    int32_t sr_mod3, const int32_t* paddings, int32_t ext, int32_t mode,
+    int32_t mode_ext, int32_t copyright, int32_t original, int32_t emphasis,
+    int32_t private_bits, int32_t nch, int32_t granules,
+    const int32_t* scfsi,          // [F][2][4]
+    const int64_t* gi,             // [F][gr][ch][F_NFIELDS]
+    const int32_t* table_select,   // [F][gr][ch][3]
+    const int32_t* sfl,            // [F][gr][ch][22]
+    const int32_t* slen1_tab, const int32_t* slen2_tab,
+    const int32_t* l3_enc,         // [F][ch][2][576]
+    const uint32_t* huff_code, const uint8_t* huff_len,
+    const int32_t* huff_linbits, const int32_t* band) {
+  int64_t total = 0;
+  for (int64_t f = 0; f < num_frames; ++f) {
+    int64_t w = mp3_format_frame(
+        cache, cache_bits, out + total, out_cap - total,
+        version, layer, crc, bitrate_index, sr_mod3, paddings[f], ext, mode,
+        mode_ext, copyright, original, emphasis, private_bits, nch, granules,
+        scfsi + f * 8, gi + f * 2 * 2 * F_NFIELDS, table_select + f * 12,
+        sfl + f * 2 * 2 * 22, slen1_tab, slen2_tab, l3_enc + f * 2 * 2 * 576,
+        huff_code, huff_len, huff_linbits, band);
+    if (w < 0) return -1;
+    total += w;
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -162,9 +162,10 @@ def test_plane_multirate(tmp_path, stego_golden):
             _encode_bytes(str(wav), br, plane=False), (sr, br)
 
 
-def test_hide_mode_keeps_grid_path(tmp_path, stego_golden):
-    """hide_str forces the sequential stego-cursor path; output must match
-    the committed hide golden."""
+def test_hide_hybrid_matches_golden(tmp_path, stego_golden):
+    """hide_str routes through the hide hybrid (sequential head while the
+    stego cursor is live, device plane tail); output must match the committed
+    hide golden byte for byte."""
     wav = tmp_path / "fx.wav"
     wav.write_bytes(stego_golden["wav_bytes"].tobytes())
     from mp3stego_tpu.steganography import _frame_message
@@ -175,3 +176,49 @@ def test_hide_mode_keeps_grid_path(tmp_path, stego_golden):
     assert too_long is False
     assert (tmp_path / "h.mp3").read_bytes() == \
         stego_golden["hidden_short"].tobytes()
+
+
+def test_hide_hybrid_matches_grid_long(tmp_path):
+    """Hide into a longer file: hybrid (default) vs the grid replay engine
+    must agree byte for byte, including the head->tail bitstream-cache
+    handoff and the seeded cross-granule carries."""
+    from mp3stego_tpu.steganography import _frame_message
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(17)
+    sr = 44100
+    t = np.arange(3 * sr)
+    sig = 0.5 * np.sin(2 * np.pi * 500 * t / sr) \
+        + 0.15 * rng.standard_normal(len(t))
+    pcm = np.clip(sig * 24000, -32768, 32767).astype(np.int16)
+    wav = tmp_path / "l.wav"
+    write_wav(str(wav), sr, np.stack([pcm, -pcm], axis=1))
+    bits = _frame_message("covert message")
+    w1 = read_wav(str(wav), 128)
+    e1 = MP3Encoder(w1, hide_str=bits)
+    e1.encode(quiet=True)
+    os.environ["MP3STEGO_TPU_SEARCH_PLANE"] = "0"
+    try:
+        w2 = read_wav(str(wav), 128)
+        e2 = MP3Encoder(w2, hide_str=bits)
+        e2.encode(quiet=True)
+    finally:
+        os.environ.pop("MP3STEGO_TPU_SEARCH_PLANE", None)
+    assert bytes(e1.out_buffer) == bytes(e2.out_buffer)
+    assert e1.hide_str_offset == e2.hide_str_offset
+
+
+def test_hide_hybrid_too_long(tmp_path, stego_golden):
+    """A message longer than the file's capacity keeps the sequential head
+    for the whole file (the cursor never exhausts) and must reproduce the
+    reference's too-long output."""
+    from mp3stego_tpu.steganography import _frame_message
+
+    wav = tmp_path / "fx.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    e = Encoder(str(wav), str(tmp_path / "t.mp3"), bitrate=320,
+                hide_str=_frame_message("ddd" * 100))
+    too_long = e.encode(quiet=True)
+    assert too_long is True
+    assert (tmp_path / "t.mp3").read_bytes() == \
+        stego_golden["hidden_toolong"].tobytes()
