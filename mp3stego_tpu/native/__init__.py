@@ -103,6 +103,13 @@ def get_lib():
             p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
             p_u32, p_u8, p_i32, p_i32,
         ]
+        p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.pack_raw_plane.restype = i64
+        lib.pack_raw_plane.argtypes = [
+            p_i32, i64, p_i8, p_i32, p_i8, p_i16, p_i16, i64,
+        ]
+
         lib.mp3_format_frames.restype = i64
         lib.mp3_format_frames.argtypes = [
             p_u32, p_i32, p_u8, i64,

@@ -76,7 +76,8 @@ def decode_batch_device(batch: dict, mesh: Mesh = None,
         spec = NamedSharding(mesh, P("files"))
         put = lambda a: jax.device_put(_pad_files(a, n_shard), spec)  # noqa: E731
     else:
-        put = jnp.asarray
+        from mp3stego_tpu.utils.transfer import put_pieces
+        put = put_pieces
     args = {k: put(batch[k]) for k in dp.ALL_KEYS}
     out = _decode_batch(args, dtype_name=dtype)
     return out[:batch["num_files"]]
@@ -124,8 +125,9 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
 
     results = [None] * len(paths)
     if preps:
+        from mp3stego_tpu.utils.transfer import fetch_pieces
         batch = prepare_batch(preps)
-        out = np.asarray(decode_batch_device(batch, mesh, dtype))
+        out = fetch_pieces([decode_batch_device(batch, mesh, dtype)])[0]
         j = 0
         for i in range(len(paths)):
             if i in failures:

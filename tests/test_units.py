@@ -199,3 +199,30 @@ def test_fuzz_native_matches_python_on_corrupt_streams():
                     getattr(p_py, f_), getattr(p_nat, f_),
                     err_msg=f"trial {trial} field {f_}")
             assert p_py.duplicate_last_pcm == p_nat.duplicate_last_pcm
+
+
+def test_native_raw_pack_matches_numpy_oracle(fixture_mp3):
+    """raw_pack.cpp (fused int8 plane + exception pack) vs the NumPy pack in
+    host_prepare. Exception order is t-major in C++ vs ch-major in NumPy —
+    downstream is an unordered scatter, so compare sorted."""
+    from mp3stego_tpu import native
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    with open(fixture_mp3, "rb") as f:
+        data = f.read()
+    parsed = dh.parse_mp3(data, 0)
+    # inject linbits-scale magnitudes so the exception path is exercised
+    parsed.raw_samples[3, 1, 0, 17] = 2081
+    parsed.raw_samples[5, 0, 1, 530] = -8206
+    parsed.raw_samples[5, 0, 1, 531] = -128   # int8 boundary: NOT an exception
+    parsed.raw_samples[7, 1, 1, 0] = 128      # just past the boundary: is one
+    a = dp.host_prepare(parsed, native_pack=True)
+    b = dp.host_prepare(parsed, native_pack=False)
+    np.testing.assert_array_equal(a["raw_i8"], b["raw_i8"])
+    assert len(a["exc_t"]) == len(b["exc_t"]) >= 3
+    ka = np.lexsort((a["exc_s"], a["exc_t"], a["exc_ch"]))
+    kb = np.lexsort((b["exc_s"], b["exc_t"], b["exc_ch"]))
+    for k in ("exc_t", "exc_ch", "exc_s", "exc_val"):
+        np.testing.assert_array_equal(a[k][ka], b[k][kb], err_msg=k)
