@@ -36,11 +36,9 @@ def _tab_select(ix, gi):
         Q.choose_table(ix, gi.address2, gi.big_values << 1)
 
 
-def verify_cells(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
-    """Exact bits for M (row, step) cells; also returns per-cell big_values
-    (cells with bv == 0 are address-dependent and cannot be verified without
-    the trajectory's address state — callers treat them as mismatches).
-    Cells that bail or overflow ixmax report bits=100000, bv=-1."""
+def verify_cells_loop(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
+    """Per-cell reference twin of :func:`verify_cells` (kept as the oracle for
+    its batched rewrite; ~0.8 ms/cell of Python overhead)."""
     m = len(steps)
     bits = np.zeros(m, np.int64)
     bvs = np.full(m, -1, np.int64)
@@ -55,6 +53,152 @@ def verify_cells(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
         b, gi = _cost_exact(ix, (0, 0, 0), sr_idx)
         bits[i] = b
         bvs[i] = gi.big_values
+    return bits, bvs
+
+
+def _quantize_batch(rows: np.ndarray, steps: np.ndarray):
+    """Vectorized exact quantize for M (row, step) cells (MP3_Encoder.py:
+    373-415): int LUT region + float64 fallback, int32-wrapped bail check.
+    Returns (ix (M,576) int32, ix_max (M,), bail (M,) bool)."""
+    steps = np.asarray(steps, np.int64)
+    scalei = Q.STEPTABI[steps + 127].astype(np.int64)            # (M,)
+    labs = np.abs(rows.astype(np.int64))
+    xrmax = np.maximum(labs.max(axis=1), 0)
+    mr = (xrmax * scalei + 2147483648) >> 32
+    mr = ((mr + 2**31) % 2**32) - 2**31                          # mulr wrap
+    bail = mr > 165140                                           # 8192**(4/3)
+    ln = ((labs * scalei[:, None] + 2147483648) >> 32).astype(np.int32)
+    small = ln < 10000
+    ix = Q.INT2IDX[np.minimum(ln, 9999)].astype(np.int32)
+    if not small.all():
+        scale = Q.STEPTAB[steps + 127]                           # (M,) f64
+        dbl = np.abs(rows).astype(np.float64) * scale[:, None] \
+            * 4.656612875e-10
+        ixa = np.sqrt(np.sqrt(dbl) * dbl).astype(np.int32)
+        ix = np.where(small, ix, ixa)
+    ix_max = np.maximum(ix.max(axis=1), 0)
+    return ix, ix_max, bail
+
+
+def _cost_batch(ix: np.ndarray, sr_idx: int):
+    """Vectorized exact cost for M granule rows with addr_in == 0: run lengths
+    -> count1 -> subdivide -> table select -> bits. NumPy twin of the device
+    body (ops/search_plane._cost, itself oracle-verified); direct gathers
+    replace the device's one-hot reductions. Returns (bits (M,), bv (M,))."""
+    from mp3stego_tpu import tables as T
+    m, _ = ix.shape
+    pos = np.arange(576, dtype=np.int32)
+    nz = ix != 0
+    any_nz = nz.any(axis=1)
+    last = np.max(np.where(nz, pos, -1), axis=1)
+    i0 = np.where(any_nz, ((last + 2) >> 1) << 1, 0)
+    lim = np.max(np.where(ix > 1, pos + 1, 0), axis=1)
+    c1 = np.maximum(0, np.minimum((i0 - lim) // 4, i0 // 4))
+    bvr = i0 - 4 * c1
+    bv = bvr >> 1
+
+    # count1 quads in both alignments (region starts at bvr mod 4)
+    def quad_costs(vals):
+        sb = (vals != 0).sum(axis=-1).astype(np.int64)
+        p = np.clip(vals[..., 0] + (vals[..., 1] << 1)
+                    + (vals[..., 2] << 2) + (vals[..., 3] << 3), 0, 15)
+        return Q._QLEN0[p] + sb, Q._QLEN1[p] + sb
+
+    qe0, qe1 = quad_costs(ix.reshape(m, 144, 4))
+    qo0, qo1 = quad_costs(ix[:, 2:574].reshape(m, 143, 4))
+    qidx_e = np.arange(144, dtype=np.int32)
+    qidx_o = np.arange(143, dtype=np.int32)
+    first_e = bvr >> 2
+    first_o = (bvr - 2) >> 2
+    me = ((qidx_e[None, :] >= first_e[:, None])
+          & (qidx_e[None, :] < first_e[:, None] + c1[:, None]))
+    mo = ((qidx_o[None, :] >= first_o[:, None])
+          & (qidx_o[None, :] < first_o[:, None] + c1[:, None]))
+    even = (bvr & 3) == 0
+    sum0 = np.where(even, np.where(me, qe0, 0).sum(axis=1),
+                    np.where(mo, qo0, 0).sum(axis=1))
+    sum1 = np.where(even, np.where(me, qe1, 0).sum(axis=1),
+                    np.where(mo, qo1, 0).sum(axis=1))
+
+    # subdivide (addresses 0 when big_values == 0, matching addr_in == 0)
+    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int64)      # (23,)
+    subdv = T.SUBDV_TABLE.astype(np.int64)
+    scfb_anz = (band[None, :] < bvr[:, None]).sum(axis=1)
+    kmax = (band[None, :] <= bvr[:, None]).sum(axis=1) - 1
+    sd = subdv[np.clip(scfb_anz, 0, 22)]
+    tc0 = np.maximum(0, np.minimum(sd[:, 0], kmax - 1))
+    a1n = band[tc0 + 1]
+    tc1 = np.maximum(0, np.minimum(sd[:, 1], kmax - (tc0 + 1) - 1))
+    a2n = band[np.clip(tc0 + 1 + tc1 + 1, 0, 22)]
+    has_bv = bv > 0
+    a1 = np.where(has_bv, a1n, 0)
+    a2 = np.where(has_bv, a2n, 0)
+    a3 = np.where(has_bv, bvr, 0)
+
+    # per-pair cost channels under the 4 representative tables
+    x = ix[:, 0::2].astype(np.int64)
+    y = ix[:, 1::2].astype(np.int64)
+    xc = np.minimum(x, 15)
+    yc = np.minimum(y, 15)
+    signs = (x != 0).astype(np.int64) + (y != 0).astype(np.int64)
+    nesc = (x > 14).astype(np.int64) + (y > 14).astype(np.int64)
+    ch13 = Q._HLEN[13][xc, yc] + signs
+    ch15 = Q._HLEN[15][xc, yc] + signs
+    ch16 = Q._HLEN[16][xc, yc] + signs
+    ch24 = Q._HLEN[24][xc, yc] + signs
+
+    ppos = pos[0::2]
+    starts = np.stack([np.zeros_like(a1), a1, a2], axis=-1)      # (M,3)
+    ends = np.stack([a1, a2, bvr], axis=-1)
+    pm = ((ppos[None, None, :] >= starts[..., None])
+          & (ppos[None, None, :] < ends[..., None]))             # (M,3,288)
+
+    def rsum(chan):
+        return np.where(pm, chan[:, None, :], 0).sum(axis=-1)
+
+    rc13, rc15, rc16, rc24, rnesc = (rsum(c_) for c_ in
+                                     (ch13, ch15, ch16, ch24, nesc))
+    sm = ((pos[None, None, :] >= starts[..., None])
+          & (pos[None, None, :] < ends[..., None]))
+    mreg = np.max(np.where(sm, ix[:, None, :], 0), axis=-1)      # (M,3)
+
+    linmax = T.HUFF_LINMAX.astype(np.int64)
+    linbits = T.HUFF_LINBITS.astype(np.int64)
+    nl_cost = np.where(rc15 <= rc13, rc15, rc13)
+    ixm = mreg - 15
+    t16 = 15 + (linmax[None, None, 15:24] < ixm[..., None]).sum(axis=-1)
+    t24 = 24 + (linmax[None, None, 24:32] < ixm[..., None]).sum(axis=-1)
+    cost16 = np.where(t16 == 15, rc15,
+                      rc16 + linbits[np.clip(t16, 0, 31)] * rnesc)
+    cost24 = rc24 + linbits[np.clip(t24, 24, 31)] * rnesc
+    esc_cost = np.where(cost24 < cost16, cost24, cost16)
+    esc_choice = np.where(cost24 < cost16, t24, t16)
+    choice = np.where(mreg == 0, 0, np.where(mreg < 15,
+                                             np.where(rc15 <= rc13, 15, 13),
+                                             esc_choice))
+    rcost = np.where(mreg == 0, 0, np.where(mreg < 15, nl_cost, esc_cost))
+    active = np.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
+    rcost = np.where(active & (choice != 0), rcost, 0)
+    bits = rcost.sum(axis=-1) + np.minimum(sum0, sum1)
+    return bits.astype(np.int64), bv.astype(np.int64)
+
+
+def verify_cells(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
+    """Exact bits for M (row, step) cells; also returns per-cell big_values
+    (cells with bv == 0 are address-dependent and cannot be verified without
+    the trajectory's address state — callers treat them as mismatches).
+    Cells that bail or overflow ixmax report bits=100000, bv=-1.
+
+    Vectorized over cells (one NumPy pass instead of M Python evaluations);
+    tests/test_search_plane.py pins equality with :func:`verify_cells_loop`."""
+    m = len(steps)
+    if m == 0:
+        return np.zeros(0, np.int64), np.full(0, -1, np.int64)
+    ix, ix_max, bail = _quantize_batch(np.asarray(xr_rows, np.int32), steps)
+    bits, bvs = _cost_batch(ix, sr_idx)
+    dead = bail | (ix_max > Q.MAX_QUANTIZE_STEP)
+    bits = np.where(dead, 100000, bits)
+    bvs = np.where(dead, -1, bvs)
     return bits, bvs
 
 

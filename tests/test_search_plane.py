@@ -222,3 +222,52 @@ def test_hide_hybrid_too_long(tmp_path, stego_golden):
     assert too_long is True
     assert (tmp_path / "t.mp3").read_bytes() == \
         stego_golden["hidden_toolong"].tobytes()
+
+
+def test_search_all_wide_lane_int8_packing():
+    """search_all ships ix as an int8 plane + re-gathered wide lanes
+    (_search_chunk_packed); lanes with |ix| > 127 (linbits-scale values) must
+    come back at full int16 width, boundary values unclipped."""
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.ops import quant_np
+    from mp3stego_tpu.ops import search_plane as SP
+
+    rng = np.random.default_rng(11)
+    n = SP.CHUNK
+    xr = _random_lanes(rng, n, 24)
+    # a near-pure tone: energy in few lines -> large quantized magnitudes
+    xr[2] = 0
+    xr[2, :8] = np.array([1 << 26, -(1 << 26), 1 << 25, -(1 << 24),
+                          1 << 23, 1 << 22, 1 << 21, 1 << 20])
+    max_bits = np.full(n, 4000, np.int32)
+    res = SP.search_all(jnp.asarray(xr), max_bits, sr_idx=0)
+    assert (np.abs(res["ix"][2]) > 127).any(), "probe lane must be wide"
+    wide = np.flatnonzero((np.abs(res["ix"]) > 127).any(axis=1))
+    checked = 0
+    for g in wide[:8]:
+        if res["flags"][g] or res["xrmax0"][g]:
+            continue
+        r = quant_np.oracle_search(xr[g], int(max_bits[g]), (0, 0, 0), 0)
+        np.testing.assert_array_equal(res["ix"][g], r["ix"])
+        checked += 1
+    assert checked >= 1
+
+
+def test_verify_cells_batched_matches_loop():
+    """The vectorized verify_cells must equal the per-cell loop twin on rows
+    spanning the LUT region, the float64-fallback region, bail cells, and
+    bv==0 cells."""
+    from mp3stego_tpu.ops import quant_np
+
+    rng = np.random.default_rng(23)
+    rows = _random_lanes(rng, 96, 30)
+    rows[3] = 0                                     # silent -> bv == 0
+    rows[4, :8] = np.array([1 << 30, -(1 << 30), 1 << 29, 1 << 28,
+                            1 << 27, 1 << 26, 1 << 25, 1 << 24])  # bail-ish
+    steps = rng.integers(-120, 1, size=96).astype(np.int64)
+    for sr_idx in (0, 1, 2):
+        b1, v1 = quant_np.verify_cells(rows, steps, sr_idx)
+        b0, v0 = quant_np.verify_cells_loop(rows, steps, sr_idx)
+        np.testing.assert_array_equal(b1, b0, err_msg=f"bits sr={sr_idx}")
+        np.testing.assert_array_equal(v1, v0, err_msg=f"bv sr={sr_idx}")
