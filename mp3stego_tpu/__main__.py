@@ -76,8 +76,6 @@ def main(argv=None):
     elif args.op == "decode-batch":
         import os
 
-        import numpy as np
-
         from mp3stego_tpu.bitstream import decoder_host as dh
         from mp3stego_tpu.bitstream.id3 import parse_id3
         from mp3stego_tpu.parallel import decode_files_batched
@@ -93,7 +91,8 @@ def main(argv=None):
         skipped = len(args.inputs) - len(inputs)
         if skipped:
             print(f"resume: skipping {skipped} already-decoded file(s)")
-        pcms = decode_files_batched(inputs, errors="isolate") if inputs else []
+        pcms = decode_files_batched(inputs, errors="isolate",
+                                    out="int16") if inputs else []
         rc = 0
         for path, pcm in zip(inputs, pcms):
             if isinstance(pcm, Exception):
@@ -106,7 +105,7 @@ def main(argv=None):
             off = id3.offset if id3.is_valid else 0
             rate = dh.parse_header(*data[off:off + 4]).sampling_rate or 44100
             out = out_of(path)
-            write_wav(out, rate, (pcm * 32767).astype(np.int16))
+            write_wav(out, rate, pcm)   # already int16 (device-fused)
             print(f"{path} -> {out}")
         return rc
     elif args.op == "encode-batch":

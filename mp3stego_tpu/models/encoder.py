@@ -183,13 +183,19 @@ class MP3Encoder:
         """(nch, F*1152) int32<<16 streams. The reference's two-cursor interleaved
         stepping (WAV_Reader.py:160-164, buffer_pos starts {0:0,1:1}, +2 per read)
         reduces to stream[c, t] = buffer[c + 2t]."""
+        return self._channel_streams_i16(num_frames).astype(np.int32) << 16
+
+    def _channel_streams_i16(self, num_frames: int) -> np.ndarray:
+        """(nch, F*1152) raw int16 streams — the device plane upshifts by 16
+        on chip (encode_plane.analysis_mdct_i16), so the PCM upload crosses
+        the link at half the bytes of the int32<<16 form."""
         nch = self.wav.num_of_channels
         need = num_frames * self.granules_per_frame * 576
-        out = np.zeros((nch, need), dtype=np.int32)
+        out = np.zeros((nch, need), dtype=np.int16)
         for c in range(nch):
-            s = self.wav.buffer[c::2][:need].astype(np.int32)
+            s = self.wav.buffer[c::2][:need]
             out[c, :len(s)] = s
-        return out << 16
+        return out
 
     def encode(self, quiet: bool = True):
         """Encode the full file: one device pass for analysis+MDCT, then the
@@ -268,7 +274,7 @@ class MP3Encoder:
         tg = num_frames * gpf
 
         with timer.stage("analysis+mdct (device)"):
-            streams = self._channel_streams(num_frames)
+            streams = self._channel_streams_i16(num_frames)
             mdct_dev = encode_plane.run_analysis_device(streams, tg)
             xr_dev = mdct_dev.reshape(-1, 576)   # lane g = ch*tg + f*gpf + gr
 
@@ -577,7 +583,7 @@ class MP3Encoder:
         tg = num_frames * gpf
 
         with timer.stage("analysis+mdct (device)"):
-            streams = self._channel_streams(num_frames)
+            streams = self._channel_streams_i16(num_frames)
             mdct_dev = encode_plane.run_analysis_device(streams, tg)
             xr_dev = mdct_dev.reshape(-1, 576)
 

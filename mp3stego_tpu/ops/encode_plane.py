@@ -89,6 +89,18 @@ def analysis_mdct(pcm):
     return freq.reshape(ch, tg, 576)
 
 
+@jax.jit
+def analysis_mdct_i16(pcm_i16):
+    """analysis_mdct fed by raw int16 PCM, upshifted on device: the <<16 is
+    free next to the link cost, so the PCM upload crosses at half the bytes."""
+    return analysis_mdct(pcm_i16.astype(jnp.int32) << 16)
+
+
+def _analysis_call(pcm_dev):
+    return (analysis_mdct_i16(pcm_dev) if pcm_dev.dtype == jnp.int16
+            else analysis_mdct(pcm_dev))
+
+
 _CHUNK_G = 128       # granules per dispatch for small files (fixed shape)
 _CHUNK_G_BIG = 1024  # for long files: fewer host<->device round trips
 
@@ -106,17 +118,17 @@ def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
     """
     ch, n = pcm_ch.shape
     need = num_granules * 576
-    pad_front = np.zeros((ch, _PAST), dtype=np.int32)
+    pad_front = np.zeros((ch, _PAST), dtype=pcm_ch.dtype)
     if n < need:
         pcm_ch = np.concatenate(
-            [pcm_ch, np.zeros((ch, need - n), dtype=np.int32)], axis=1)
+            [pcm_ch, np.zeros((ch, need - n), dtype=pcm_ch.dtype)], axis=1)
     else:
         pcm_ch = pcm_ch[:, :need]
     full = np.concatenate([pad_front, pcm_ch], axis=1)
 
     cg = _an_chunk(num_granules)
     if num_granules <= cg + 1:
-        out = analysis_mdct(_pad_to(full, _PAST + (cg + 1) * 576))
+        out = _analysis_call(_pad_to(full, _PAST + (cg + 1) * 576))
         return np.asarray(out)[:, :num_granules]
 
     pending = []
@@ -126,7 +138,7 @@ def run_analysis(pcm_ch: np.ndarray, num_granules: int) -> np.ndarray:
         s = max(0, a - 1)                       # 1 granule of MDCT context
         e = min(num_granules, s + cg + 1)
         sl = full[:, s * 576: e * 576 + _PAST]  # front 480 = history before s
-        pending.append(analysis_mdct(_pad_to(sl, _PAST + (cg + 1) * 576)))
+        pending.append(_analysis_call(_pad_to(sl, _PAST + (cg + 1) * 576)))
         bounds.append((a - s, e - s))
         a = e
     fetched = jax.device_get(pending)
@@ -140,17 +152,17 @@ def run_analysis_device(pcm_ch: np.ndarray, num_granules: int):
     spectra on device, so the 4·Tg·576-byte transfer is skipped entirely."""
     ch, n = pcm_ch.shape
     need = num_granules * 576
-    pad_front = np.zeros((ch, _PAST), dtype=np.int32)
+    pad_front = np.zeros((ch, _PAST), dtype=pcm_ch.dtype)
     if n < need:
         pcm_ch = np.concatenate(
-            [pcm_ch, np.zeros((ch, need - n), dtype=np.int32)], axis=1)
+            [pcm_ch, np.zeros((ch, need - n), dtype=pcm_ch.dtype)], axis=1)
     else:
         pcm_ch = pcm_ch[:, :need]
     full = np.concatenate([pad_front, pcm_ch], axis=1)
 
     cg = _an_chunk(num_granules)
     if num_granules <= cg + 1:
-        out = analysis_mdct(_pad_to(full, _PAST + (cg + 1) * 576))
+        out = _analysis_call(_pad_to(full, _PAST + (cg + 1) * 576))
         return out[:, :num_granules]
 
     parts = []
@@ -159,7 +171,7 @@ def run_analysis_device(pcm_ch: np.ndarray, num_granules: int):
         s = max(0, a - 1)
         e = min(num_granules, s + cg + 1)
         sl = full[:, s * 576: e * 576 + _PAST]
-        r = analysis_mdct(_pad_to(sl, _PAST + (cg + 1) * 576))
+        r = _analysis_call(_pad_to(sl, _PAST + (cg + 1) * 576))
         parts.append(r[:, a - s:e - s])
         a = e
     return jnp.concatenate(parts, axis=1)

@@ -399,8 +399,7 @@ def _search_body(xr, max_bits, sr_idx):
 _search_chunk_jit = jax.jit(_search_body, static_argnames=("sr_idx",))
 
 
-@functools.partial(jax.jit, static_argnames=("sr_idx",))
-def _search_chunk_packed(xs, mb, sr_idx):
+def _search_body_packed(xs, mb, sr_idx):
     """_search_body with the ix plane packed for the fetch: almost all
     quantized values are tiny, so ship int8 + a per-lane wide flag and let
     the host re-gather the rare wide lanes (linbits-scale values) at full
@@ -411,23 +410,39 @@ def _search_chunk_packed(xs, mb, sr_idx):
     return fin, ix8, wide, ix, lsteps, lbits
 
 
+_search_chunk_packed = jax.jit(_search_body_packed,
+                               static_argnames=("sr_idx",))
+
+
 @functools.partial(jax.jit, static_argnames=("sr_idx",))
 def _search_batch_jit(xr, max_bits, sr_idx):
     """Vmapped search over a leading file axis: (F, N, 576) + (F, N) ->
     stacked packed results. With the file axis laid out on a mesh's ``files``
     axis (NamedSharding), XLA partitions this with zero collectives."""
-    return jax.vmap(lambda a, b: _search_body(a, b, sr_idx))(xr, max_bits)
+    return jax.vmap(lambda a, b: _search_body_packed(a, b, sr_idx))(xr,
+                                                                    max_bits)
+
+
+_gather_rows2 = jax.jit(lambda a, f, l: a[f, l])
 
 
 def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
     """Sharded multi-file search: resident (F, N, 576) spectra (file axis
     optionally sharded over a mesh) -> dict of stacked (F, ...) numpy arrays
-    with the same keys as :func:`search_all`."""
-    fin, ix, lsteps, lbits = _search_batch_jit(
+    with the same keys as :func:`search_all`. The ix plane crosses the link
+    as int8 + re-gathered wide lanes (see _search_body_packed)."""
+    fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_jit(
         xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx)
-    fin_h, ix_h, ls_h, lb_h = _fetch_pieces([fin, ix, lsteps, lbits])
+    fin_h, ix8_h, wide_h, ls_h, lb_h = _fetch_pieces(
+        [fin, ix8, wide, lsteps, lbits])
     out = {k: fin_h[:, r] for r, k in enumerate(_FIN_ROWS)}
-    out["ix"] = ix_h
+    ix = ix8_h.astype(np.int16)
+    wf, wl = np.nonzero(wide_h)
+    if len(wf):
+        rows = np.asarray(_gather_rows2(ix_dev, jnp.asarray(wf, jnp.int32),
+                                        jnp.asarray(wl, jnp.int32)))
+        ix[wf, wl] = rows
+    out["ix"] = ix
     out["log_steps"] = ls_h
     out["log_bits"] = lb_h
     return out

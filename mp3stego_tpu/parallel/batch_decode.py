@@ -68,8 +68,17 @@ def _decode_batch(args, dtype_name="float32"):
     return jax.vmap(fn)(args)
 
 
+@jax.jit
+def _decode_batch_i16(args):
+    """float32 plane + the WAV int16 conversion ON DEVICE (halves the batch
+    fetch) — the stacked twin of decode_plane._decode_granules_i16."""
+    pcm = jax.vmap(functools.partial(dp.decode_granules_impl,
+                                     dtype_name="float32"))(args)
+    return (pcm * jnp.float32(32767)).astype(jnp.int32).astype(jnp.int16)
+
+
 def decode_batch_device(batch: dict, mesh: Mesh = None,
-                        dtype: str = "float32"):
+                        dtype: str = "float32", to_i16: bool = False):
     """Run the stacked batch on device; file axis sharded over ``files``."""
     if mesh is not None:
         n_shard = mesh.shape["files"]
@@ -79,7 +88,10 @@ def decode_batch_device(batch: dict, mesh: Mesh = None,
         from mp3stego_tpu.utils.transfer import put_pieces
         put = put_pieces
     args = {k: put(batch[k]) for k in dp.ALL_KEYS}
-    out = _decode_batch(args, dtype_name=dtype)
+    if to_i16:
+        out = _decode_batch_i16(args)
+    else:
+        out = _decode_batch(args, dtype_name=dtype)
     return out[:batch["num_files"]]
 
 
@@ -94,11 +106,14 @@ def _pad_files(a: np.ndarray, n_shard: int) -> np.ndarray:
 
 def decode_files_batched(paths: list, mesh: Mesh = None,
                          dtype: str = "float32",
-                         errors: str = "raise") -> list:
+                         errors: str = "raise",
+                         out: str = "float") -> list:
     """Decode many MP3 files in one batched device program.
 
-    Returns a list of interleaved PCM float arrays (samples, channels), one per
-    file, matching Decoder/decode_pcm output per file.
+    Returns a list of interleaved PCM arrays (samples, channels), one per
+    file, matching Decoder/decode_pcm output per file. ``out="int16"`` fuses
+    the WAV conversion (*32767, truncate) on device and fetches int16 — half
+    the bytes over the host link; use it when the destination is a WAV file.
 
     ``errors``: "raise" propagates the first per-file parse failure;
     "isolate" decodes the healthy files and returns the exception object in
@@ -127,14 +142,15 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
     if preps:
         from mp3stego_tpu.utils.transfer import fetch_pieces
         batch = prepare_batch(preps)
-        out = fetch_pieces([decode_batch_device(batch, mesh, dtype)])[0]
+        dev = decode_batch_device(batch, mesh, dtype, to_i16=(out == "int16"))
+        planes = fetch_pieces([dev])[0]
         j = 0
         for i in range(len(paths)):
             if i in failures:
                 continue
             parsed = metas[j]
             t = int(batch["lengths"][j])
-            pcm = out[j, :, :t]
+            pcm = planes[j, :, :t]
             ch = parsed.header.channels
             inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
             if parsed.duplicate_last_pcm:

@@ -86,7 +86,7 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mp3stego_tpu.ops import search_plane as SP
-    from mp3stego_tpu.ops.encode_plane import _PAST, analysis_mdct
+    from mp3stego_tpu.ops.encode_plane import _PAST, analysis_mdct_i16
     from mp3stego_tpu.ops import quant as Q
 
     gpf = group[0][2].granules_per_frame
@@ -98,12 +98,13 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
         m = mesh.shape["files"]
         f_pad += (-f_pad) % m
 
-    # stacked, front-padded PCM; zero tail granules decode to xrmax==0 lanes
-    pcm = np.zeros((f_pad, nch, _PAST + tg_max * 576), np.int32)
+    # stacked, front-padded PCM (raw int16 — the device plane upshifts on
+    # chip, halving the upload); zero tail granules decode to xrmax==0 lanes
+    pcm = np.zeros((f_pad, nch, _PAST + tg_max * 576), np.int16)
     max_bits = np.zeros((f_pad, nch * tg_max), np.int32)
     framing = []
     for j, (_, _, enc, nf) in enumerate(group):
-        s = enc._channel_streams(nf)
+        s = enc._channel_streams_i16(nf)
         pcm[j, :, _PAST:_PAST + s.shape[1]] = s
         paddings, mean_bits_f = enc._plane_framing(nf)
         framing.append((paddings, mean_bits_f))
@@ -117,9 +118,10 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
         spec = NamedSharding(mesh, P("files"))
         pcm_dev = jax.device_put(pcm, spec)
     else:
-        pcm_dev = jnp.asarray(pcm)
+        from mp3stego_tpu.utils.transfer import put_pieces
+        pcm_dev = put_pieces(pcm)
 
-    xr = jax.vmap(analysis_mdct)(pcm_dev)                # (F, nch, TG, 576)
+    xr = jax.vmap(analysis_mdct_i16)(pcm_dev)            # (F, nch, TG, 576)
     xr = xr.reshape(f_pad, nch * tg_max, 576)
     res_all = SP.search_batch(xr, max_bits, sr_idx)
     version3 = group[0][2].version == 3

@@ -50,6 +50,18 @@ def test_batched_files_match_per_file(parsed, fixture_mp3):
         np.testing.assert_allclose(o, ref, rtol=0, atol=1e-6)
 
 
+def test_batched_i16_matches_per_file(parsed, fixture_mp3):
+    """out="int16" (device-fused WAV conversion, half the fetch bytes) must
+    equal the per-file fused path and the host (f32*32767).astype(int16)."""
+    outs = decode_files_batched([fixture_mp3] * 2, out="int16")
+    ref = dp.decode_pcm_i16(parsed)
+    host = (dp.decode_pcm(parsed, "float32") * 32767).astype(np.int16)
+    for o in outs:
+        assert o.dtype == np.int16
+        np.testing.assert_array_equal(o, ref)
+        np.testing.assert_array_equal(o, host)
+
+
 def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
     """Files of different lengths batch correctly through padding."""
     with open(fixture_mp3, "rb") as f:
