@@ -20,14 +20,21 @@ _SRCS = [os.path.join(_DIR, "src", f)
          if f.endswith(".cpp")]
 
 
+# -ffp-contract=off: decode_plane_f64.cpp must not fuse a*b+c into FMA —
+# the float64 parity plane's bit-exactness contract is NumPy's separate
+# mul/add rounding (integer-only sources are unaffected by the flag)
+_CXXFLAGS = ["-O3", "-march=native", "-std=c++17", "-ffp-contract=off",
+             "-shared", "-fPIC"]
+
+
 def _host_tag() -> str:
     """Host fingerprint baked into the .so filename: the library is built
     with -march=native, so a package directory copied to a different CPU
     must rebuild instead of silently loading (and SIGILL-ing on) a binary
-    compiled for another microarchitecture."""
+    compiled for another microarchitecture (or with stale flags)."""
     import hashlib
     import platform
-    bits = [platform.machine()]
+    bits = [platform.machine(), " ".join(_CXXFLAGS)]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -52,8 +59,7 @@ def _build() -> bool:
                 and all(os.path.getmtime(_SO) >= os.path.getmtime(s)
                         for s in _SRCS)):
             return True
-        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-               *_SRCS, "-o", _SO + ".tmp"]
+        cmd = ["g++", *_CXXFLAGS, *_SRCS, "-o", _SO + ".tmp"]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if r.returncode != 0:
             return False
@@ -108,6 +114,18 @@ def get_lib():
         lib.pack_raw_plane.restype = i64
         lib.pack_raw_plane.argtypes = [
             p_i32, i64, p_i8, p_i32, p_i8, p_i16, p_i16, i64,
+        ]
+
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.decode_plane_f64.restype = i64
+        lib.decode_plane_f64.argtypes = [
+            i64,
+            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,   # raw + 5 gr fields
+            p_i32, p_i32, p_i32, p_u8,                  # sbg, sfl, sfs, ms
+            p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
+            p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
+            p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
+            p_f64,
         ]
 
         lib.mp3_format_frames.restype = i64

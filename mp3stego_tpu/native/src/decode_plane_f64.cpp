@@ -1,0 +1,231 @@
+// Native float64 decode numeric plane: the bit-exact parity twin of
+// ops/decode_plane.decode_granules_np, in C++.
+//
+// Behavioural reference (float-for-float): /root/reference/mp3stego/decoder/
+//   Frame.py:157-218 (requantize), 561-572 (MS stereo), 574-602 (reorder),
+//   604-622 (alias), 106-154 (IMDCT + windowing + overlap-add), 624-631
+//   (frequency inversion), 65-103 (polyphase synthesis + 16-tap FIR).
+//
+// Why this exists: the reference's outputs are float64 and the facade's
+// default decode (and hide/reveal/clear, whose re-encode consumes the WAV)
+// must be byte-identical, so the parity plane runs on host. The NumPy twin
+// (decode_granules_np) needs ~40 full-array passes; this is one fused pass
+// per granule, ~10x on a single-core host. decode_granules_np remains the
+// oracle; tests pin float-for-float equality.
+//
+// FP-exactness notes: scalar arithmetic in source order only. The build must
+// NOT enable FP contraction or reassociation (-ffp-contract=off, no
+// -ffast-math) — an FMA would single-round a*b+c and diverge from NumPy.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+constexpr double kSqrt2 = 1.4142135623730951;  // math.sqrt(2), exact f64
+}
+
+extern "C" int64_t decode_plane_f64(
+    int64_t F,
+    // parsed per-granule fields, reference layouts (mp3_parse outputs)
+    const int32_t* raw,              // (F,2,2,576)
+    const int32_t* block_type,       // (F,2,2)
+    const int32_t* mixed_block_flag, // (F,2,2)
+    const int32_t* global_gain,      // (F,2,2)
+    const int32_t* scale_fac_scale,  // (F,2,2)
+    const int32_t* pre_flag,         // (F,2,2)
+    const int32_t* sub_block_gain,   // (F,2,2,3)
+    const int32_t* scale_fac_l,      // (F,2,2,22)
+    const int32_t* scale_fac_s,      // (F,2,2,3,13)
+    const uint8_t* ms_stereo,        // (F,)
+    // static walk / permutation tables (samplerate-specific, from python)
+    const int32_t* walk_is_short,    // (3,576) rows: 0 long, 1 short, 2 mixed
+    const int32_t* walk_sfb,         // (3,576)
+    const int32_t* walk_win,         // (3,576)
+    const int32_t* pre_ext,          // (23,)
+    const int32_t* reorder_perm,     // (576,) -1 = zero-filled tail
+    // float64 constant tables
+    const double* pow43,             // (8207,)
+    const double* e1lut,             // (512,)
+    const double* e2lut,             // (64,)
+    const double* alias_cs,          // (8,)
+    const double* alias_ca,          // (8,)
+    const double* c_long,            // (36,18)
+    const double* c_short,           // (12,6)
+    const double* sine,              // (4,36)
+    const double* n_mat,             // (64,32)
+    const double* d_win,             // (16,32)
+    // output
+    double* out) {                   // (2, 2F, 576)
+  const int64_t T = 2 * F;
+  // per-channel sequential carries: previous granule's window tail and the
+  // synthesis V ring (last 16 sub-steps; zero history before stream start)
+  double tail_c[2][32][18];
+  double vring[2][16][64];
+  std::memset(tail_c, 0, sizeof(tail_c));
+  std::memset(vring, 0, sizeof(vring));
+  int vpos = 0;  // ring cursor: slot being written this sub-step
+
+  double x[2][576];          // per-granule working spectra (both channels)
+  double blk[2][32][36];     // windowed IMDCT blocks
+  double y[2][32][18];       // overlap-added, pre-inversion
+
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t f = t >> 1;
+    const int gr = int(t & 1);
+    const bool ms = ms_stereo[f] != 0;
+
+    // ---- requantize (exact multiply order: ((sign*a)*b)*c )
+    for (int ch = 0; ch < 2; ++ch) {
+      const int64_t g = (f * 2 + gr) * 2 + ch;
+      const int bt = block_type[g];
+      const int mixed = mixed_block_flag[g];
+      const int mode = bt == 2 ? 1 : (mixed ? 2 : 0);
+      const int32_t* wis = walk_is_short + mode * 576;
+      const int32_t* wsf = walk_sfb + mode * 576;
+      const int32_t* wwi = walk_win + mode * 576;
+      const int gg = global_gain[g];
+      const int mult2 = scale_fac_scale[g] == 0 ? 1 : 2;
+      const int pre = pre_flag[g];
+      const int32_t* sbg = sub_block_gain + g * 3;
+      const int32_t* sfl = scale_fac_l + g * 22;
+      const int32_t* sfs = scale_fac_s + g * 39;  // (3,13) flattened
+      const int32_t* rw = raw + g * 576;
+      for (int s = 0; s < 576; ++s) {
+        const int is_short = wis[s];
+        const int sfb = wsf[s];
+        const int win = wwi[s];
+        int exp1 = gg - 210 - (is_short ? 8 * sbg[win] : 0);
+        int e1i = exp1 + 266;
+        if (e1i < 0) e1i = 0;
+        if (e1i > 511) e1i = 511;
+        int sfb_c = sfb < 21 ? sfb : 21;
+        int sf = is_short ? sfs[win * 13 + sfb]
+                          : sfl[sfb_c] + pre * pre_ext[sfb_c];
+        int e2i = mult2 * sf;
+        if (e2i < 0) e2i = 0;
+        if (e2i > 63) e2i = 63;
+        int32_t v = rw[s];
+        int32_t av = v < 0 ? -v : v;
+        if (av > 8206) av = 8206;  // linbits bound; corrupt input clamps
+        const double sign = v < 0 ? -1.0 : 1.0;
+        x[ch][s] = ((sign * pow43[av]) * e1lut[e1i]) * e2lut[e2i];
+      }
+    }
+
+    // ---- MS stereo
+    if (ms) {
+      for (int s = 0; s < 576; ++s) {
+        const double mid = x[0][s], side = x[1][s];
+        x[0][s] = (mid + side) / kSqrt2;
+        x[1][s] = (mid - side) / kSqrt2;
+      }
+    }
+
+    for (int ch = 0; ch < 2; ++ch) {
+      const int64_t g = (f * 2 + gr) * 2 + ch;
+      const int bt = block_type[g];
+      const int mixed = mixed_block_flag[g];
+      const bool do_reorder = (bt == 2) || mixed;
+      double* xc = x[ch];
+
+      // ---- reorder (short) or alias reduction (long)
+      double w[576];
+      if (do_reorder) {
+        for (int s = 0; s < 576; ++s) {
+          const int p = reorder_perm[s];
+          w[s] = p >= 0 ? xc[p] : 0.0;
+        }
+      } else {
+        std::memcpy(w, xc, sizeof(w));
+        for (int sb = 1; sb < 32; ++sb) {
+          for (int i = 0; i < 8; ++i) {
+            const int o1 = 18 * sb - i - 1;
+            const int o2 = 18 * sb + i;
+            const double s1 = w[o1], s2 = w[o2];
+            w[o1] = s1 * alias_cs[i] - s2 * alias_ca[i];
+            w[o2] = s2 * alias_cs[i] + s1 * alias_ca[i];
+          }
+        }
+      }
+
+      // ---- IMDCT + windowing (ascending-k accumulation)
+      const bool short_blk = bt == 2;
+      int wr = bt;
+      if (wr < 0) wr = 0;
+      if (wr > 3) wr = 3;
+      const double* win_l = sine + wr * 36;
+      for (int band = 0; band < 32; ++band) {
+        const double* s18 = w + band * 18;
+        double* b = blk[ch][band];
+        if (!short_blk) {
+          for (int i = 0; i < 36; ++i) {
+            double acc = 0.0;
+            const double* cl = c_long + i * 18;
+            for (int k = 0; k < 18; ++k) acc += s18[k] * cl[k];
+            b[i] = acc * win_l[i];
+          }
+        } else {
+          // 3 windows of 6 inputs -> 12 outputs, windowed by sine[2][:12]
+          double xs[3][12];
+          for (int wn = 0; wn < 3; ++wn) {
+            const double* s6 = s18 + wn * 6;
+            for (int i = 0; i < 12; ++i) {
+              double acc = 0.0;
+              const double* cs6 = c_short + i * 6;
+              for (int k = 0; k < 6; ++k) acc += s6[k] * cs6[k];
+              xs[wn][i] = acc * sine[2 * 36 + i];
+            }
+          }
+          for (int i = 0; i < 6; ++i) {
+            b[i] = 0.0;
+            b[6 + i] = xs[0][i];
+            b[12 + i] = xs[0][6 + i] + xs[1][i];
+            b[18 + i] = xs[1][6 + i] + xs[2][i];
+            b[24 + i] = xs[2][6 + i];
+            b[30 + i] = 0.0;
+          }
+        }
+      }
+
+      // ---- overlap-add with the carried tail, then update the carry
+      for (int band = 0; band < 32; ++band) {
+        for (int i = 0; i < 18; ++i) {
+          y[ch][band][i] = blk[ch][band][i] + tail_c[ch][band][i];
+          tail_c[ch][band][i] = blk[ch][band][18 + i];
+        }
+      }
+
+      // ---- frequency inversion
+      for (int band = 1; band < 32; band += 2)
+        for (int i = 1; i < 18; i += 2) y[ch][band][i] = -y[ch][band][i];
+    }
+
+    // ---- polyphase synthesis: 18 sub-steps per granule, both channels
+    for (int step = 0; step < 18; ++step) {
+      for (int ch = 0; ch < 2; ++ch) {
+        double* v = vring[ch][vpos & 15];
+        for (int i = 0; i < 64; ++i) {
+          double acc = 0.0;
+          const double* nr = n_mat + i * 32;
+          for (int j = 0; j < 32; ++j) acc += y[ch][j][step] * nr[j];
+          v[i] = acc;
+        }
+        double* o = out + ((int64_t(ch) * T + t) * 576) + step * 32;
+        for (int n = 0; n < 32; ++n) {
+          double acc = 0.0;
+          for (int j = 0; j < 16; ++j) {
+            // v history index ts-j; ring slot (vpos - j) & 15. Zero history
+            // before the stream start is pre-zeroed in the ring.
+            const double* vj = vring[ch][(vpos - j) & 15];
+            const double src = (j & 1) ? vj[32 + n] : vj[n];
+            acc += src * d_win[j * 32 + n];
+          }
+          o[n] = acc;
+        }
+      }
+      ++vpos;
+    }
+  }
+  return 0;
+}

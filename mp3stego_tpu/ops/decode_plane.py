@@ -535,16 +535,63 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     return pcm_steps.reshape(nch, tt, 576)
 
 
+@functools.lru_cache(maxsize=1)
+def _f64_tables():
+    """C-contiguous float64 constant tables for the native f64 plane (the
+    exact arrays decode_granules_np computes from; cached across calls)."""
+    pow43 = np.array([float(i) ** (4.0 / 3.0) for i in range(8207)])
+    e1lut = np.array([2.0 ** ((i - _EXP1_OFF) / 4.0) for i in range(512)])
+    e2lut = np.array([2.0 ** (-(i / 2.0)) for i in range(_EXP2X2_MAX)])
+    cc = lambda a: np.ascontiguousarray(a, np.float64)
+    return (cc(pow43), cc(e1lut), cc(e2lut),
+            cc(T.ALIAS_CS), cc(T.ALIAS_CA),
+            cc(T.imdct_long_cos()), cc(T.imdct_short_cos()),
+            cc(T.sine_block()), cc(T.synth_filter_matrix()),
+            cc(T.SYNTH_WINDOW.reshape(16, 32)))
+
+
+def decode_granules_f64_native(p) -> "np.ndarray | None":
+    """Fused native float64 decode plane (native/src/decode_plane_f64.cpp):
+    float-for-float identical to ``decode_granules_np`` (pinned by
+    test_parity_plane_stages' twin in test_native_f64_plane), one pass per
+    granule instead of ~40 full-array NumPy passes. Returns None when the
+    native library is unavailable (callers fall back to the NumPy oracle).
+    Consumes the ParsedMP3 (F,2,2,...) layout directly — no host transpose."""
+    from mp3stego_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "decode_plane_f64"):
+        return None
+    F = p.num_frames
+    sr = p.header.sr_idx
+    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr)
+    c32 = lambda a: np.ascontiguousarray(a, np.int32)
+    out = np.empty((2, 2 * F, 576), np.float64)
+    lib.decode_plane_f64(
+        F,
+        c32(p.raw_samples), c32(p.block_type), c32(p.mixed_block_flag),
+        c32(p.global_gain), c32(p.scale_fac_scale), c32(p.pre_flag),
+        c32(p.sub_block_gain), c32(p.scale_fac_l), c32(p.scale_fac_s),
+        np.ascontiguousarray(p.ms_stereo, np.uint8),
+        c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
+        c32(_reorder_perm(sr)),
+        *_f64_tables(),
+        out)
+    return out
+
+
 def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
     """ParsedMP3 -> interleaved PCM (samples, channels) float array, including the
     reference's stale-frame duplication quirk (MP3_Parser.py:79)."""
     if p.num_frames == 0:
         return np.zeros((0, 2))
-    prep = host_prepare(p)
     if dtype == "float64":
-        pcm = decode_granules_np(prep)          # bit-exact parity path (host)
+        # bit-exact parity plane on host: fused C++ when available,
+        # float-for-float NumPy twin otherwise
+        pcm = decode_granules_f64_native(p)
+        if pcm is None:
+            pcm = decode_granules_np(host_prepare(p))
     else:
-        pcm = np.asarray(_decode_call(prep, dtype))
+        pcm = np.asarray(_decode_call(host_prepare(p), dtype))
     ch = p.header.channels
     t = pcm.shape[1]
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)

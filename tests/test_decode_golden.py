@@ -193,3 +193,40 @@ def test_header_secondary_fields():
     h2 = parse_header(0xFF, 0xFB, 0xE0, 0x01)
     assert h2.emphasis == 1
     assert h2.info == (False, False, False)
+
+
+def test_native_f64_plane_matches_numpy(parsed, original_fixture_mp3):
+    """The fused C++ float64 decode plane (decode_plane_f64.cpp) must be
+    float-for-float identical to the NumPy oracle — including on mutated
+    side-info covering short/mixed blocks and MS stereo, which the encode
+    corpus never emits."""
+    from mp3stego_tpu import native
+    from mp3stego_tpu.ops import decode_plane as dp
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    ref = dp.decode_granules_np(dp.host_prepare(parsed))
+    out = dp.decode_granules_f64_native(parsed)
+    np.testing.assert_array_equal(ref, out)
+
+    with open(original_fixture_mp3, "rb") as f:
+        data = f.read()
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        p = dh.parse_mp3(data, 0, backend="python")
+        F = p.num_frames
+        p.block_type = rng.integers(0, 4, (F, 2, 2)).astype(p.block_type.dtype)
+        p.mixed_block_flag = (rng.random((F, 2, 2)) < 0.3).astype(
+            p.mixed_block_flag.dtype)
+        p.ms_stereo = (rng.random(F) < 0.5).astype(p.ms_stereo.dtype)
+        p.sub_block_gain = rng.integers(0, 8, (F, 2, 2, 3)).astype(
+            p.sub_block_gain.dtype)
+        p.scale_fac_s = rng.integers(0, 8, (F, 2, 2, 3, 13)).astype(
+            p.scale_fac_s.dtype)
+        p.scale_fac_scale = rng.integers(0, 2, (F, 2, 2)).astype(
+            p.scale_fac_scale.dtype)
+        p.pre_flag = rng.integers(0, 2, (F, 2, 2)).astype(p.pre_flag.dtype)
+        assert (p.block_type == 2).sum() > 0 and p.ms_stereo.sum() > 0
+        ref = dp.decode_granules_np(dp.host_prepare(p))
+        out = dp.decode_granules_f64_native(p)
+        np.testing.assert_array_equal(ref, out, err_msg="mutated side-info")
