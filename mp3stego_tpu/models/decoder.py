@@ -133,8 +133,12 @@ class Decoder:
                 from mp3stego_tpu.ops import decode_plane as dp  # deferred jax
                 with timer.stage(f"numeric plane ({self.__precision})"):
                     if self.__precision == "float64":
-                        pcm_i16 = (dp.decode_pcm(parsed, "float64")
-                                   * 32767).astype(np.int16)
+                        # fused native plane -> interleaved int16 (one pass);
+                        # NumPy parity oracle when the toolchain is absent
+                        pcm_i16 = dp.decode_pcm_i16_host(parsed)
+                        if pcm_i16 is None:
+                            pcm_i16 = (dp.decode_pcm(parsed, "float64")
+                                       * 32767).astype(np.int16)
                     else:
                         # fused device plane + int16 conversion (half fetch)
                         pcm_i16 = dp.decode_pcm_i16(parsed)

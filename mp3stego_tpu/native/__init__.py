@@ -117,16 +117,18 @@ def get_lib():
         ]
 
         p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        lib.decode_plane_f64.restype = i64
-        lib.decode_plane_f64.argtypes = [
+        _plane_args = [
             i64,
             p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,   # raw + 5 gr fields
             p_i32, p_i32, p_i32, p_u8,                  # sbg, sfl, sfs, ms
             p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
             p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
             p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
-            p_f64,
         ]
+        lib.decode_plane_f64.restype = i64
+        lib.decode_plane_f64.argtypes = _plane_args + [p_f64]
+        lib.decode_plane_i16.restype = i64
+        lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64]
 
         lib.mp3_format_frames.restype = i64
         lib.mp3_format_frames.argtypes = [

@@ -23,9 +23,29 @@
 
 namespace {
 constexpr double kSqrt2 = 1.4142135623730951;  // math.sqrt(2), exact f64
-}
 
-extern "C" int64_t decode_plane_f64(
+// Output modes: float64 (2,T,576) planes for the parity oracle, or the WAV
+// product — interleaved int16 (T*576, nch), reproducing numpy's
+// (pcm * 32767).astype(int16) truncate-toward-zero + mod-2^16 wrap.
+struct OutF64 {
+  double* out;
+  int64_t T;
+  inline void write(int ch, int64_t t, int step, int n, double v) const {
+    out[((int64_t(ch) * T + t) * 576) + step * 32 + n] = v;
+  }
+};
+struct OutI16 {
+  int16_t* out;
+  int nch;
+  inline void write(int ch, int64_t t, int step, int n, double v) const {
+    if (ch >= nch) return;
+    out[(t * 576 + step * 32 + n) * nch + ch] =
+        int16_t(int32_t(v * 32767.0));
+  }
+};
+
+template <class Out>
+int64_t decode_plane_run(
     int64_t F,
     // parsed per-granule fields, reference layouts (mp3_parse outputs)
     const int32_t* raw,              // (F,2,2,576)
@@ -56,7 +76,7 @@ extern "C" int64_t decode_plane_f64(
     const double* n_mat,             // (64,32)
     const double* d_win,             // (16,32)
     // output
-    double* out) {                   // (2, 2F, 576)
+    const Out& sink) {
   const int64_t T = 2 * F;
   // per-channel sequential carries: previous granule's window tail and the
   // synthesis V ring (last 16 sub-steps; zero history before stream start)
@@ -211,7 +231,6 @@ extern "C" int64_t decode_plane_f64(
           for (int j = 0; j < 32; ++j) acc += y[ch][j][step] * nr[j];
           v[i] = acc;
         }
-        double* o = out + ((int64_t(ch) * T + t) * 576) + step * 32;
         for (int n = 0; n < 32; ++n) {
           double acc = 0.0;
           for (int j = 0; j < 16; ++j) {
@@ -221,11 +240,44 @@ extern "C" int64_t decode_plane_f64(
             const double src = (j & 1) ? vj[32 + n] : vj[n];
             acc += src * d_win[j * 32 + n];
           }
-          o[n] = acc;
+          sink.write(ch, t, step, n, acc);
         }
       }
       ++vpos;
     }
   }
   return 0;
+}
+
+}  // namespace
+
+#define DECODE_PLANE_ARGS                                                   \
+  int64_t F, const int32_t* raw, const int32_t* block_type,                 \
+      const int32_t* mixed_block_flag, const int32_t* global_gain,          \
+      const int32_t* scale_fac_scale, const int32_t* pre_flag,              \
+      const int32_t* sub_block_gain, const int32_t* scale_fac_l,            \
+      const int32_t* scale_fac_s, const uint8_t* ms_stereo,                 \
+      const int32_t* walk_is_short, const int32_t* walk_sfb,                \
+      const int32_t* walk_win, const int32_t* pre_ext,                      \
+      const int32_t* reorder_perm, const double* pow43, const double* e1lut,\
+      const double* e2lut, const double* alias_cs, const double* alias_ca,  \
+      const double* c_long, const double* c_short, const double* sine,      \
+      const double* n_mat, const double* d_win
+
+#define DECODE_PLANE_PASS                                                   \
+  F, raw, block_type, mixed_block_flag, global_gain, scale_fac_scale,       \
+      pre_flag, sub_block_gain, scale_fac_l, scale_fac_s, ms_stereo,        \
+      walk_is_short, walk_sfb, walk_win, pre_ext, reorder_perm, pow43,      \
+      e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win
+
+extern "C" int64_t decode_plane_f64(DECODE_PLANE_ARGS, double* out) {
+  return decode_plane_run(DECODE_PLANE_PASS, OutF64{out, 2 * F});
+}
+
+// WAV-product form: interleaved int16 (T*576, nch) written straight from the
+// FIR accumulators — skips the (2,T,576) float64 materialization + the numpy
+// transpose/scale/cast passes (the host is page-fault-bandwidth-bound).
+extern "C" int64_t decode_plane_i16(DECODE_PLANE_ARGS, int16_t* out,
+                                    int64_t nch) {
+  return decode_plane_run(DECODE_PLANE_PASS, OutI16{out, int(nch)});
 }

@@ -550,32 +550,61 @@ def _f64_tables():
             cc(T.SYNTH_WINDOW.reshape(16, 32)))
 
 
-def decode_granules_f64_native(p) -> "np.ndarray | None":
-    """Fused native float64 decode plane (native/src/decode_plane_f64.cpp):
-    float-for-float identical to ``decode_granules_np`` (pinned by
-    test_parity_plane_stages' twin in test_native_f64_plane), one pass per
-    granule instead of ~40 full-array NumPy passes. Returns None when the
-    native library is unavailable (callers fall back to the NumPy oracle).
-    Consumes the ParsedMP3 (F,2,2,...) layout directly — no host transpose."""
+def _native_plane_args(p):
+    """(lib, marshalled argument tuple) for the native f64/i16 decode plane,
+    or None when the native library is unavailable."""
     from mp3stego_tpu.native import get_lib
     lib = get_lib()
     if lib is None or not hasattr(lib, "decode_plane_f64"):
         return None
-    F = p.num_frames
     sr = p.header.sr_idx
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr)
     c32 = lambda a: np.ascontiguousarray(a, np.int32)
-    out = np.empty((2, 2 * F, 576), np.float64)
-    lib.decode_plane_f64(
-        F,
+    return lib, (
+        p.num_frames,
         c32(p.raw_samples), c32(p.block_type), c32(p.mixed_block_flag),
         c32(p.global_gain), c32(p.scale_fac_scale), c32(p.pre_flag),
         c32(p.sub_block_gain), c32(p.scale_fac_l), c32(p.scale_fac_s),
         np.ascontiguousarray(p.ms_stereo, np.uint8),
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
         c32(_reorder_perm(sr)),
-        *_f64_tables(),
-        out)
+        *_f64_tables())
+
+
+def decode_granules_f64_native(p) -> "np.ndarray | None":
+    """Fused native float64 decode plane (native/src/decode_plane_f64.cpp):
+    float-for-float identical to ``decode_granules_np`` (pinned by
+    test_native_f64_plane_matches_numpy), one pass per granule instead of ~40
+    full-array NumPy passes. Returns None when the native library is
+    unavailable (callers fall back to the NumPy oracle). Consumes the
+    ParsedMP3 (F,2,2,...) layout directly — no host transpose."""
+    la = _native_plane_args(p)
+    if la is None:
+        return None
+    lib, args = la
+    out = np.empty((2, 2 * p.num_frames, 576), np.float64)
+    lib.decode_plane_f64(*args, out)
+    return out
+
+
+def decode_pcm_i16_host(p) -> "np.ndarray | None":
+    """ParsedMP3 -> interleaved int16 PCM (samples, channels) straight from
+    the native f64 plane — byte-identical to
+    ``(decode_pcm(p, "float64") * 32767).astype(int16)`` without ever
+    materializing the float64 PCM on the Python side (the host is
+    page-fault-bandwidth-bound, so skipping the transpose/scale/cast numpy
+    passes is ~2x end-to-end on long files). None when native is unavailable."""
+    if p.num_frames == 0:
+        return np.zeros((0, 2), np.int16)
+    la = _native_plane_args(p)
+    if la is None:
+        return None
+    lib, args = la
+    ch = p.header.channels
+    out = np.empty((2 * p.num_frames * 576, ch), np.int16)
+    lib.decode_plane_i16(*args, out, ch)
+    if p.duplicate_last_pcm:
+        out = np.concatenate([out, out[-1152:]], axis=0)
     return out
 
 

@@ -230,3 +230,16 @@ def test_native_f64_plane_matches_numpy(parsed, original_fixture_mp3):
         ref = dp.decode_granules_np(dp.host_prepare(p))
         out = dp.decode_granules_f64_native(p)
         np.testing.assert_array_equal(ref, out, err_msg="mutated side-info")
+
+
+def test_native_i16_plane_matches_f64(parsed, original_fixture_mp3):
+    """decode_pcm_i16_host must be byte-identical to the float64 parity
+    path's WAV product, including the stale-PCM duplication quirk."""
+    from mp3stego_tpu import native
+    from mp3stego_tpu.ops import decode_plane as dp
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ref = (dp.decode_pcm(parsed, "float64") * 32767).astype(np.int16)
+    out = dp.decode_pcm_i16_host(parsed)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(ref, out)
