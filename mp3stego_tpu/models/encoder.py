@@ -60,6 +60,67 @@ def _band_row_i32(sr_idx):
         T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32))
 
 
+@_ft.lru_cache(maxsize=1)
+def _native_rate_lib():
+    """The native rate-search twin (native/src/rate_search.cpp) with its
+    table globals initialized, or None when the toolchain is unavailable.
+    Bit-identical to the ops/quant NumPy primitives (integer math + IEEE
+    sqrt only); pinned by tests/test_units.py::test_native_rate_search."""
+    from mp3stego_tpu import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "rate_bin_search"):
+        return None
+    st, sti, i2i = T.loop_tables()
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    rc = lib.rate_tables_init(
+        np.ascontiguousarray(st, np.float64), i32(sti), i32(i2i),
+        i32(T.HUFF_LEN), i32(T.HUFF_XLEN), i32(T.HUFF_LINBITS),
+        i32(T.HUFF_LINMAX), i32(Q._QLEN0), i32(Q._QLEN1),
+        i32(T.SCALE_FACT_BAND_INDEX), T.SCALE_FACT_BAND_INDEX.size,
+        i32(T.SUBDV_TABLE), i32(T.TRANSFORM_HUF))
+    return lib if rc == 0 else None
+
+
+_EMPTY_HIDE = np.zeros(1, np.uint8)
+
+
+def _rate_lib():
+    """The native search twin, honouring the MP3STEGO_TPU_NATIVE_RATE=0
+    kill-switch (used by tests to pin native == NumPy byte-identity)."""
+    if os.environ.get("MP3STEGO_TPU_NATIVE_RATE") == "0":
+        return None
+    return _native_rate_lib()
+
+
+def _state_of(cod_info) -> np.ndarray:
+    """GrInfo -> the int64[12] state layout shared with rate_search.cpp."""
+    s = np.empty(12, np.int64)
+    s[0] = cod_info.quantizerStepSize
+    s[1] = cod_info.address1
+    s[2] = cod_info.address2
+    s[3] = cod_info.address3
+    s[4] = cod_info.big_values
+    s[5] = cod_info.count1
+    s[6] = cod_info.count1table_select
+    s[7] = cod_info.region0_count
+    s[8] = cod_info.region1_count
+    s[9:12] = cod_info.table_select
+    return s
+
+
+def _state_back(s: np.ndarray, cod_info):
+    cod_info.quantizerStepSize = int(s[0])
+    cod_info.address1 = int(s[1])
+    cod_info.address2 = int(s[2])
+    cod_info.address3 = int(s[3])
+    cod_info.big_values = int(s[4])
+    cod_info.count1 = int(s[5])
+    cod_info.count1table_select = int(s[6])
+    cod_info.region0_count = int(s[7])
+    cod_info.region1_count = int(s[8])
+    cod_info.table_select[:] = s[9:12]
+
+
 _EN_TOT_KRIT = 10
 _EN_DIF_KRIT = 100
 _EN_SCFSI_BAND_KRIT = 10
@@ -103,6 +164,10 @@ class MP3Encoder:
         self.wav = w
         self.hide_str = hide_str
         self.hide_str_offset = 0
+        # hide bits as 0/1 bytes for the native search twin
+        self._hide_u8 = (np.frombuffer(hide_str.encode(), np.uint8)
+                         - ord('0')).astype(np.uint8) if hide_str \
+            else _EMPTY_HIDE
         # device-parallel all-steps costing (ops/quant_batch); False forces the
         # pure host search (oracle mode)
         self.device_search = device_search
@@ -862,7 +927,25 @@ class MP3Encoder:
         cod_info.address3 = 2 * int(C["bv"][g, s])
         return bits
 
+    def _rate_native_call(self, fn_name, xr, xrabs, xrmax, arg, gr, ch,
+                          cod_info):
+        """One native rate_search.cpp call with GrInfo<->state[12] sync;
+        the granule's l3_enc slice is the shared inout ix buffer."""
+        lib = _rate_lib()
+        state = _state_of(cod_info)
+        r = getattr(lib, fn_name)(
+            np.ascontiguousarray(xr, np.int32),
+            np.ascontiguousarray(xrabs, np.int32),
+            xrmax, arg, self.samplerate_index * 23,
+            self._hide_u8, len(self.hide_str), self.hide_str_offset,
+            state, self.l3_enc[ch][gr])
+        _state_back(state, cod_info)
+        return int(r)
+
     def _exact_eval(self, step, xr, xrabs, xrmax, gr, ch, cod_info):
+        if _rate_lib() is not None:
+            return self._rate_native_call("rate_exact_eval", xr, xrabs,
+                                          xrmax, step, gr, ch, cod_info)
         ix, ix_max = Q.quantize(xr, xrabs, xrmax, step)
         if ix_max > Q.MAX_QUANTIZE_STEP:
             return 100000
@@ -930,6 +1013,10 @@ class MP3Encoder:
 
     def _bin_search_step_size(self, desired_rate, xr, xrabs, xrmax, gr, ch, cod_info):
         """MP3_Encoder.py:958-996."""
+        if _rate_lib() is not None:
+            return self._rate_native_call("rate_bin_search", xr, xrabs,
+                                          xrmax, desired_rate, gr, ch,
+                                          cod_info)
         nxt = -120
         count = 120
         while True:
@@ -968,6 +1055,9 @@ class MP3Encoder:
 
     def _inner_loop(self, xr, xrabs, xrmax, max_bits, gr, ch, cod_info):
         """MP3_Encoder.py:1064-1095."""
+        if _rate_lib() is not None:
+            return self._rate_native_call("rate_inner_loop", xr, xrabs,
+                                          xrmax, max_bits, gr, ch, cod_info)
         if max_bits < 0:
             cod_info.quantizerStepSize -= 1
         while True:

@@ -130,6 +130,21 @@ def get_lib():
         lib.decode_plane_i16.restype = i64
         lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64]
 
+        lib.rate_tables_init.restype = i64
+        lib.rate_tables_init.argtypes = [
+            p_f64, p_i32, p_i32,            # steptab, steptabi, int2idx
+            p_i32, p_i32, p_i32, p_i32,     # hlen, xlen, linbits, linmax
+            p_i32, p_i32,                   # qlen0, qlen1
+            p_i32, i64, p_i32, p_i32,       # band flat + size, subdv, transform
+        ]
+        # shared shape: (xr, xrabs, xrmax, <step|rate|bits>, sr_off,
+        #                hide, hide_len, hide_off, state[12], ix[576])
+        for fn in (lib.rate_exact_eval, lib.rate_bin_search,
+                   lib.rate_inner_loop):
+            fn.restype = i64
+            fn.argtypes = [p_i32, p_i32, i64, i64, i64,
+                           p_u8, i64, i64, p_i64, p_i32]
+
         lib.mp3_format_frames.restype = i64
         lib.mp3_format_frames.argtypes = [
             p_u32, p_i32, p_u8, i64,

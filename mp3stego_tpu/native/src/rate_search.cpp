@@ -1,0 +1,362 @@
+// Native twin of the exact host rate-control search (ops/quant.py +
+// models/encoder.py _bin_search_step_size/_inner_loop/_exact_eval).
+//
+// Behavioural reference (bit-for-bit): /root/reference/mp3stego/encoder/
+//   MP3_Encoder.py: quantize 373-415, calc_run_len 266-291, count1_bit_count
+//   171-211, count_bit 214-263, __subdivide 998-1036, __new_choose_table
+//   1170-1264 (+ stego transform 1147-1168), bin search 958-996, inner loop
+//   1064-1095.
+//
+// Everything here is integer arithmetic except quantize's float fallback,
+// which uses only IEEE-exact ops (multiply, sqrt) in NumPy's source order —
+// so results are bit-identical to the Python twin on any IEEE host. The
+// build must keep -ffp-contract=off (see decode_plane_f64.cpp).
+//
+// State layout (int64[12], shared with Python GrInfo):
+//   [0] quantizerStepSize [1] address1 [2] address2 [3] address3
+//   [4] big_values [5] count1 [6] count1table_select
+//   [7] region0_count [8] region1_count [9..11] table_select[0..2]
+// Stale-field semantics are preserved: subdivide with big_values==0 leaves
+// addresses untouched, bail evaluations touch nothing.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kGranule = 576;
+constexpr int64_t kMaxQuant = 8192;
+constexpr int64_t kBailBits = 100000;
+
+// ---- tables, copied once via rate_tables_init
+double g_steptab[128];
+int32_t g_steptabi[128];
+int32_t g_int2idx[10000];
+int32_t g_hlen[34 * 16 * 16];
+int32_t g_xlen[34];
+int32_t g_linbits[34];
+int32_t g_linmax[34];
+int32_t g_qlen0[16], g_qlen1[16];
+int32_t g_band[9 * 23];
+int64_t g_nband = 0;
+int32_t g_subdv[23 * 2];
+int32_t g_transform[32 * 2];
+
+struct State {
+  int64_t* s;  // the 12-slot layout above
+  int64_t& qss() { return s[0]; }
+  int64_t& a1() { return s[1]; }
+  int64_t& a2() { return s[2]; }
+  int64_t& a3() { return s[3]; }
+  int64_t& bv() { return s[4]; }
+  int64_t& c1() { return s[5]; }
+  int64_t& c1t() { return s[6]; }
+  int64_t& r0() { return s[7]; }
+  int64_t& r1() { return s[8]; }
+  int64_t& ts(int r) { return s[9 + r]; }
+};
+
+// util.mulr on scalars (encoder/util.py:131-134): Q32 rounded multiply,
+// wrapped to int32.
+inline int32_t mulr_scalar(int64_t a, int64_t b) {
+  return int32_t((a * b + 2147483648LL) >> 32);
+}
+
+// quantize (MP3_Encoder.py:373-415 / quant.py:68-90). Returns false on the
+// early xrmax bail (ix untouched, ixmax=16384); otherwise fills ix_tmp.
+bool quantize(const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
+              int64_t step, int32_t* ix_tmp, int64_t* ixmax_out) {
+  const int32_t scalei = g_steptabi[step + 127];
+  if (mulr_scalar(xrmax, scalei) > 165140) {  // 8192**(4/3)
+    *ixmax_out = 16384;
+    return false;
+  }
+  const double scale = g_steptab[step + 127];
+  int32_t mx = 0;
+  for (int i = 0; i < kGranule; ++i) {
+    const int64_t labs = xr[i] < 0 ? -int64_t(xr[i]) : int64_t(xr[i]);
+    const int32_t ln = int32_t((labs * scalei + 2147483648LL) >> 32);
+    int32_t v;
+    if (ln < 10000) {
+      v = g_int2idx[ln];
+    } else {
+      // NumPy order: (xrabs.astype(f64) * scale) * 4.656612875e-10, then
+      // sqrt(sqrt(dbl) * dbl) truncated to int32
+      const double dbl = (double(xrabs[i]) * scale) * 4.656612875e-10;
+      v = int32_t(std::sqrt(std::sqrt(dbl) * dbl));
+    }
+    ix_tmp[i] = v;
+    if (v > mx) mx = v;
+  }
+  *ixmax_out = mx < 0 ? 0 : mx;
+  return true;
+}
+
+// calc_run_len (MP3_Encoder.py:266-291)
+void calc_run_len(const int32_t* ix, State st) {
+  int i = 0;
+  for (int k = kGranule - 1; k >= 0; --k)
+    if (ix[k] != 0) { i = k + 1; break; }
+  i += i & 1;
+  int lim = 0;
+  for (int k = i - 1; k >= 0; --k)
+    if (ix[k] > 1) { lim = k + 1; break; }
+  int knum = (i - lim) / 4;
+  if (i / 4 < knum) knum = i / 4;
+  if (knum < 0) knum = 0;
+  st.c1() = knum;
+  i -= 4 * knum;
+  st.bv() = i >> 1;
+}
+
+// count1_bit_count (MP3_Encoder.py:171-211)
+int64_t count1_bit_count(const int32_t* ix, State st) {
+  const int start = int(st.bv()) << 1;
+  int64_t sign_bits = 0, q0 = 0, q1 = 0;
+  for (int q = 0; q < st.c1(); ++q) {
+    const int32_t* quad = ix + start + 4 * q;
+    const int p = quad[0] + (quad[1] << 1) + (quad[2] << 2) + (quad[3] << 3);
+    sign_bits += (quad[0] != 0) + (quad[1] != 0) + (quad[2] != 0)
+               + (quad[3] != 0);
+    q0 += g_qlen0[p];
+    q1 += g_qlen1[p];
+  }
+  const int64_t sum0 = sign_bits + q0, sum1 = sign_bits + q1;
+  if (sum0 < sum1) {
+    st.c1t() = 0;
+    return sum0;
+  }
+  st.c1t() = 1;
+  return sum1;
+}
+
+// count_bit (MP3_Encoder.py:214-263)
+int64_t count_bit(const int32_t* ix, int64_t start, int64_t end,
+                  int64_t table) {
+  if (table == 0) return 0;
+  const int32_t* hl = g_hlen + table * 256;
+  int64_t h_sum = 0;
+  const int64_t lin = table > 15 ? g_linbits[table] : 0;
+  for (int64_t i = start; i < end; i += 2) {
+    int32_t x = ix[i], y = ix[i + 1];
+    if (table > 15) {
+      if (x > 14) { h_sum += lin; x = 15; }
+      if (y > 14) { h_sum += lin; y = 15; }
+    }
+    h_sum += hl[x * 16 + y];
+    h_sum += (x != 0) + (y != 0);
+  }
+  return h_sum;
+}
+
+// __subdivide (MP3_Encoder.py:998-1036): big_values==0 leaves addresses
+// stale; the band walk runs over the FLATTENED table from the sr row on
+// (reference quirk — it can cross into later samplerate rows).
+void subdivide(State st, int64_t sr_off) {
+  if (st.bv() == 0) {
+    st.r0() = 0;
+    st.r1() = 0;
+    return;
+  }
+  const int32_t* band = g_band + sr_off;
+  const int64_t bvr = 2 * st.bv();
+
+  int scfb_anz = 0;
+  while (band[scfb_anz] < bvr) ++scfb_anz;
+
+  int this_count = g_subdv[scfb_anz * 2 + 0];
+  while (this_count > 0) {
+    if (band[this_count + 1] <= bvr) break;
+    --this_count;
+  }
+  st.r0() = this_count;
+  st.a1() = band[this_count + 1];
+
+  const int32_t* band2 = band + this_count + 1;
+  this_count = g_subdv[scfb_anz * 2 + 1];
+  while (this_count > 0) {
+    if (band2[this_count + 1] <= bvr) break;
+    --this_count;
+  }
+  st.r1() = this_count;
+  st.a2() = band2[this_count + 1];
+  st.a3() = bvr;
+}
+
+// __new_choose_table (MP3_Encoder.py:1170-1264) — including the descending
+// no-linbits scan that always lands on 13 first, and alternates compared
+// against the ORIGINAL sum with last-winner-sticks.
+int64_t choose_table(const int32_t* ix, int64_t begin, int64_t end) {
+  int32_t ix_max = 0;
+  for (int64_t i = begin; i < end; ++i)
+    if (ix[i] > ix_max) ix_max = ix[i];
+  if (ix_max == 0) return 0;
+
+  if (ix_max < 15) {
+    int64_t choice0 = 0;
+    for (int i = 13; i >= 0; --i)
+      if (g_xlen[i] > ix_max) { choice0 = i; break; }
+    const int64_t sum0 = count_bit(ix, begin, end, choice0);
+    static const int kAltOf[14][2] = {{-1,-1},{-1,-1},{3,-1},{-1,-1},{-1,-1},
+                                      {6,-1},{-1,-1},{8,9},{-1,-1},{-1,-1},
+                                      {11,12},{-1,-1},{-1,-1},{15,-1}};
+    const int* alts = kAltOf[choice0];  // row fixed by the ORIGINAL choice
+    for (int a = 0; a < 2; ++a) {
+      if (alts[a] < 0) continue;
+      if (count_bit(ix, begin, end, alts[a]) <= sum0) choice0 = alts[a];
+    }
+    return choice0;
+  }
+
+  ix_max -= 15;
+  int64_t choice0 = 0;
+  for (int i = 15; i < 24; ++i)
+    if (g_linmax[i] >= ix_max) { choice0 = i; break; }
+  int64_t choice1 = 0;
+  for (int i = 24; i < 32; ++i)
+    if (g_linmax[i] >= ix_max) { choice1 = i; break; }
+  const int64_t s0 = count_bit(ix, begin, end, choice0);
+  const int64_t s1 = count_bit(ix, begin, end, choice1);
+  return s1 < s0 ? choice1 : choice0;
+}
+
+// choose + stego pair transform (encoder.py _choose / MP3_Encoder.py:1147-68)
+inline int64_t choose_with_hide(const int32_t* ix, int64_t begin, int64_t end,
+                                const uint8_t* hide, int64_t hide_len,
+                                int64_t idx) {
+  const int64_t c = choose_table(ix, begin, end);
+  if (hide_len > 0 && idx < hide_len)
+    return g_transform[c * 2 + hide[idx]];
+  return c;
+}
+
+// _big_v_tab_select (encoder.py:773-787): the cursor advances only over
+// regions whose CHOSEN (post-transform) table is nonzero.
+void big_v_tab_select(const int32_t* ix, State st, const uint8_t* hide,
+                      int64_t hide_len, int64_t hide_off) {
+  int64_t idx = hide_off;
+  st.ts(0) = st.a1() <= 0 ? 0
+      : choose_with_hide(ix, 0, st.a1(), hide, hide_len, hide_off);
+  if (st.ts(0) > 0) ++idx;
+  st.ts(1) = st.a2() <= st.a1() ? 0
+      : choose_with_hide(ix, st.a1(), st.a2(), hide, hide_len, idx);
+  if (st.ts(1) > 0) ++idx;
+  st.ts(2) = (st.bv() << 1) <= st.a2() ? 0
+      : choose_with_hide(ix, st.a2(), st.bv() << 1, hide, hide_len, idx);
+}
+
+// big_v_bit_count (MP3_Encoder.py:294-318)
+int64_t big_v_bit_count(const int32_t* ix, State st) {
+  int64_t bits = 0;
+  if (st.ts(0)) bits += count_bit(ix, 0, st.a1(), st.ts(0));
+  if (st.ts(1)) bits += count_bit(ix, st.a1(), st.a2(), st.ts(1));
+  if (st.ts(2)) bits += count_bit(ix, st.a2(), st.bv() << 1, st.ts(2));
+  return bits;
+}
+
+// _eval: the shared search-evaluation body
+int64_t eval_ix(const int32_t* ix, State st, int64_t sr_off,
+                const uint8_t* hide, int64_t hide_len, int64_t hide_off) {
+  calc_run_len(ix, st);
+  int64_t bits = count1_bit_count(ix, st);
+  subdivide(st, sr_off);
+  big_v_tab_select(ix, st, hide, hide_len, hide_off);
+  bits += big_v_bit_count(ix, st);
+  return bits;
+}
+
+}  // namespace
+
+extern "C" int64_t rate_tables_init(
+    const double* steptab, const int32_t* steptabi, const int32_t* int2idx,
+    const int32_t* hlen, const int32_t* xlen, const int32_t* linbits,
+    const int32_t* linmax, const int32_t* qlen0, const int32_t* qlen1,
+    const int32_t* band, int64_t nband, const int32_t* subdv,
+    const int32_t* transform) {
+  std::memcpy(g_steptab, steptab, sizeof(g_steptab));
+  std::memcpy(g_steptabi, steptabi, sizeof(g_steptabi));
+  std::memcpy(g_int2idx, int2idx, sizeof(g_int2idx));
+  std::memcpy(g_hlen, hlen, sizeof(g_hlen));
+  std::memcpy(g_xlen, xlen, sizeof(g_xlen));
+  std::memcpy(g_linbits, linbits, sizeof(g_linbits));
+  std::memcpy(g_linmax, linmax, sizeof(g_linmax));
+  std::memcpy(g_qlen0, qlen0, sizeof(g_qlen0));
+  std::memcpy(g_qlen1, qlen1, sizeof(g_qlen1));
+  if (nband > int64_t(sizeof(g_band) / sizeof(g_band[0]))) return -1;
+  std::memcpy(g_band, band, nband * sizeof(int32_t));
+  g_nband = nband;
+  std::memcpy(g_subdv, subdv, sizeof(g_subdv));
+  std::memcpy(g_transform, transform, sizeof(g_transform));
+  return 0;
+}
+
+// _exact_eval (encoder.py:865-870): quantize at `step`; on bail return
+// 100000 with ix untouched, else write ix and evaluate.
+extern "C" int64_t rate_exact_eval(
+    const int32_t* xr, const int32_t* xrabs, int64_t xrmax, int64_t step,
+    int64_t sr_off, const uint8_t* hide, int64_t hide_len, int64_t hide_off,
+    int64_t* state, int32_t* ix) {
+  State st{state};
+  int32_t tmp[kGranule];
+  int64_t ixmax;
+  if (!quantize(xr, xrabs, xrmax, step, tmp, &ixmax) || ixmax > kMaxQuant)
+    return kBailBits;
+  std::memcpy(ix, tmp, sizeof(tmp));
+  return eval_ix(ix, st, sr_off, hide, hide_len, hide_off);
+}
+
+// _bin_search_step_size (MP3_Encoder.py:958-996): returns the step; the ix
+// buffer keeps the LAST successful quantization (bails leave it stale).
+extern "C" int64_t rate_bin_search(
+    const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
+    int64_t desired_rate, int64_t sr_off, const uint8_t* hide,
+    int64_t hide_len, int64_t hide_off, int64_t* state, int32_t* ix) {
+  State st{state};
+  int32_t tmp[kGranule];
+  int64_t nxt = -120, count = 120;
+  while (true) {
+    const int64_t half = count / 2;
+    int64_t ixmax, bit;
+    if (!quantize(xr, xrabs, xrmax, nxt + half, tmp, &ixmax)
+        || ixmax > kMaxQuant) {
+      bit = kBailBits;
+    } else {
+      std::memcpy(ix, tmp, sizeof(tmp));
+      bit = eval_ix(ix, st, sr_off, hide, hide_len, hide_off);
+    }
+    if (bit < desired_rate) {
+      count = half;
+    } else {
+      nxt += half;
+      count -= half;
+    }
+    if (count <= 1) break;
+  }
+  return nxt;
+}
+
+// _inner_loop (MP3_Encoder.py:1064-1095). Note the asymmetry vs bin search:
+// a successful quantize updates ix EVEN when ixmax > 8192 (the step is then
+// retried higher); only the early xrmax bail leaves ix stale. Reads and
+// writes quantizerStepSize in state[0]; returns the bit count.
+extern "C" int64_t rate_inner_loop(
+    const int32_t* xr, const int32_t* xrabs, int64_t xrmax, int64_t max_bits,
+    int64_t sr_off, const uint8_t* hide, int64_t hide_len, int64_t hide_off,
+    int64_t* state, int32_t* ix) {
+  State st{state};
+  int32_t tmp[kGranule];
+  if (max_bits < 0) --st.qss();
+  while (true) {
+    while (true) {
+      int64_t ixmax;
+      if (quantize(xr, xrabs, xrmax, st.qss() + 1, tmp, &ixmax))
+        std::memcpy(ix, tmp, sizeof(tmp));
+      if (ixmax <= kMaxQuant) break;
+      ++st.qss();
+    }
+    ++st.qss();
+    const int64_t bits = eval_ix(ix, st, sr_off, hide, hide_len, hide_off);
+    if (bits <= max_bits) return bits;
+  }
+}

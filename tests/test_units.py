@@ -226,3 +226,63 @@ def test_native_raw_pack_matches_numpy_oracle(fixture_mp3):
     kb = np.lexsort((b["exc_s"], b["exc_t"], b["exc_ch"]))
     for k in ("exc_t", "exc_ch", "exc_s", "exc_val"):
         np.testing.assert_array_equal(a[k][ka], b[k][kb], err_msg=k)
+
+
+def test_native_rate_search_matches_numpy(monkeypatch):
+    """The C++ rate-search twin (native/src/rate_search.cpp) must replay the
+    NumPy search bit-for-bit: same final GrInfo state, same ix tensor, same
+    returned bits — across random spectra, states, steps, and hide bits."""
+    from mp3stego_tpu.models import encoder as E
+    from mp3stego_tpu.ops import quant as Q
+    if E._native_rate_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    hide = rng.integers(0, 2, 64).astype(np.uint8)
+    hide_str = "".join(str(int(b)) for b in hide)
+
+    class Host:
+        """Minimal stand-in exposing the attributes the search methods use."""
+        _eval = E.MP3Encoder._eval
+        _big_v_tab_select = E.MP3Encoder._big_v_tab_select
+        _choose = E.MP3Encoder._choose
+        _rate_native_call = E.MP3Encoder._rate_native_call
+
+        def __init__(self, use_native):
+            self.samplerate_index = 0
+            self.hide_str = hide_str
+            self.hide_str_offset = 3
+            self._hide_u8 = hide
+            self.l3_enc = np.zeros((1, 1, 576), np.int32)
+            self._use_native = use_native
+
+    for trial in range(24):
+        mag = [40, 400, 40000, 4000000][trial % 4]
+        xr = rng.integers(-mag, mag, 576).astype(np.int32)
+        xr[rng.random(576) < 0.5] = 0
+        xrabs = np.abs(xr)
+        xrmax = int(max(0, xrabs.max()))
+        if xrmax == 0:
+            continue
+        outs = []
+        for use_native in (False, True):
+            monkeypatch.setenv("MP3STEGO_TPU_NATIVE_RATE",
+                               "1" if use_native else "0")
+            h = Host(use_native)
+            ci = Q.GrInfo()
+            ci.address1, ci.address2, ci.address3 = 14, 22, 30  # stale seeds
+            step = E.MP3Encoder._bin_search_step_size(
+                h, 700 + trial * 37, xr, xrabs, xrmax, 0, 0, ci)
+            ci.quantizerStepSize = step
+            bits = E.MP3Encoder._inner_loop(
+                h, xr, xrabs, xrmax, 700 + trial * 37, 0, 0, ci)
+            ev = E.MP3Encoder._exact_eval(
+                h, ci.quantizerStepSize, xr, xrabs, xrmax, 0, 0, ci)
+            outs.append((step, bits, ev, ci.quantizerStepSize,
+                         ci.big_values, ci.count1, ci.count1table_select,
+                         ci.address1, ci.address2, ci.address3,
+                         ci.region0_count, ci.region1_count,
+                         tuple(ci.table_select), h.l3_enc.copy()))
+        a, b = outs
+        assert a[:-1] == b[:-1], f"trial {trial}: {a[:-1]} != {b[:-1]}"
+        np.testing.assert_array_equal(a[-1], b[-1], err_msg=f"trial {trial}")
