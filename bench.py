@@ -82,11 +82,15 @@ def bench_decode_fixture_batch():
 
     parsed = dh.parse_mp3(data, 0)
     jax.block_until_ready(pipeline_once())
-    t0 = time.time()
+    # best-of-N: the tunneled link's throughput swings ~30% between runs;
+    # the best iteration tracks the machine capability, the mean the tunnel
+    dt = None
     for _ in range(ITERS):
+        t0 = time.time()
         out = pipeline_once()
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / ITERS
+        jax.block_until_ready(out)
+        d = time.time() - t0
+        dt = d if dt is None else min(dt, d)
     audio = parsed.num_frames * N_FILES * 1152 / parsed.header.sampling_rate
     rt = audio / dt
     _note("decode 64x fixture batch (end-to-end)", rt, "x realtime")

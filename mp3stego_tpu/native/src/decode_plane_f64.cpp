@@ -78,6 +78,18 @@ int64_t decode_plane_run(
     // output
     const Out& sink) {
   const int64_t T = 2 * F;
+  // Transposed constant tables: the hot accumulations loop k/j OUTER and the
+  // output index INNER, so each output element still accumulates in the
+  // NumPy oracle's ascending order (bit-exact) while the compiler vectorizes
+  // across outputs (a reduction over k could NOT be vectorized without
+  // reassociation, which would change the rounding).
+  double c_longT[18][36], c_shortT[6][12], n_matT[32][64];
+  for (int i = 0; i < 36; ++i)
+    for (int k = 0; k < 18; ++k) c_longT[k][i] = c_long[i * 18 + k];
+  for (int i = 0; i < 12; ++i)
+    for (int k = 0; k < 6; ++k) c_shortT[k][i] = c_short[i * 6 + k];
+  for (int i = 0; i < 64; ++i)
+    for (int j = 0; j < 32; ++j) n_matT[j][i] = n_mat[i * 32 + j];
   // per-channel sequential carries: previous granule's window tail and the
   // synthesis V ring (last 16 sub-steps; zero history before stream start)
   double tail_c[2][32][18];
@@ -179,23 +191,28 @@ int64_t decode_plane_run(
         const double* s18 = w + band * 18;
         double* b = blk[ch][band];
         if (!short_blk) {
-          for (int i = 0; i < 36; ++i) {
-            double acc = 0.0;
-            const double* cl = c_long + i * 18;
-            for (int k = 0; k < 18; ++k) acc += s18[k] * cl[k];
-            b[i] = acc * win_l[i];
+          double acc[36];
+          for (int i = 0; i < 36; ++i) acc[i] = 0.0;
+          for (int k = 0; k < 18; ++k) {
+            const double sk = s18[k];
+            const double* ck = c_longT[k];
+            for (int i = 0; i < 36; ++i) acc[i] += sk * ck[i];
           }
+          for (int i = 0; i < 36; ++i) b[i] = acc[i] * win_l[i];
         } else {
           // 3 windows of 6 inputs -> 12 outputs, windowed by sine[2][:12]
           double xs[3][12];
           for (int wn = 0; wn < 3; ++wn) {
             const double* s6 = s18 + wn * 6;
-            for (int i = 0; i < 12; ++i) {
-              double acc = 0.0;
-              const double* cs6 = c_short + i * 6;
-              for (int k = 0; k < 6; ++k) acc += s6[k] * cs6[k];
-              xs[wn][i] = acc * sine[2 * 36 + i];
+            double acc[12];
+            for (int i = 0; i < 12; ++i) acc[i] = 0.0;
+            for (int k = 0; k < 6; ++k) {
+              const double sk = s6[k];
+              const double* ck = c_shortT[k];
+              for (int i = 0; i < 12; ++i) acc[i] += sk * ck[i];
             }
+            for (int i = 0; i < 12; ++i)
+              xs[wn][i] = acc[i] * sine[2 * 36 + i];
           }
           for (int i = 0; i < 6; ++i) {
             b[i] = 0.0;
@@ -225,23 +242,22 @@ int64_t decode_plane_run(
     for (int step = 0; step < 18; ++step) {
       for (int ch = 0; ch < 2; ++ch) {
         double* v = vring[ch][vpos & 15];
-        for (int i = 0; i < 64; ++i) {
-          double acc = 0.0;
-          const double* nr = n_mat + i * 32;
-          for (int j = 0; j < 32; ++j) acc += y[ch][j][step] * nr[j];
-          v[i] = acc;
+        for (int i = 0; i < 64; ++i) v[i] = 0.0;
+        for (int j = 0; j < 32; ++j) {
+          const double yj = y[ch][j][step];
+          const double* nj = n_matT[j];
+          for (int i = 0; i < 64; ++i) v[i] += yj * nj[i];
         }
-        for (int n = 0; n < 32; ++n) {
-          double acc = 0.0;
-          for (int j = 0; j < 16; ++j) {
-            // v history index ts-j; ring slot (vpos - j) & 15. Zero history
-            // before the stream start is pre-zeroed in the ring.
-            const double* vj = vring[ch][(vpos - j) & 15];
-            const double src = (j & 1) ? vj[32 + n] : vj[n];
-            acc += src * d_win[j * 32 + n];
-          }
-          sink.write(ch, t, step, n, acc);
+        double acc[32];
+        for (int n = 0; n < 32; ++n) acc[n] = 0.0;
+        for (int j = 0; j < 16; ++j) {
+          // v history index ts-j; ring slot (vpos - j) & 15. Zero history
+          // before the stream start is pre-zeroed in the ring.
+          const double* vj = vring[ch][(vpos - j) & 15] + ((j & 1) ? 32 : 0);
+          const double* dw = d_win + j * 32;
+          for (int n = 0; n < 32; ++n) acc[n] += vj[n] * dw[n];
         }
+        for (int n = 0; n < 32; ++n) sink.write(ch, t, step, n, acc[n]);
       }
       ++vpos;
     }
