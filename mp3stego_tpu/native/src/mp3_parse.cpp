@@ -60,15 +60,23 @@ struct BitReader {
   }
 };
 
-// fast path: up to 25 bits in one 32-bit load (still zero-padded past end)
+// fast path: up to 25 bits in one 32-bit load (still zero-padded past end).
+// The common in-bounds case is a single unaligned big-endian load; the
+// per-byte zero-padded walk only runs within 4 bytes of the buffer end.
 inline uint32_t peek_fast(const uint8_t* data, int64_t nbytes, int64_t bitpos,
                           int n) {
   int64_t byte = bitpos >> 3;
   int off = int(bitpos & 7);
-  uint32_t w = 0;
-  for (int i = 0; i < 4; ++i) {
-    uint32_t b = (byte + i < nbytes) ? data[byte + i] : 0;
-    w = (w << 8) | b;
+  uint32_t w;
+  if (byte + 4 <= nbytes) {
+    std::memcpy(&w, data + byte, 4);
+    w = __builtin_bswap32(w);
+  } else {
+    w = 0;
+    for (int i = 0; i < 4; ++i) {
+      uint32_t b = (byte + i < nbytes) ? data[byte + i] : 0;
+      w = (w << 8) | b;
+    }
   }
   return (w << off) >> (32 - n);
 }
