@@ -118,8 +118,17 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
     ``errors``: "raise" propagates the first per-file parse failure;
     "isolate" decodes the healthy files and returns the exception object in
     the failed file's slot (a corrupt file cannot poison the batch).
+
+    Engine auto-select for ``out="int16"``: batches below
+    ``MP3STEGO_TPU_BATCH_HOST_G`` total granules (default 2560, ~66 s of
+    audio) decode on the bit-exact native host plane — the device round
+    trip's fixed latency dominates small batches, and the host plane is both
+    faster there and byte-identical to the reference. Larger batches use the
+    float32 device plane (≤1 LSB int16 deviation at ~1e-4 rate). Set the
+    knob to 0 to force the device path.
     """
-    preps = []
+    import os as _os
+
     metas = []
     failures = {}
     for i, path in enumerate(paths):
@@ -131,7 +140,6 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
             parsed = dh.parse_mp3(data, id3.offset if id3.is_valid else 0)
             if parsed.num_frames == 0:
                 raise ValueError(f"{path}: no MP3 frames found")
-            preps.append(dp.host_prepare(parsed))
             metas.append(parsed)
         except Exception as e:  # noqa: BLE001 - isolation mode surfaces them
             if errors != "isolate":
@@ -139,6 +147,22 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
             failures[i] = e
 
     results = [None] * len(paths)
+    host_g = int(_os.environ.get("MP3STEGO_TPU_BATCH_HOST_G", "2560"))
+    if (out == "int16" and dtype == "float32" and metas
+            and sum(m.num_frames for m in metas) * 2 <= host_g):
+        host = [dp.decode_pcm_i16_host(m) for m in metas]
+        if all(h is not None for h in host):   # native lib available
+            j = 0
+            for i in range(len(paths)):
+                if i in failures:
+                    continue
+                results[i] = host[j]
+                j += 1
+            for i, e in failures.items():
+                results[i] = e
+            return results
+
+    preps = [dp.host_prepare(m) for m in metas]
     if preps:
         from mp3stego_tpu.utils.transfer import fetch_pieces
         batch = prepare_batch(preps)

@@ -50,15 +50,28 @@ def test_batched_files_match_per_file(parsed, fixture_mp3):
         np.testing.assert_allclose(o, ref, rtol=0, atol=1e-6)
 
 
-def test_batched_i16_matches_per_file(parsed, fixture_mp3):
-    """out="int16" (device-fused WAV conversion, half the fetch bytes) must
-    equal the per-file fused path and the host (f32*32767).astype(int16)."""
+def test_batched_i16_matches_per_file(parsed, fixture_mp3, monkeypatch):
+    """out="int16" engine auto-select: small batches ride the bit-exact
+    native host plane (byte-identical to the f64 parity product); with the
+    threshold forced to 0 the float32 device plane serves the batch."""
+    from mp3stego_tpu import native
+
     outs = decode_files_batched([fixture_mp3] * 2, out="int16")
-    ref = dp.decode_pcm_i16(parsed)
-    host = (dp.decode_pcm(parsed, "float32") * 32767).astype(np.int16)
+    if native.available():
+        ref = (dp.decode_pcm(parsed, "float64") * 32767).astype(np.int16)
+    else:
+        ref = dp.decode_pcm_i16(parsed)
     for o in outs:
         assert o.dtype == np.int16
         np.testing.assert_array_equal(o, ref)
+
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_HOST_G", "0")
+    outs = decode_files_batched([fixture_mp3] * 2, out="int16")
+    ref32 = dp.decode_pcm_i16(parsed)
+    host = (dp.decode_pcm(parsed, "float32") * 32767).astype(np.int16)
+    for o in outs:
+        assert o.dtype == np.int16
+        np.testing.assert_array_equal(o, ref32)
         np.testing.assert_array_equal(o, host)
 
 
