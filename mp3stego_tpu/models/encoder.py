@@ -426,7 +426,12 @@ class MP3Encoder:
                                   "a3", "r0c", "r1c", "cts"):
                             res[k][g] = r[k]
                         res["ch0"][g], res["ch1"][g], res["ch2"][g] = r["ch"]
-                        res["ix"][g] = r["ix"]
+                        if res["ix"].dtype == np.int8:
+                            # int8 wire plane: redone rows go in as patches
+                            res.setdefault("ixw", {})[g] = \
+                                np.asarray(r["ix"], np.int32)
+                        else:
+                            res["ix"][g] = r["ix"]
                         addr = (r["a1"], r["a2"], r["a3"])
                     elif searched[g]:
                         addr = (int(res["a1"][g]), int(res["a2"][g]),
@@ -537,6 +542,11 @@ class MP3Encoder:
             return
 
         zeros_mdct = np.zeros((nch, gpf, 576), np.int32)
+        patches = {}
+        for g, row in res.get("ixw", {}).items():
+            ch_, rem = divmod(int(g), tg)
+            f_, gr_ = divmod(rem, gpf)
+            patches.setdefault(f_, []).append((ch_, gr_, row))
         for f in range(nf):
             self.padding = int(paddings[f])
             if self.version == 3:
@@ -564,6 +574,8 @@ class MP3Encoder:
             # (ch*2+gr)*576 regardless of granules_per_frame (C twin layout)
             l3 = np.zeros((nch, 2, 576), np.int32)
             l3[:, :gpf] = ix_l[:, f]
+            for ch_, gr_, row in patches.get(f, ()):
+                l3[ch_, gr_] = row
             self.l3_enc = l3
             self._format_bitstream(zeros_mdct)
             self.out_buffer += self.bw.take_frame()
@@ -599,6 +611,12 @@ class MP3Encoder:
             scfsi[:, :nch] = scfsi_f[:, :nch]
         l3 = np.zeros((nf, 2, 2, 576), np.int32)
         l3[:, :nch, :gpf] = np.moveaxis(ix_l, 0, 1)
+        # wide (linbits-scale) and redone lanes: patch the int32 staging
+        # buffer (the int8 wire plane clips them; see search_plane.dense_ix)
+        for g, row in res.get("ixw", {}).items():
+            ch_, rem = divmod(int(g), tg)
+            f_, gr_ = divmod(rem, gpf)
+            l3[f_, ch_, gr_] = row
 
         out = np.zeros(nf * 2016 + 4096, np.uint8)
         # continue the persistent 32-bit bitstream cache when a sequential

@@ -436,13 +436,15 @@ def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
     fin_h, ix8_h, wide_h, ls_h, lb_h = _fetch_pieces(
         [fin, ix8, wide, lsteps, lbits])
     out = {k: fin_h[:, r] for r, k in enumerate(_FIN_ROWS)}
-    ix = ix8_h.astype(np.int16)
+    out["ix"] = ix8_h                      # int8; wide lanes in out["ixw"]
+    ixw = {}
     wf, wl = np.nonzero(wide_h)
     if len(wf):
         rows = np.asarray(_gather_rows2(ix_dev, jnp.asarray(wf, jnp.int32),
                                         jnp.asarray(wl, jnp.int32)))
-        ix[wf, wl] = rows
-    out["ix"] = ix
+        for k in range(len(wf)):
+            ixw[(int(wf[k]), int(wl[k]))] = rows[k]
+    out["ixw"] = ixw
     out["log_steps"] = ls_h
     out["log_bits"] = lb_h
     return out
@@ -522,7 +524,11 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
     lbits = [got[i] for i in range(4, len(got), 5)]
     fin = np.concatenate(fins, axis=1)[:, :n]
     out = {k: fin[r] for r, k in enumerate(_FIN_ROWS)}
-    ix = np.concatenate(ix8s, axis=0)[:n].astype(np.int16)
+    # ix stays int8 (the wire format): widening the full plane on the page-
+    # fault-bound host costs more than the whole fetch. Wide (linbits-scale)
+    # lanes live in out["ixw"]; consumers patch them in (see dense_ix).
+    out["ix"] = np.concatenate(ix8s, axis=0)[:n]
+    ixw = {}
     wide = np.concatenate(wides, axis=0)[:n]
     if wide.any():
         for ci, tup in enumerate(pending):
@@ -531,8 +537,19 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
             if len(lanes):
                 rows = np.asarray(_gather_rows(
                     tup[3], jnp.asarray(lanes, jnp.int32)))
-                ix[lo + lanes] = rows
-    out["ix"] = ix
+                for k, l in enumerate(lanes):
+                    ixw[lo + int(l)] = rows[k]
+    out["ixw"] = ixw
     out["log_steps"] = np.concatenate(lsteps, axis=0)[:n]
     out["log_bits"] = np.concatenate(lbits, axis=0)[:n]
     return out
+
+
+def dense_ix(res: dict) -> np.ndarray:
+    """Widen a search result's int8 ix plane to int32 with the wide-lane
+    patches applied (testing/debug helper; production consumers patch the
+    serializer's int32 staging buffer directly instead)."""
+    ix = res["ix"].astype(np.int32)
+    for key, row in res.get("ixw", {}).items():
+        ix[key] = row
+    return ix

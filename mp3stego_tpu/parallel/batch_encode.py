@@ -140,7 +140,16 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
             [np.arange(ch * tg_max, ch * tg_max + tg) for ch in range(nch)])
         res = {k: np.ascontiguousarray(res_all[k][j][lanes])
                for k in SP._FIN_ROWS}
-        res["ix"] = np.ascontiguousarray(res_all["ix"][j][lanes])
+        res["ix"] = np.ascontiguousarray(res_all["ix"][j][lanes])  # int8
+        # remap this file's wide-lane patches from padded (file, lane) keys
+        # to the compact g = ch * tg + local layout
+        res["ixw"] = {}
+        for (fj, lane), row in res_all.get("ixw", {}).items():
+            if fj != j:
+                continue
+            ch, off = divmod(lane, tg_max)
+            if off < tg:
+                res["ixw"][ch * tg + off] = row
         res["log_steps"] = res_all["log_steps"][j][lanes]
         res["log_bits"] = res_all["log_bits"][j][lanes]
         xr_c = xr[j][jnp.asarray(lanes)]

@@ -85,7 +85,7 @@ def test_plane_lanes_match_oracle():
                   "cts"):
             assert res[k][g] == r[k], (g, k, res[k][g], r[k])
         assert (res["ch0"][g], res["ch1"][g], res["ch2"][g]) == r["ch"], g
-        assert (res["ix"][g] == r["ix"]).all(), g
+        assert (SP.dense_ix(res)[g] == r["ix"]).all(), g
         checked += 1
     assert checked > n // 2  # the sweep must actually compare most lanes
 
@@ -242,14 +242,16 @@ def test_search_all_wide_lane_int8_packing():
                           1 << 23, 1 << 22, 1 << 21, 1 << 20])
     max_bits = np.full(n, 4000, np.int32)
     res = SP.search_all(jnp.asarray(xr), max_bits, sr_idx=0)
-    assert (np.abs(res["ix"][2]) > 127).any(), "probe lane must be wide"
-    wide = np.flatnonzero((np.abs(res["ix"]) > 127).any(axis=1))
+    dense = SP.dense_ix(res)
+    assert (np.abs(dense[2]) > 127).any(), "probe lane must be wide"
+    assert 2 in res["ixw"], "wide lane must come back as an ixw patch"
+    wide = np.flatnonzero((np.abs(dense) > 127).any(axis=1))
     checked = 0
     for g in wide[:8]:
         if res["flags"][g] or res["xrmax0"][g]:
             continue
         r = quant_np.oracle_search(xr[g], int(max_bits[g]), (0, 0, 0), 0)
-        np.testing.assert_array_equal(res["ix"][g], r["ix"])
+        np.testing.assert_array_equal(dense[g], r["ix"])
         checked += 1
     assert checked >= 1
 
