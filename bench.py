@@ -156,13 +156,26 @@ def bench_encode():
     from mp3stego_tpu.utils.wav import read_wav
 
     wav = _synth_wav("/tmp/bench_enc30.wav", 30.0, 44100, 2)
-    for rep in range(2):                  # rep0 warms compiles
+    for rep in range(2):                  # rep0 warms compiles + .so build
         enc = MP3Encoder(read_wav(wav, 320))
         t0 = time.time()
         enc.encode(quiet=True)
         dt = time.time() - t0
     rt = 30.0 / dt
     _note("encode 30s single stream @320kbps", rt, "x realtime")
+
+    # secondary: the device search plane (the sharded-batch engine), forced
+    os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
+    try:
+        for rep in range(2):
+            enc = MP3Encoder(read_wav(wav, 320))
+            t0 = time.time()
+            enc.encode(quiet=True)
+            dt = time.time() - t0
+        _note("encode 30s single stream (device plane)", 30.0 / dt,
+              "x realtime")
+    finally:
+        os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
 
     from mp3stego_tpu.parallel import encode_files_batched
     jobs = [(wav, f"/tmp/bench_enc_b{i}.mp3") for i in range(8)]

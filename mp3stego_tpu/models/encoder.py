@@ -288,10 +288,17 @@ class MP3Encoder:
         if (self.device_search
                 and _os.environ.get("MP3STEGO_TPU_SEARCH_PLANE", "1") != "0"):
             with trace():
-                if self.hide_str:
-                    self._encode_hide_hybrid(num_frames, timer, quiet)
-                else:
-                    self._encode_plane(num_frames, timer)
+                # engine order: fully-host C++ (no link traffic — wins for
+                # single streams on latency-bound hosts; MP3STEGO_TPU_ENC_HOST=0
+                # forces the device plane), then the device search plane
+                done = False
+                if _os.environ.get("MP3STEGO_TPU_ENC_HOST", "1") != "0":
+                    done = self._encode_host(num_frames, timer)
+                if not done:
+                    if self.hide_str:
+                        self._encode_hide_hybrid(num_frames, timer, quiet)
+                    else:
+                        self._encode_plane(num_frames, timer)
             if not quiet:
                 timer.print_report()
             return
@@ -360,6 +367,55 @@ class MP3Encoder:
         with timer.stage("assemble+serialize (host)"):
             self._plane_finish(res, en_tot_raw, en_raw, num_frames, paddings,
                                mean_bits_f, tg)
+
+    def _encode_host(self, num_frames: int, timer) -> bool:
+        """Fully-host encode engine: C++ analysis plane + C++ sequential
+        whole-file rate search (reference frame order, live stego cursor,
+        per-slot stale-address chains) + batched C serializer. Spectra never
+        cross the device link — on tunneled/latency-bound hosts this beats
+        the device plane for single streams; byte-identical to both. Returns
+        False when the native library is unavailable (callers fall back)."""
+        from mp3stego_tpu.ops import encode_plane
+
+        lib = _native_rate_lib()
+        if lib is None or not hasattr(lib, "rate_search_file"):
+            return False
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        tg = num_frames * gpf
+
+        with timer.stage("analysis+mdct (host C++)"):
+            streams = self._channel_streams_i16(num_frames)
+            xr = encode_plane.run_analysis_native(streams, tg)
+            if xr is None:
+                return False
+            xr = np.ascontiguousarray(xr.reshape(-1, 576))
+
+        paddings, mean_bits_f = self._plane_framing(num_frames)
+        maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                            Q.MAX_BITS_ALLOWANCE)
+        max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
+
+        with timer.stage("rate search (host C++)"):
+            lanes = nch * tg
+            raw = np.zeros((lanes, 12), np.int64)
+            ix = np.zeros((lanes, 576), np.int32)
+            en_tot = np.zeros(lanes, np.int32)
+            en21 = np.zeros((lanes, 21), np.int32)
+            lib.rate_search_file(
+                xr, max_bits_lanes, nch, tg, gpf,
+                self.samplerate_index * 23,
+                self._hide_u8, len(self.hide_str), self.hide_str_offset,
+                raw, ix, en_tot, en21)
+            res = {k: np.ascontiguousarray(raw[:, c]) for c, k in enumerate(
+                ("step", "bits", "bv", "c1", "cts", "r0c", "r1c",
+                 "ch0", "ch1", "ch2", "xrmax0"))}
+            res["ix"] = ix
+        with timer.stage("assemble+serialize (host)"):
+            self._plane_finish(res, en_tot if self.version == 3 else None,
+                               en21 if self.version == 3 else None,
+                               num_frames, paddings, mean_bits_f, tg)
+        return True
 
     def _plane_framing(self, num_frames: int):
         """Per-frame padding + mean_bits — the data-independent preamble of

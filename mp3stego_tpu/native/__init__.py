@@ -145,6 +145,20 @@ def get_lib():
             fn.argtypes = [p_i32, p_i32, i64, i64, i64,
                            p_u8, i64, i64, p_i64, p_i32]
 
+        lib.rate_search_file.restype = i64
+        lib.rate_search_file.argtypes = [
+            p_i32, p_i32, i64, i64, i64, i64,
+            p_u8, i64, i64,
+            p_i64, p_i32, p_i32, p_i32,
+        ]
+
+        lib.encode_analysis.restype = i64
+        lib.encode_analysis.argtypes = [
+            p_i16, i64, i64,
+            p_i64, p_i32, p_i32, p_i32, p_i32,
+            p_i32,
+        ]
+
         lib.mp3_format_frames.restype = i64
         lib.mp3_format_frames.argtypes = [
             p_u32, p_i32, p_u8, i64,

@@ -336,6 +336,124 @@ extern "C" int64_t rate_bin_search(
   return nxt;
 }
 
+extern "C" int64_t rate_bin_search(
+    const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
+    int64_t desired_rate, int64_t sr_off, const uint8_t* hide,
+    int64_t hide_len, int64_t hide_off, int64_t* state, int32_t* ix);
+extern "C" int64_t rate_inner_loop(
+    const int32_t* xr, const int32_t* xrabs, int64_t xrmax, int64_t max_bits,
+    int64_t sr_off, const uint8_t* hide, int64_t hide_len, int64_t hide_off,
+    int64_t* state, int32_t* ix);
+
+// Whole-file sequential rate search: the reference's frame loop order
+// (f, ch, gr) with per-(gr, ch)-slot GrInfo state persisting across frames
+// (stale addresses included) and a live stego cursor — one call replaces the
+// per-granule Python loop entirely. Reference: MP3_Encoder.py:760-815 with
+// part2_length == 0 (scale_fac_compress stays 0, slen tables start at 0).
+//
+// res layout per lane (int64[12]):
+//   [0] step [1] bits [2] bv [3] c1 [4] cts [5] r0c [6] r1c
+//   [7] ch0 [8] ch1 [9] ch2 [10] xrmax0 (1 = skipped) [11] unused
+// Also emits per-lane scfsi energy sums (MP3_Encoder.py:817-850 semantics:
+// int32-wrapped sums of mulsr(xr,xr)>>10, total + 21 long bands).
+extern "C" int64_t rate_search_file(
+    const int32_t* xr,        // (nch*tg, 576), lane g = ch*tg + f*gpf + gr
+    const int32_t* max_bits,  // (nch*tg,)
+    int64_t nch, int64_t tg, int64_t gpf, int64_t sr_off,
+    const uint8_t* hide, int64_t hide_len, int64_t hide_off0,
+    int64_t* res,             // (nch*tg, 12)
+    int32_t* ix_out,          // (nch*tg, 576)
+    int32_t* en_tot,          // (nch*tg,)
+    int32_t* en21) {          // (nch*tg, 21)
+  const int64_t nf = tg / gpf;
+  int64_t slot_state[2][2][12];  // [gr][ch]
+  std::memset(slot_state, 0, sizeof(slot_state));
+  // the reference's l3_enc[ch][gr] ix buffers persist across frames: a
+  // quantize bail mid-search leaves the PREVIOUS granule's samples in the
+  // slot and _eval consumes them (stale-ix quirk) — so the search must run
+  // on per-slot buffers, copied out per granule
+  static thread_local int32_t slot_ix[2][2][kGranule];
+  std::memset(slot_ix, 0, sizeof(slot_ix));
+  int64_t cursor = hide_off0;
+  const int32_t* band = g_band + sr_off;
+
+  int32_t xrabs[kGranule];
+  for (int64_t f = 0; f < nf; ++f) {
+    for (int64_t ch = 0; ch < nch; ++ch) {
+      for (int64_t gr = 0; gr < gpf; ++gr) {
+        const int64_t g = ch * tg + f * gpf + gr;
+        const int32_t* row = xr + g * kGranule;
+        int64_t* r = res + g * 12;
+
+        // scfsi energies: terms = mulsr(xr, xr) >> 10, int32-wrapped sums
+        uint32_t tot = 0;
+        int32_t terms[kGranule];
+        int32_t mx = 0;
+        for (int i = 0; i < kGranule; ++i) {
+          const int64_t v = row[i];
+          terms[i] = int32_t((v * v + 1073741824LL) >> 31) >> 10;
+          tot += uint32_t(terms[i]);
+          // xrabs with int32 wraparound (np.abs semantics)
+          const int32_t av =
+              int32_t(row[i] < 0 ? 0u - uint32_t(row[i]) : uint32_t(row[i]));
+          xrabs[i] = av;
+          if (av > mx) mx = av;
+        }
+        en_tot[g] = int32_t(tot);
+        for (int sfb = 0; sfb < 21; ++sfb) {
+          uint32_t s = 0;
+          for (int32_t i = band[sfb]; i < band[sfb + 1]; ++i)
+            s += uint32_t(terms[i]);
+          en21[g * 21 + sfb] = int32_t(s);
+        }
+
+        const int64_t xrmax = mx < 0 ? 0 : mx;
+        if (xrmax == 0) {
+          for (int k = 0; k < 12; ++k) r[k] = 0;
+          r[10] = 1;  // skipped: slot state untouched, cursor unmoved
+          continue;
+        }
+        State st{slot_state[gr][ch]};
+        int32_t* ix = slot_ix[gr][ch];
+        const int64_t desired = max_bits[g];
+        st.qss() = rate_bin_search(row, xrabs, xrmax, desired, sr_off,
+                                   hide, hide_len, cursor,
+                                   slot_state[gr][ch], ix);
+        const int64_t bits = rate_inner_loop(row, xrabs, xrmax, desired,
+                                             sr_off, hide, hide_len, cursor,
+                                             slot_state[gr][ch], ix);
+        r[0] = st.qss();
+        r[1] = bits;
+        r[2] = st.bv();
+        r[3] = st.c1();
+        r[4] = st.c1t();
+        r[5] = st.r0();
+        r[6] = st.r1();
+        r[7] = st.ts(0);
+        r[8] = st.ts(1);
+        r[9] = st.ts(2);
+        r[10] = 0;
+        cursor += (st.ts(0) > 0) + (st.ts(1) > 0) + (st.ts(2) > 0);
+      }
+    }
+    // frame serialization: the reference signs l3_enc IN PLACE per slot
+    // (neg = (mdct < 0) & (l3 > 0), MP3_Encoder's format step) — the signed
+    // buffer is what the serializer consumes AND what carries into the next
+    // frame's slot state
+    for (int64_t ch = 0; ch < nch; ++ch) {
+      for (int64_t gr = 0; gr < gpf; ++gr) {
+        const int64_t g = ch * tg + f * gpf + gr;
+        const int32_t* row = xr + g * kGranule;
+        int32_t* ix = slot_ix[gr][ch];
+        for (int i = 0; i < kGranule; ++i)
+          if (row[i] < 0 && ix[i] > 0) ix[i] = -ix[i];
+        std::memcpy(ix_out + g * kGranule, ix, kGranule * sizeof(int32_t));
+      }
+    }
+  }
+  return cursor;
+}
+
 // _inner_loop (MP3_Encoder.py:1064-1095). Note the asymmetry vs bin search:
 // a successful quantize updates ix EVEN when ixmax > 8192 (the step is then
 // retried higher); only the early xrmax bail leaves ix stale. Reads and

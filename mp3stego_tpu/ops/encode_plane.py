@@ -182,3 +182,31 @@ def _pad_to(a: np.ndarray, n: int):
         a = np.concatenate(
             [a, np.zeros((a.shape[0], n - a.shape[1]), a.dtype)], axis=1)
     return jnp.asarray(a)
+
+
+@functools.lru_cache(maxsize=1)
+def _analysis_tables():
+    cc = lambda a, d: np.ascontiguousarray(a, d)
+    return (cc(T.ENWINDOW, np.int64),
+            cc(T.subband_filter_fixed(), np.int32),
+            cc(T.mdct_cos_fixed(), np.int32),
+            cc(T.MDCT_CS_FIX, np.int32), cc(T.MDCT_CA_FIX, np.int32))
+
+
+def run_analysis_native(pcm_i16: np.ndarray, num_granules: int):
+    """Host C++ twin of :func:`analysis_mdct` (native/src/encode_plane.cpp):
+    raw int16 streams -> (ch, Tg, 576) int32 spectra, bit-identical to the
+    device plane (all-integer Q31 arithmetic). Returns None when the native
+    library is unavailable. Spectra never cross the device link — this is
+    the front half of the fully-host encode engine."""
+    from mp3stego_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "encode_analysis"):
+        return None
+    ch, n = pcm_i16.shape
+    need = num_granules * 576
+    full = np.zeros((ch, _PAST + need), np.int16)
+    full[:, _PAST:_PAST + min(n, need)] = pcm_i16[:, :need]
+    out = np.empty((ch, num_granules, 576), np.int32)
+    lib.encode_analysis(full, ch, num_granules, *_analysis_tables(), out)
+    return out

@@ -273,3 +273,43 @@ def test_verify_cells_batched_matches_loop():
         b0, v0 = quant_np.verify_cells_loop(rows, steps, sr_idx)
         np.testing.assert_array_equal(b1, b0, err_msg=f"bits sr={sr_idx}")
         np.testing.assert_array_equal(v1, v0, err_msg=f"bv sr={sr_idx}")
+
+
+def test_host_engine_matches_device_plane(tmp_path, monkeypatch):
+    """The fully-host C++ engine (encode_analysis + rate_search_file) must be
+    byte-identical to the device search plane, plain and hide mode."""
+    from mp3stego_tpu.models.encoder import _native_rate_lib
+    if _native_rate_lib() is None:
+        pytest.skip("native library unavailable")
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(5)
+    sr = 44100
+    t = np.arange(sr)
+    sig = 0.5 * np.sin(2 * np.pi * 700 * t / sr) \
+        + 0.08 * rng.standard_normal(len(t))
+    pcm = np.clip(sig * 24000, -32768, 32767).astype(np.int16)
+    wav = tmp_path / "h.wav"
+    write_wav(str(wav), sr, np.stack([pcm, np.roll(pcm, 99)], axis=1))
+
+    bits = "".join(format(b, "08b") for b in b"7#payload")
+    for hide in ("", bits):
+        outs = {}
+        for env in ("1", "0"):
+            monkeypatch.setenv("MP3STEGO_TPU_ENC_HOST", env)
+            e = MP3Encoder(read_wav(str(wav), 320), hide_str=hide)
+            e.encode(quiet=True)
+            outs[env] = (bytes(e.out_buffer), e.hide_str_offset)
+        assert outs["1"] == outs["0"], f"hide={bool(hide)}"
+
+
+def test_native_analysis_matches_device():
+    """encode_analysis (C++) must equal the jitted Q31 device plane exactly."""
+    from mp3stego_tpu.ops import encode_plane as EP
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32768, (2, 7 * 576)).astype(np.int16)
+    host = EP.run_analysis_native(pcm, 7)
+    if host is None:
+        pytest.skip("native library unavailable")
+    dev = EP.run_analysis(pcm.astype(np.int32) << 16, 7)
+    np.testing.assert_array_equal(host, np.asarray(dev))
