@@ -68,6 +68,41 @@ def encode_files_batched(jobs: list, bitrate: int = 320, mesh=None,
             failures[i] = e
 
     results = [None] * len(jobs)
+
+    # Engine auto-select: with no explicit mesh, the fully-host C++ engine
+    # per file (models/encoder._encode_host — zero link traffic, zero XLA
+    # compiles) beats the stacked device program wherever the host link is
+    # latency-bound. An explicit ``mesh`` requests the sharded device path;
+    # MP3STEGO_TPU_BATCH_ENC_HOST=0 forces it without one.
+    if (items and mesh is None
+            and os.environ.get("MP3STEGO_TPU_BATCH_ENC_HOST", "1") != "0"):
+        from mp3stego_tpu.models.encoder import _native_rate_lib
+        lib = _native_rate_lib()
+        if (lib is not None and hasattr(lib, "rate_search_file")
+                and hasattr(lib, "encode_analysis")):
+            from mp3stego_tpu.utils.profiling import StageTimer
+
+            def host_one(it):
+                i, mp3_path, enc, nf = it
+                assert enc._encode_host(nf, StageTimer(enabled=False))
+                enc.write_mp3_file(mp3_path)
+                return mp3_path
+
+            workers = max_workers or min(8, (os.cpu_count() or 1))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futures = {ex.submit(host_one, it): it[0] for it in items}
+                for fut, i in futures.items():
+                    try:
+                        results[i] = fut.result()
+                    except BaseException as e:  # noqa: BLE001 - isolation
+                        if errors != "isolate" or isinstance(
+                                e, KeyboardInterrupt):
+                            raise
+                        results[i] = e
+            for i, e in failures.items():
+                results[i] = e
+            return results
+
     groups = {}
     for it in items:
         enc = it[2]

@@ -200,3 +200,30 @@ def test_batched_encode_isolates_sys_exit(stego_golden, tmp_path):
     outs = encode_files_batched(jobs, errors="isolate")
     assert isinstance(outs[0], BaseException)
     assert outs[1].endswith("good.mp3")
+
+
+def test_batched_encode_host_engine_matches_device(fixture_mp3, parsed,
+                                                   tmp_path, monkeypatch):
+    """encode_files_batched engine auto-select: the no-mesh host-engine path
+    and the forced device group path must produce identical bytes."""
+    from mp3stego_tpu.models.encoder import _native_rate_lib
+    from mp3stego_tpu.parallel import encode_files_batched
+    if _native_rate_lib() is None:
+        pytest.skip("native library unavailable")
+    from mp3stego_tpu.ops import decode_plane as dpp
+    from mp3stego_tpu.utils.wav import write_wav
+
+    pcm = dpp.decode_pcm_i16_host(parsed)
+    wav = tmp_path / "b.wav"
+    write_wav(str(wav), parsed.header.sampling_rate, pcm)
+    jobs = [(str(wav), str(tmp_path / f"h{i}.mp3")) for i in range(2)]
+    outs = encode_files_batched(jobs, bitrate=320)
+    assert all(isinstance(o, str) for o in outs)
+    host_bytes = open(jobs[0][1], "rb").read()
+    assert open(jobs[1][1], "rb").read() == host_bytes
+
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_ENC_HOST", "0")
+    jobs2 = [(str(wav), str(tmp_path / f"d{i}.mp3")) for i in range(2)]
+    outs = encode_files_batched(jobs2, bitrate=320)
+    assert all(isinstance(o, str) for o in outs)
+    assert open(jobs2[0][1], "rb").read() == host_bytes
