@@ -22,9 +22,12 @@ _SRCS = [os.path.join(_DIR, "src", f)
 
 # -ffp-contract=off: decode_plane_f64.cpp must not fuse a*b+c into FMA —
 # the float64 parity plane's bit-exactness contract is NumPy's separate
-# mul/add rounding (integer-only sources are unaffected by the flag)
+# mul/add rounding (integer-only sources are unaffected by the flag).
+# -mprefer-vector-width=512: gcc defaults to 256-bit vectors on this uarch;
+# full-width zmm nearly doubles the decode plane (measured 177x -> 333x).
+# Vector width never changes per-element operation order, so exactness holds.
 _CXXFLAGS = ["-O3", "-march=native", "-std=c++17", "-ffp-contract=off",
-             "-shared", "-fPIC"]
+             "-mprefer-vector-width=512", "-shared", "-fPIC"]
 
 
 def _host_tag() -> str:
