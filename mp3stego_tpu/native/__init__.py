@@ -95,7 +95,7 @@ def get_lib():
         lib.mp3_parse.restype = i64
         lib.mp3_parse.argtypes = [
             p_u8, i64, i64,
-            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
             i64,
             p_i32, p_i64, p_i32,   # raw samples are integral (int32)
             p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,

@@ -278,8 +278,15 @@ int64_t unpack_scale_factors(const uint8_t* md, int64_t md_len, SideInfo* si,
 }
 
 struct Luts {
-  const int32_t* dec_luts;       // [n_books][1<<19], flat
-  const int32_t* book_of;        // [32] table id -> row in dec_luts
+  // Two-level Huffman LUT: l1 is [n_books][2^12] (16 KB/book — cache-hot;
+  // the flat 2^19 tables were 2 MB/book and every lookup missed L2).
+  // A non-negative l1 entry is the terminal packed symbol (code <= 12 bits,
+  // the overwhelmingly common case); a negative entry -(blk+1) escapes to
+  // the 2^7-entry block l2[blk] indexed by the next 7 bits (12+7 = 19, the
+  // longest MP3 Huffman code).
+  const int32_t* l1;             // [n_books][1<<12]
+  const int32_t* l2;             // [n_blocks][1<<7], flat
+  const int32_t* book_of;        // [32] table id -> row in l1
   const int32_t* linbits;        // [32]
   const int32_t* maxval;         // [32]
   const int32_t* quad_lut;       // [64] packed (p<<5)|len
@@ -310,33 +317,47 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
   int big = si->big_value[gr][ch] * 2;
   if (big > 576) big = 576;  // corrupt big_value: reference overruns, we stop
   int sample = 0;
-  while (sample < big) {
-    int table_num = sample < region0 ? ts[0] : (sample < region1 ? ts[1] : ts[2]);
-    if (table_num == 0) { sample += 2; continue; }
-    int book = L.book_of[table_num];
-    if (book < 0) { sample += 2; continue; }  // unused codebook (ids 4/14)
-    int linbits = L.linbits[table_num];
-    int maxv = L.maxval[table_num];
-    uint32_t idx = peek_fast(md, md_len, bit, kLutBits);
-    int32_t packed = L.dec_luts[int64_t(book) * (1 << kLutBits) + idx];
-    int size = packed & 31;
-    if (size == 0) { sample += 2; continue; }  // corrupt stream: ref advances
-    bit += size;
-    int values[2] = {packed >> 9, (packed >> 5) & 15};
-    for (int i = 0; i < 2; ++i) {
-      int linbit = 0;
-      if (linbits != 0 && values[i] == maxv - 1) {
-        linbit = int(peek_fast(md, md_len, bit, linbits));
-        bit += linbits;
-      }
-      int sign = 1;
-      if (values[i] > 0) {
-        sign = peek_fast(md, md_len, bit, 1) ? -1 : 1;
-        bit += 1;
-      }
-      out[sample + i] = int32_t(sign * (values[i] + linbit));
+  // Three region sub-loops (the region of a pair is chosen by its START
+  // index, identical to the per-pair `sample < regionN` selection): table,
+  // codebook, linbits and the LUT base hoist out of the pair loop.
+  const int ends[3] = {region0 < big ? region0 : big,
+                       region1 < big ? region1 : big, big};
+  for (int rgn = 0; rgn < 3; ++rgn) {
+    const int end = ends[rgn];
+    if (sample >= end) continue;
+    const int table_num = ts[rgn];
+    const int book = table_num ? L.book_of[table_num] : -1;
+    if (book < 0) {  // table 0 or unused codebook (ids 4/14): skip pairs
+      sample += ((end - sample + 1) >> 1) << 1;
+      continue;
     }
-    sample += 2;
+    const int linbits = L.linbits[table_num];
+    const int maxv = L.maxval[table_num];
+    const int32_t* l1 = L.l1 + (int64_t(book) << 12);
+    while (sample < end) {
+      int32_t packed = l1[peek_fast(md, md_len, bit, 12)];
+      if (packed < 0)
+        packed = L.l2[(int64_t(-packed - 1) << 7)
+                      | peek_fast(md, md_len, bit + 12, 7)];
+      const int size = packed & 31;
+      if (size == 0) { sample += 2; continue; }  // corrupt: ref advances
+      bit += size;
+      int values[2] = {packed >> 9, (packed >> 5) & 15};
+      for (int i = 0; i < 2; ++i) {
+        int linbit = 0;
+        if (linbits != 0 && values[i] == maxv - 1) {
+          linbit = int(peek_fast(md, md_len, bit, linbits));
+          bit += linbits;
+        }
+        int sign = 1;
+        if (values[i] > 0) {
+          sign = peek_fast(md, md_len, bit, 1) ? -1 : 1;
+          bit += 1;
+        }
+        out[sample + i] = int32_t(sign * (values[i] + linbit));
+      }
+      sample += 2;
+    }
   }
 
   while (bit < max_bit && sample + 4 < 576) {
@@ -462,8 +483,8 @@ int64_t mp3_count_frames(const uint8_t* data, int64_t n, int64_t offset,
 int64_t mp3_parse(
     const uint8_t* data, int64_t n, int64_t offset,
     // LUTs
-    const int32_t* dec_luts, const int32_t* book_of, const int32_t* linbits,
-    const int32_t* maxval, const int32_t* quad_lut,
+    const int32_t* dec_l1, const int32_t* dec_l2, const int32_t* book_of,
+    const int32_t* linbits, const int32_t* maxval, const int32_t* quad_lut,
     const int32_t* band_index_long,
     // outputs
     int64_t max_frames,
@@ -484,7 +505,8 @@ int64_t mp3_parse(
   Header first_h;
   parse_header(data + offset, &first_h);
 
-  Luts L{dec_luts, book_of, linbits, maxval, quad_lut, band_index_long};
+  Luts L{dec_l1, dec_l2, book_of, linbits, maxval, quad_lut,
+         band_index_long};
 
   double prev_hist[kNumPrevFrames] = {};
   int64_t frame_size = frame_size_of(first_h);
