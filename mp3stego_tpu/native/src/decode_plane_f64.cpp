@@ -91,12 +91,11 @@ int64_t decode_plane_run(
   for (int i = 0; i < 64; ++i)
     for (int j = 0; j < 32; ++j) n_matT[j][i] = n_mat[i * 32 + j];
   // per-channel sequential carries: previous granule's window tail and the
-  // synthesis V ring (last 16 sub-steps; zero history before stream start)
+  // last 15 synthesis V rows (zero history before stream start)
   double tail_c[2][32][18];
-  double vring[2][16][64];
+  double vlin[2][33][64];  // rows 0..14: history; 15..32: this granule's V
   std::memset(tail_c, 0, sizeof(tail_c));
-  std::memset(vring, 0, sizeof(vring));
-  int vpos = 0;  // ring cursor: slot being written this sub-step
+  std::memset(vlin, 0, sizeof(vlin));
 
   double x[2][576];          // per-granule working spectra (both channels)
   double blk[2][32][36];     // windowed IMDCT blocks
@@ -238,28 +237,38 @@ int64_t decode_plane_run(
         for (int i = 1; i < 18; i += 2) y[ch][band][i] = -y[ch][band][i];
     }
 
-    // ---- polyphase synthesis: 18 sub-steps per granule, both channels
-    for (int step = 0; step < 18; ++step) {
-      for (int ch = 0; ch < 2; ++ch) {
-        double* v = vring[ch][vpos & 15];
-        for (int i = 0; i < 64; ++i) v[i] = 0.0;
-        for (int j = 0; j < 32; ++j) {
-          const double yj = y[ch][j][step];
-          const double* nj = n_matT[j];
-          for (int i = 0; i < 64; ++i) v[i] += yj * nj[i];
+    // ---- polyphase synthesis, whole granule at once: V rows 15..32 from
+    // the matmul, then the 16-tap FIR with j OUTER over an 18x32 block —
+    // per-output accumulation stays ascending-j (bit-exact), the linear
+    // history rows replace ring-index arithmetic.
+    for (int ch = 0; ch < 2; ++ch) {
+      double* vg = &vlin[ch][15][0];           // rows 15..32: this granule
+      std::memset(vg, 0, 18 * 64 * sizeof(double));
+      for (int j = 0; j < 32; ++j) {
+        const double* yj = y[ch][j];           // 18 steps, contiguous
+        const double* nj = n_matT[j];
+        for (int step = 0; step < 18; ++step) {
+          double* v = vg + step * 64;
+          const double ys = yj[step];
+          for (int i = 0; i < 64; ++i) v[i] += ys * nj[i];
         }
-        double acc[32];
-        for (int n = 0; n < 32; ++n) acc[n] = 0.0;
-        for (int j = 0; j < 16; ++j) {
-          // v history index ts-j; ring slot (vpos - j) & 15. Zero history
-          // before the stream start is pre-zeroed in the ring.
-          const double* vj = vring[ch][(vpos - j) & 15] + ((j & 1) ? 32 : 0);
-          const double* dw = d_win + j * 32;
-          for (int n = 0; n < 32; ++n) acc[n] += vj[n] * dw[n];
-        }
-        for (int n = 0; n < 32; ++n) sink.write(ch, t, step, n, acc[n]);
       }
-      ++vpos;
+      double acc[18][32];
+      std::memset(acc, 0, sizeof(acc));
+      for (int j = 0; j < 16; ++j) {
+        const double* dw = d_win + j * 32;
+        const int base = (j & 1) ? 32 : 0;
+        for (int step = 0; step < 18; ++step) {
+          const double* vj = &vlin[ch][15 + step - j][base];
+          double* a = acc[step];
+          for (int n = 0; n < 32; ++n) a[n] += vj[n] * dw[n];
+        }
+      }
+      for (int step = 0; step < 18; ++step)
+        for (int n = 0; n < 32; ++n) sink.write(ch, t, step, n, acc[step][n]);
+      // carry: last 15 V rows become the next granule's history
+      std::memmove(&vlin[ch][0][0], &vlin[ch][18][0],
+                   15 * 64 * sizeof(double));
     }
   }
   return 0;
