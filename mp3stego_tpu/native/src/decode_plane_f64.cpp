@@ -101,6 +101,28 @@ int64_t decode_plane_run(
   double blk[2][32][36];     // windowed IMDCT blocks
   double y[2][32][18];       // overlap-added, pre-inversion
 
+  // Per-mode RLE of the requantize walk: the exponent indices are constant
+  // within a (is_short, sfb, win) run, so the index math hoists out of the
+  // per-sample loop (identical FP ops and order inside).
+  struct Seg { int start, end, is_short, sfb, win; };
+  static thread_local Seg segs[3][576];  // worst case: every sample a run
+  int nseg[3];
+  for (int m = 0; m < 3; ++m) {
+    const int32_t* wis = walk_is_short + m * 576;
+    const int32_t* wsf = walk_sfb + m * 576;
+    const int32_t* wwi = walk_win + m * 576;
+    int k = 0;
+    for (int s = 0; s < 576;) {
+      int e = s + 1;
+      while (e < 576 && wis[e] == wis[s] && wsf[e] == wsf[s]
+             && wwi[e] == wwi[s])
+        ++e;
+      segs[m][k++] = {s, e, int(wis[s]), int(wsf[s]), int(wwi[s])};
+      s = e;
+    }
+    nseg[m] = k;
+  }
+
   for (int64_t t = 0; t < T; ++t) {
     const int64_t f = t >> 1;
     const int gr = int(t & 1);
@@ -112,9 +134,6 @@ int64_t decode_plane_run(
       const int bt = block_type[g];
       const int mixed = mixed_block_flag[g];
       const int mode = bt == 2 ? 1 : (mixed ? 2 : 0);
-      const int32_t* wis = walk_is_short + mode * 576;
-      const int32_t* wsf = walk_sfb + mode * 576;
-      const int32_t* wwi = walk_win + mode * 576;
       const int gg = global_gain[g];
       const int mult2 = scale_fac_scale[g] == 0 ? 1 : 2;
       const int pre = pre_flag[g];
@@ -122,25 +141,26 @@ int64_t decode_plane_run(
       const int32_t* sfl = scale_fac_l + g * 22;
       const int32_t* sfs = scale_fac_s + g * 39;  // (3,13) flattened
       const int32_t* rw = raw + g * 576;
-      for (int s = 0; s < 576; ++s) {
-        const int is_short = wis[s];
-        const int sfb = wsf[s];
-        const int win = wwi[s];
-        int exp1 = gg - 210 - (is_short ? 8 * sbg[win] : 0);
-        int e1i = exp1 + 266;
+      double* xc = x[ch];
+      for (int si = 0; si < nseg[mode]; ++si) {
+        const Seg& sg = segs[mode][si];
+        int e1i = gg - 210 - (sg.is_short ? 8 * sbg[sg.win] : 0) + 266;
         if (e1i < 0) e1i = 0;
         if (e1i > 511) e1i = 511;
-        int sfb_c = sfb < 21 ? sfb : 21;
-        int sf = is_short ? sfs[win * 13 + sfb]
-                          : sfl[sfb_c] + pre * pre_ext[sfb_c];
+        const int sfb_c = sg.sfb < 21 ? sg.sfb : 21;
+        const int sf = sg.is_short ? sfs[sg.win * 13 + sg.sfb]
+                                   : sfl[sfb_c] + pre * pre_ext[sfb_c];
         int e2i = mult2 * sf;
         if (e2i < 0) e2i = 0;
         if (e2i > 63) e2i = 63;
-        int32_t v = rw[s];
-        int32_t av = v < 0 ? -v : v;
-        if (av > 8206) av = 8206;  // linbits bound; corrupt input clamps
-        const double sign = v < 0 ? -1.0 : 1.0;
-        x[ch][s] = ((sign * pow43[av]) * e1lut[e1i]) * e2lut[e2i];
+        const double e1v = e1lut[e1i], e2v = e2lut[e2i];
+        for (int s = sg.start; s < sg.end; ++s) {
+          int32_t v = rw[s];
+          int32_t av = v < 0 ? -v : v;
+          if (av > 8206) av = 8206;  // linbits bound; corrupt input clamps
+          const double sign = v < 0 ? -1.0 : 1.0;
+          xc[s] = ((sign * pow43[av]) * e1v) * e2v;
+        }
       }
     }
 
