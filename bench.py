@@ -203,11 +203,23 @@ def bench_hide_roundtrip():
         too_long = s.hide_message(mp3, "/tmp/bench_hide10_out.mp3", msg)
         dt = time.time() - t0
     assert too_long is False
-    s.reveal_massage("/tmp/bench_hide10_out.mp3", "/tmp/bench_hide10.txt")
+    for rep in range(2):
+        t0 = time.time()
+        s.reveal_massage("/tmp/bench_hide10_out.mp3", "/tmp/bench_hide10.txt")
+        dt_r = time.time() - t0
     with open("/tmp/bench_hide10.txt") as f:
         assert f.read() == msg
     _note("hide 10s @320kbps (decode+stego re-encode)", 10.0 / dt,
           "x realtime")
+    _note("reveal 10s (decode + bit extraction)", 10.0 / dt_r, "x realtime")
+    for rep in range(2):
+        t0 = time.time()
+        s.clear_file("/tmp/bench_hide10_out.mp3", "/tmp/bench_clear10.mp3")
+        dt_c = time.time() - t0
+    _note("clear 10s (decode + re-encode)", 10.0 / dt_c, "x realtime")
+    s.reveal_massage("/tmp/bench_clear10.mp3", "/tmp/bench_clear10.txt")
+    with open("/tmp/bench_clear10.txt") as f:
+        assert msg not in f.read()   # hidden payload removed
 
 
 def check_tpu_kernels():
