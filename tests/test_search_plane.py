@@ -313,3 +313,45 @@ def test_native_analysis_matches_device():
         pytest.skip("native library unavailable")
     dev = EP.run_analysis(pcm.astype(np.int32) << 16, 7)
     np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_three_engines_fuzz(tmp_path, monkeypatch):
+    """Differential fuzz: host C++ engine vs device search plane vs the
+    all-steps grid engine over varied random content (tonal, noisy, quiet,
+    clipped), plain and hide — all byte-identical."""
+    from mp3stego_tpu.models.encoder import _native_rate_lib
+    if _native_rate_lib() is None:
+        pytest.skip("native library unavailable")
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(13)
+    sr = 44100
+    bits = "".join(format(b, "08b") for b in b"9#fuzz-load")
+    for trial, kind in enumerate(("tone", "noise", "quiet", "clip")):
+        t = np.arange(int(sr * 0.4))
+        if kind == "tone":
+            sig = 0.6 * np.sin(2 * np.pi * (300 + 217 * trial) * t / sr)
+        elif kind == "noise":
+            sig = 0.3 * rng.standard_normal(len(t))
+        elif kind == "quiet":
+            sig = 0.003 * np.sin(2 * np.pi * 50 * t / sr)
+        else:
+            sig = np.sign(np.sin(2 * np.pi * 97 * t / sr)) * 1.2
+        pcm = np.clip(sig * 30000, -32768, 32767).astype(np.int16)
+        wav = tmp_path / f"f{trial}.wav"
+        write_wav(str(wav), sr, np.stack([pcm, np.roll(pcm, 7)], axis=1))
+
+        for hide in ("", bits):
+            outs = []
+            for env in ({"MP3STEGO_TPU_ENC_HOST": "1"},
+                        {"MP3STEGO_TPU_ENC_HOST": "0"},
+                        {"MP3STEGO_TPU_ENC_HOST": "0",
+                         "MP3STEGO_TPU_SEARCH_PLANE": "0"}):
+                for k in ("MP3STEGO_TPU_ENC_HOST", "MP3STEGO_TPU_SEARCH_PLANE"):
+                    monkeypatch.delenv(k, raising=False)
+                for k, v in env.items():
+                    monkeypatch.setenv(k, v)
+                e = MP3Encoder(read_wav(str(wav), 128), hide_str=hide)
+                e.encode(quiet=True)
+                outs.append((bytes(e.out_buffer), e.hide_str_offset))
+            assert outs[0] == outs[1] == outs[2], (kind, bool(hide))
