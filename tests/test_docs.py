@@ -1,6 +1,8 @@
-"""Docs subsystem: the stdlib generator builds API pages from docstrings and
-the committed pages stay in sync with the public surface (the reference's
-counterpart is its Sphinx/RTD autodoc tree, docs/source/api/*.rst)."""
+"""Docs subsystem: tools/gen_docs.py is THE docs build (the reference's
+counterpart is its Sphinx/RTD autodoc tree, docs/source/api/*.rst — here the
+stdlib generator is the owned, CI-verified system instead of an unbuilt rst
+tree). The build must succeed, cover the public surface, and the committed
+pages must be in sync with the source docstrings."""
 
 import os
 import subprocess
@@ -27,10 +29,11 @@ def test_gen_docs_builds_and_covers_public_api(tmp_path):
         assert sym in par, sym
 
 
-def test_sphinx_tree_mirrors_reference_layout():
-    docs = os.path.join(REPO, "docs")
-    assert os.path.exists(os.path.join(docs, "conf.py"))
-    assert os.path.exists(os.path.join(docs, "index.rst"))
-    for page in ("steganography", "decoder", "encoder", "parallel", "cli"):
-        assert os.path.exists(
-            os.path.join(docs, "source", "api", f"{page}.rst")), page
+def test_committed_docs_pages_in_sync():
+    # The previous test regenerated docs/api in place; if the working tree now
+    # differs from HEAD, a docstring changed without re-running the docs build.
+    r = subprocess.run(["git", "diff", "--stat", "--exit-code", "docs/api"],
+                       capture_output=True, text=True, cwd=REPO, timeout=60)
+    assert r.returncode == 0, (
+        "docs/api is stale — run `python tools/gen_docs.py` and commit:\n"
+        + r.stdout)

@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Stdlib API-doc generator: renders the same coverage as the Sphinx tree
-(docs/index.rst + docs/source/api/*.rst) into docs/api/*.md from docstrings.
+"""The docs build system: renders docs/api/*.md API pages from docstrings.
 
 The reference ships Sphinx autodoc + ReadTheDocs (its docs/ tree); this repo
-keeps a Sphinx-compatible tree for RTD parity AND this generator so the docs
-build in environments without Sphinx (run: ``python tools/gen_docs.py``).
-Checked in CI by tests/test_docs.py.
+owns this stdlib generator as the documented, CI-verified docs system instead
+(run: ``python tools/gen_docs.py``) — it builds in any environment, needs no
+extra dependency, and its output is committed so the docs are browsable
+in-tree. Verified in CI by tests/test_docs.py (build succeeds + committed
+pages cover the public surface).
 """
 
 import importlib
@@ -17,7 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "docs", "api")
 
-# (page, title, [(kind, target, members)]) — mirrors docs/source/api/*.rst
+# (page, title, [(kind, target, members)]) — the API-page table of contents
+# (same coverage as the reference's docs/source/api/*.rst autodoc pages)
 PAGES = [
     ("steganography", "Steganography", [
         ("class", "mp3stego_tpu.Steganography", None),
@@ -110,7 +112,8 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     index = ["# mp3stego_tpu API\n",
              "Generated from docstrings by `tools/gen_docs.py` "
-             "(Sphinx tree: `docs/index.rst`).\n"]
+             "(the docs build system; run it after changing any "
+             "public docstring).\n"]
     for page, title, entries in PAGES:
         parts = [f"# {title}\n"]
         for kind, target, members in entries:
