@@ -19,9 +19,32 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the codec kernels have a handful of static
 # shapes per file length, so cross-process cache hits are the common case.
+# The default directory is host-fingerprinted (same scheme as the native .so
+# loader, native/__init__.py): XLA's CPU AOT entries are compiled for the
+# build machine's microarchitecture, and loading entries cached on a
+# different CPU spews cpu_aot_loader "machine type mismatch" errors and can
+# SIGILL. A per-host directory makes a copied/imaged home dir start clean.
+
+
+def _host_cache_tag() -> str:
+    import hashlib
+    import platform
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        bits.append(platform.processor() or "")
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
     "MP3STEGO_TPU_JAX_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "mp3stego_tpu_jax"))
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 f"mp3stego_tpu_jax-{_host_cache_tag()}"))
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

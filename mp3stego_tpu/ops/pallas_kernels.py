@@ -66,9 +66,15 @@ def _fir_kernel(v_hbm, d_ref, out_ref):
     )
 
 
-@jax.jit
-def _synth_fir_128(v128, d128):
-    """(ch, HALO+S, 128) -> (ch, S, 128) accumulated per-parity lanes."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _synth_fir_128(v128, d128, interpret=False):
+    """(ch, HALO+S, 128) -> (ch, S, 128) accumulated per-parity lanes.
+
+    ``interpret=True`` runs the kernel under the Pallas interpreter (works on
+    CPU) — used by CI (tests/test_pallas.py) to exercise the kernel's
+    tracing, DMA/semaphore, and shape logic on every push; the numerical
+    on-chip check stays in bench.py.
+    """
     ch = v128.shape[0]
     s = v128.shape[1] - _HALO
     nt = s // _TILE
@@ -83,6 +89,7 @@ def _synth_fir_128(v128, d128):
         out_specs=pl.BlockSpec((1, _TILE, 128), lambda c, t: (c, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ch, s, 128), jnp.float32),
+        interpret=interpret,
     )(v128, d128)
 
 
@@ -98,7 +105,7 @@ def _d128():
     return jnp.asarray(out)
 
 
-def synth_fir_host(v_ext, ts_total: int):
+def synth_fir_host(v_ext, ts_total: int, interpret: bool = False):
     """(ch, 15+S, 64) V history (15-front-halo layout of synth_from_blocks)
     -> (ch, S, 32) PCM sub-steps via the Pallas kernel."""
     ch = v_ext.shape[0]
@@ -111,7 +118,7 @@ def synth_fir_host(v_ext, ts_total: int):
     v128 = jnp.concatenate(
         [rows, jnp.zeros(rows.shape[:2] + (64,), jnp.float32)], axis=-1)
     with jax.enable_x64(False):
-        acc = _synth_fir_128(v128, _d128())
+        acc = _synth_fir_128(v128, _d128(), interpret=interpret)
     pcm = acc[:, :ts_total, 0:32] + acc[:, :ts_total, 32:64]
     return pcm
 

@@ -1,6 +1,12 @@
-"""Pallas synthesis-FIR kernel tests. These need a real TPU backend (the CPU
-test mesh skips them); they run when the suite executes under the TPU tunnel
-(unset JAX_PLATFORMS / conftest override removed)."""
+"""Pallas synthesis-FIR kernel tests.
+
+The ``pk`` fixture tests need a real TPU backend (the CPU test mesh skips
+them); they run when the suite executes under the TPU tunnel (unset
+JAX_PLATFORMS / conftest override removed) and bench.py records their
+PASS/FAIL on the real chip every round. The ``interpret``-mode tests at the
+bottom run the same kernel under the Pallas interpreter on CPU, so the
+kernel's tracing / DMA / semaphore / shape logic is compiled on every CI
+push with no unconditional skips."""
 
 import numpy as np
 import pytest
@@ -15,6 +21,43 @@ def pk():
     if not pk.available():
         pytest.skip("Pallas TPU backend unavailable")
     return pk
+
+
+def _fir_reference(v_ext, s):
+    """The 16-shifted-adds jnp-equivalent expression (decoder/Frame.py:80-101
+    windowing sum) computed in NumPy."""
+    from mp3stego_tpu import tables as T
+    d = T.SYNTH_WINDOW.reshape(16, 32).astype(np.float32)
+    va, vb = v_ext[..., :32], v_ext[..., 32:]
+    ref = np.zeros(v_ext.shape[:1] + (s, 32), np.float32)
+    for j in range(16):
+        src = va if j % 2 == 0 else vb
+        ref = ref + d[j] * src[:, 15 - j:15 - j + s]
+    return ref
+
+
+def test_synth_fir_interpret_mode_cpu():
+    """CI coverage of the kernel body without TPU hardware: interpret=True
+    executes the grid, DMAs, and accumulation on the host backend."""
+    from mp3stego_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(2)
+    s = 2 * pk._TILE   # two grid steps per channel
+    v_ext = rng.standard_normal((2, 15 + s, 64)).astype(np.float32)
+    out = np.asarray(pk.synth_fir_host(jnp.asarray(v_ext), s, interpret=True))
+    np.testing.assert_allclose(out, _fir_reference(v_ext, s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_synth_fir_interpret_unaligned_total():
+    """ts_total not a multiple of _TILE exercises the pad/truncate path."""
+    from mp3stego_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(3)
+    s = pk._TILE + 18   # one full tile + a partial one
+    v_ext = rng.standard_normal((1, 15 + s, 64)).astype(np.float32)
+    out = np.asarray(pk.synth_fir_host(jnp.asarray(v_ext), s, interpret=True))
+    assert out.shape == (1, s, 32)
+    np.testing.assert_allclose(out, _fir_reference(v_ext, s),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_synth_fir_matches_jnp(pk):
