@@ -221,6 +221,30 @@ def bench_hide_roundtrip():
     with open("/tmp/bench_clear10.txt") as f:
         assert msg not in f.read()   # hidden payload removed
 
+    # worst case: capacity-saturated hide on a 30 s file — the message fills
+    # ~95% of the stream's stego capacity, so the bit cursor stays live to
+    # the end and every granule's search runs with the pair-transform
+    # feedback (no granule rides the transform-free path). Byte-identity for
+    # this regime is pinned by tests/test_encode_golden.py::
+    # test_hide_capacity_saturated_bytes against a reference-captured golden.
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    wav30 = _synth_wav("/tmp/bench_hide30.wav", 30.0, 44100, 3)
+    mp330 = _mp3_of(wav30, "/tmp/bench_hide30.mp3", 320)
+    with open(mp330, "rb") as f:
+        cap_bits = len(dh.stego_bits(dh.parse_mp3(f.read(), 0)))
+    n_chars = int(0.95 * cap_bits / 8) - 6    # "<len>#<msg>" framing overhead
+    msg_cap = "x" * n_chars
+    for rep in range(2):
+        t0 = time.time()
+        too_long = s.hide_message(mp330, "/tmp/bench_hide30_out.mp3", msg_cap)
+        dt = time.time() - t0
+    assert too_long is False
+    s.reveal_massage("/tmp/bench_hide30_out.mp3", "/tmp/bench_hide30.txt")
+    with open("/tmp/bench_hide30.txt") as f:
+        assert f.read() == msg_cap
+    _note("hide 30s capacity-saturated (cursor live to EOF)", 30.0 / dt,
+          "x realtime")
+
 
 def check_tpu_kernels():
     """Correctness records for the opt-in device kernels on the real chip."""

@@ -134,6 +134,29 @@ def test_hide_bytes(golden_wav, stego_golden):
     assert enc.hide_str_offset >= len(bits) - 1
 
 
+@pytest.mark.parametrize("engine", ["host", "device", "costgrid"])
+def test_hide_capacity_saturated_bytes(golden_wav, engine, monkeypatch):
+    """Worst-case embedding: a 48-char message keeps the stego cursor live to
+    the final frame (408 of the stream's 414 usable bits), so EVERY granule's
+    search runs with the pair-transform feedback. All three engines must
+    match the reference byte-for-byte (golden: tools/gen_golden_cap.py;
+    reference hot path MP3_Encoder.py:958-996 + 1257-1263)."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "capstego_golden.npz"))
+    msg = g["msg_cap"].tobytes().decode()
+    from mp3stego_tpu.steganography import str_to_binary_str
+    bits = str_to_binary_str(f"{len(msg)}#{msg}")
+    if engine == "device":
+        monkeypatch.setenv("MP3STEGO_TPU_ENC_HOST", "0")
+    elif engine == "costgrid":
+        monkeypatch.setenv("MP3STEGO_TPU_SEARCH_PLANE", "0")
+    enc = MP3Encoder(read_wav(golden_wav, 320), hide_str=bits)
+    enc.encode()
+    assert bytes(enc.out_buffer) == g["hidden_cap"].tobytes()
+    assert enc.hide_str_offset >= len(bits) - 1
+
+
 def _synth_wav(tmp_path, sig, rate):
     import struct
     pcm = np.clip(np.stack([sig, sig[::-1]], axis=1), -32768,
