@@ -10,21 +10,30 @@
 // associative, so any summation order matches the reference). This is the
 // enabler for the fully-host single-stream encode engine: spectra never
 // cross the device link.
+//
+// Loop structure is chosen for auto-vectorization (AVX-512 via -march=native
+// -mprefer-vector-width=512):
+//   * window taps iterate ASCENDING over contiguous int16 samples (the
+//     reference's descending base[-i] walk is re-indexed j = 63-i, with the
+//     enwindow and filter tables pre-reversed to match), giving unit-stride
+//     widening loads;
+//   * the 32-band filter is a 64x32 matvec with the filter TRANSPOSED so the
+//     32 output lanes are contiguous per tap (broadcast-multiply-accumulate);
+//   * the MDCT iterates over the 36 input sub-steps with the 32 bands as
+//     contiguous lanes (sb rows are band-contiguous), accumulating an 18x32
+//     tile that is transposed on store.
+// Every product is (int64)int32 * (int64)int32 >> 32 (or >> 16 for the
+// window, see below) accumulated mod 2^32 — per-element exact, so
+// vectorization cannot change results.
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
 
-namespace {
-
-inline int32_t q31mul(int64_t a, int64_t b) {
-  return int32_t((a * b) >> 32);
-}
-
-}  // namespace
-
 // pcm: (nch, 480 + tg*576) int16 front-padded streams (raw samples; the <<16
 // upshift of the reference's WAV read happens here). out: (nch, tg, 576).
+// Returns -1 if an enwindow entry exceeds int32 range (never for the ISO
+// table; guards the exactness of the >>16 re-association below).
 extern "C" int64_t encode_analysis(
     const int16_t* pcm, int64_t nch, int64_t tg,
     const int64_t* enwindow,   // (512,) int64 fixed-point window
@@ -34,6 +43,24 @@ extern "C" int64_t encode_analysis(
     int32_t* out) {
   const int64_t stride = 480 + tg * 576;
   const int64_t ts = tg * 18;
+
+  // Reversed window: enr[k][j] = enwindow[64k + 63 - j]. The reference
+  // computes q31mul(sample << 16, en) = ((s<<16) * en) >> 32 == (s * en)
+  // >> 16 exactly (no overflow: |s| < 2^15, |en| < 2^31 -> |product| < 2^46;
+  // both shifts are arithmetic on the same value).
+  int32_t enr[8][64];
+  for (int k = 0; k < 8; ++k)
+    for (int j = 0; j < 64; ++j) {
+      const int64_t v = enwindow[64 * k + 63 - j];
+      if (v != int64_t(int32_t(v))) return -1;
+      enr[k][j] = int32_t(v);
+    }
+  // Transposed+reversed filter: flt[j][b] = fl[b][63 - j], so the b-loop is
+  // contiguous in both the table and the accumulator.
+  std::vector<int32_t> flt(64 * 32);
+  for (int j = 0; j < 64; ++j)
+    for (int b = 0; b < 32; ++b) flt[j * 32 + b] = fl[b * 64 + (63 - j)];
+
   std::vector<int32_t> sb(size_t(ts) * 32);
 
   for (int64_t ch = 0; ch < nch; ++ch) {
@@ -41,26 +68,28 @@ extern "C" int64_t encode_analysis(
 
     // ---- window + 32-band filter per 32-sample step
     for (int64_t t = 0; t < ts; ++t) {
-      uint32_t tacc[64];
-      std::memset(tacc, 0, sizeof(tacc));
+      // taccr[j] holds the reference's tacc[63 - j]
+      uint32_t taccr[64];
+      std::memset(taccr, 0, sizeof(taccr));
       for (int k = 0; k < 8; ++k) {
-        const int64_t* en = enwindow + 64 * k;
-        const int16_t* base = s + 32 * t + 511 - 64 * k;
-        for (int i = 0; i < 64; ++i) {
-          const int32_t a = int32_t(base[-i]) << 16;
-          tacc[i] += uint32_t(q31mul(a, en[i]));
-        }
+        const int16_t* base = s + 32 * t + 448 - 64 * k;  // ascending window
+        const int32_t* en = enr[k];
+        for (int j = 0; j < 64; ++j)
+          taccr[j] += uint32_t((int64_t(base[j]) * en[j]) >> 16);
       }
-      int32_t tmp[64];
-      for (int i = 0; i < 64; ++i) tmp[i] = int32_t(tacc[i]);
 
       int32_t* sbt = sb.data() + t * 32;
+      uint32_t acc[32];
+      std::memset(acc, 0, sizeof(acc));
+      for (int j = 0; j < 64; ++j) {
+        const int64_t tj = int32_t(taccr[j]);
+        const int32_t* fj = flt.data() + j * 32;
+        for (int b = 0; b < 32; ++b)
+          acc[b] += uint32_t((int64_t(fj[b]) * tj) >> 32);
+      }
       const bool odd_step = (t % 18) & 1;
       for (int b = 0; b < 32; ++b) {
-        const int32_t* fb = fl + b * 64;
-        uint32_t acc = 0;
-        for (int j = 0; j < 64; ++j) acc += uint32_t(q31mul(fb[j], tmp[j]));
-        int32_t v = int32_t(acc);
+        int32_t v = int32_t(acc[b]);
         if (odd_step && (b & 1)) v = int32_t(0u - uint32_t(v));
         sbt[b] = v;
       }
@@ -71,19 +100,24 @@ extern "C" int64_t encode_analysis(
       int32_t* og = out + (ch * tg + g) * 576;
       const int32_t* cur = sb.data() + g * 18 * 32;
       const int32_t* prv = g > 0 ? cur - 18 * 32 : nullptr;
-      for (int b = 0; b < 32; ++b) {
-        int32_t in[36];
-        for (int m = 0; m < 18; ++m)
-          in[m] = prv ? prv[m * 32 + b] : 0;
-        for (int m = 0; m < 18; ++m)
-          in[18 + m] = cur[m * 32 + b];
+
+      // macc[l][b], accumulated lane-parallel over the 32 bands
+      uint32_t macc[18][32];
+      std::memset(macc, 0, sizeof(macc));
+      for (int m = 0; m < 36; ++m) {
+        const int32_t* row =
+            m < 18 ? (prv ? prv + m * 32 : nullptr) : cur + (m - 18) * 32;
+        if (!row) continue;  // first granule: prev half is zero
         for (int l = 0; l < 18; ++l) {
-          const int32_t* cl = cos_l + l * 36;
-          uint32_t acc = 0;
-          for (int m = 0; m < 36; ++m) acc += uint32_t(q31mul(in[m], cl[m]));
-          og[b * 18 + l] = int32_t(acc);
+          const int64_t c = cos_l[l * 36 + m];
+          uint32_t* ml = macc[l];
+          for (int b = 0; b < 32; ++b)
+            ml[b] += uint32_t((int64_t(row[b]) * c) >> 32);
         }
       }
+      for (int b = 0; b < 32; ++b)
+        for (int l = 0; l < 18; ++l) og[b * 18 + l] = int32_t(macc[l][b]);
+
       // alias butterflies: each (b, i) pair touches exactly freq[b][i] and
       // freq[b-1][17-i]; read both, write both (cmuls semantics, >>31)
       for (int b = 1; b < 32; ++b) {

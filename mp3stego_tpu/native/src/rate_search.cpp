@@ -23,6 +23,18 @@
 #include <cstdint>
 #include <cstring>
 
+// AVX-512 fast paths (guarded; scalar bodies remain the reference twins and
+// the portable fallback). Exactness argument for every vector loop: each
+// lane evaluates the identical integer expression as the scalar body — the
+// only reassociation is of wraparound/int64 SUMS, which are associative —
+// so vectorization cannot change results. The rare float-fallback lanes of
+// quantize are redone with the EXACT scalar expression, preserving NumPy's
+// operation order (see quantize()).
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define MP3S_AVX512 1
+#endif
+
 namespace {
 
 constexpr int kGranule = 576;
@@ -63,6 +75,14 @@ inline int32_t mulr_scalar(int64_t a, int64_t b) {
   return int32_t((a * b + 2147483648LL) >> 32);
 }
 
+// The float fallback of quantize, NumPy operation order:
+// (xrabs.astype(f64) * scale) * 4.656612875e-10, then sqrt(sqrt(dbl) * dbl)
+// truncated to int32. xrabs is the int32-WRAPPED abs (np.abs semantics).
+inline int32_t quant_float(int32_t xrabs_i, double scale) {
+  const double dbl = (double(xrabs_i) * scale) * 4.656612875e-10;
+  return int32_t(std::sqrt(std::sqrt(dbl) * dbl));
+}
+
 // quantize (MP3_Encoder.py:373-415 / quant.py:68-90). Returns false on the
 // early xrmax bail (ix untouched, ixmax=16384); otherwise fills ix_tmp.
 bool quantize(const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
@@ -74,21 +94,52 @@ bool quantize(const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
   }
   const double scale = g_steptab[step + 127];
   int32_t mx = 0;
+#ifdef MP3S_AVX512
+  // ln = (labs * scalei + 2^31) >> 32 per lane. labs is the TRUE magnitude
+  // (int64 in the scalar body) — vpabsd's INT32_MIN -> 0x80000000 output is
+  // exactly 2^31 when consumed UNSIGNED, and scalei is positive (STEPTABI in
+  // [2, 2^31-1]), so unsigned 32x32->64 multiplies reproduce labs*scalei for
+  // every input. The bail above caps ln at 165140 (mulr is monotone in
+  // labs), so ln always fits 32 bits and the signed ln<10000 compare holds.
+  const __m512i vscale = _mm512_set1_epi64(int64_t(uint32_t(scalei)));
+  const __m512i vround = _mm512_set1_epi64(1LL << 31);
+  const __m512i v10k = _mm512_set1_epi32(10000);
+  __m512i vmx = _mm512_setzero_si512();
+  for (int i = 0; i < kGranule; i += 16) {
+    const __m512i v = _mm512_loadu_si512(xr + i);
+    const __m512i a = _mm512_abs_epi32(v);
+    __m512i pe = _mm512_mul_epu32(a, vscale);
+    __m512i po = _mm512_mul_epu32(_mm512_srli_epi64(a, 32), vscale);
+    pe = _mm512_srli_epi64(_mm512_add_epi64(pe, vround), 32);
+    po = _mm512_srli_epi64(_mm512_add_epi64(po, vround), 32);
+    const __m512i ln = _mm512_or_si512(pe, _mm512_slli_epi64(po, 32));
+    const __mmask16 big = _mm512_cmpge_epi32_mask(ln, v10k);
+    __m512i vx = _mm512_mask_i32gather_epi32(
+        _mm512_setzero_si512(), __mmask16(~big), ln, g_int2idx, 4);
+    if (big) {  // rare: redo those lanes with the exact scalar expression
+      alignas(64) int32_t vals[16];
+      _mm512_store_si512(vals, vx);
+      unsigned m = big;
+      while (m) {
+        const int k = __builtin_ctz(m);
+        m &= m - 1;
+        vals[k] = quant_float(xrabs[i + k], scale);
+      }
+      vx = _mm512_load_si512(vals);
+    }
+    _mm512_storeu_si512(ix_tmp + i, vx);
+    vmx = _mm512_max_epi32(vmx, vx);
+  }
+  mx = _mm512_reduce_max_epi32(vmx);
+#else
   for (int i = 0; i < kGranule; ++i) {
     const int64_t labs = xr[i] < 0 ? -int64_t(xr[i]) : int64_t(xr[i]);
     const int32_t ln = int32_t((labs * scalei + 2147483648LL) >> 32);
-    int32_t v;
-    if (ln < 10000) {
-      v = g_int2idx[ln];
-    } else {
-      // NumPy order: (xrabs.astype(f64) * scale) * 4.656612875e-10, then
-      // sqrt(sqrt(dbl) * dbl) truncated to int32
-      const double dbl = (double(xrabs[i]) * scale) * 4.656612875e-10;
-      v = int32_t(std::sqrt(std::sqrt(dbl) * dbl));
-    }
+    const int32_t v = ln < 10000 ? g_int2idx[ln] : quant_float(xrabs[i], scale);
     ix_tmp[i] = v;
     if (v > mx) mx = v;
   }
+#endif
   *ixmax_out = mx < 0 ? 0 : mx;
   return true;
 }
@@ -96,12 +147,45 @@ bool quantize(const int32_t* xr, const int32_t* xrabs, int64_t xrmax,
 // calc_run_len (MP3_Encoder.py:266-291)
 void calc_run_len(const int32_t* ix, State st) {
   int i = 0;
+#ifdef MP3S_AVX512
+  // last nonzero via 16-lane masked scans from the tail (576 % 16 == 0)
+  for (int k = kGranule - 16; k >= 0; k -= 16) {
+    const __mmask16 m = _mm512_test_epi32_mask(
+        _mm512_loadu_si512(ix + k), _mm512_set1_epi32(-1));
+    if (m) { i = k + (31 - __builtin_clz(unsigned(m))) + 1; break; }
+  }
+#else
   for (int k = kGranule - 1; k >= 0; --k)
     if (ix[k] != 0) { i = k + 1; break; }
+#endif
   i += i & 1;
   int lim = 0;
+#ifdef MP3S_AVX512
+  {
+    const __m512i one = _mm512_set1_epi32(1);
+    int k = i - 1;
+    // unaligned head: the top (i % 16) elements
+    const int head = (k + 1) & 15;
+    if (head) {
+      const int base = k + 1 - head;
+      const __mmask16 keep = __mmask16((1u << head) - 1u);
+      const __mmask16 m = _mm512_mask_cmpgt_epi32_mask(
+          keep, _mm512_maskz_loadu_epi32(keep, ix + base), one);
+      if (m) lim = base + (31 - __builtin_clz(unsigned(m))) + 1;
+      k = base - 1;
+    }
+    if (!lim) {
+      for (int b = k - 15; b >= 0; b -= 16) {
+        const __mmask16 m = _mm512_cmpgt_epi32_mask(
+            _mm512_loadu_si512(ix + b), one);
+        if (m) { lim = b + (31 - __builtin_clz(unsigned(m))) + 1; break; }
+      }
+    }
+  }
+#else
   for (int k = i - 1; k >= 0; --k)
     if (ix[k] > 1) { lim = k + 1; break; }
+#endif
   int knum = (i - lim) / 4;
   if (i / 4 < knum) knum = i / 4;
   if (knum < 0) knum = 0;
@@ -114,7 +198,36 @@ void calc_run_len(const int32_t* ix, State st) {
 int64_t count1_bit_count(const int32_t* ix, State st) {
   const int start = int(st.bv()) << 1;
   int64_t sign_bits = 0, q0 = 0, q1 = 0;
-  for (int q = 0; q < st.c1(); ++q) {
+  int q = 0;
+#ifdef MP3S_AVX512
+  // 4 quads (16 values) per iteration; the two 16-entry quad-length tables
+  // live in registers, indexed with vpermd (no memory gathers). In the
+  // count1 region every value is 0 or 1 (calc_run_len guarantees it), so
+  // p = quad[0] + 2*quad[1] + 4*quad[2] + 8*quad[3] == the movemask of the
+  // nonzero lanes, reassembled per 4-lane group.
+  if (st.c1() >= 4) {
+    const __m512i t0 = _mm512_loadu_si512(g_qlen0);
+    const __m512i t1 = _mm512_loadu_si512(g_qlen1);
+    const __m512i zero = _mm512_setzero_si512();
+    for (; q + 4 <= st.c1(); q += 4) {
+      const __m512i v = _mm512_loadu_si512(ix + start + 4 * q);
+      const unsigned nz = _mm512_cmpneq_epi32_mask(v, zero);
+      sign_bits += _mm_popcnt_u32(nz);
+      const __m128i p4 = _mm_set_epi32(int((nz >> 12) & 15),
+                                       int((nz >> 8) & 15),
+                                       int((nz >> 4) & 15), int(nz & 15));
+      const __m512i pz = _mm512_castsi128_si512(p4);
+      __m128i l0 = _mm512_castsi512_si128(_mm512_permutexvar_epi32(pz, t0));
+      __m128i l1 = _mm512_castsi512_si128(_mm512_permutexvar_epi32(pz, t1));
+      alignas(16) int32_t b0[4], b1[4];
+      _mm_store_si128(reinterpret_cast<__m128i*>(b0), l0);
+      _mm_store_si128(reinterpret_cast<__m128i*>(b1), l1);
+      q0 += b0[0] + b0[1] + b0[2] + b0[3];
+      q1 += b1[0] + b1[1] + b1[2] + b1[3];
+    }
+  }
+#endif
+  for (; q < st.c1(); ++q) {
     const int32_t* quad = ix + start + 4 * q;
     const int p = quad[0] + (quad[1] << 1) + (quad[2] << 2) + (quad[3] << 3);
     sign_bits += (quad[0] != 0) + (quad[1] != 0) + (quad[2] != 0)
@@ -138,7 +251,39 @@ int64_t count_bit(const int32_t* ix, int64_t start, int64_t end,
   const int32_t* hl = g_hlen + table * 256;
   int64_t h_sum = 0;
   const int64_t lin = table > 15 ? g_linbits[table] : 0;
-  for (int64_t i = start; i < end; i += 2) {
+  int64_t i = start;
+#ifdef MP3S_AVX512
+  // 16 (x, y) pairs per iteration: deinterleave two zmm loads, clamp/count
+  // linbits lanes, one 16-lane gather over the table's 16x16 h_len block.
+  if (end - i >= 32) {
+    const __m512i evens = _mm512_set_epi32(30, 28, 26, 24, 22, 20, 18, 16,
+                                           14, 12, 10, 8, 6, 4, 2, 0);
+    const __m512i odds = _mm512_set_epi32(31, 29, 27, 25, 23, 21, 19, 17,
+                                          15, 13, 11, 9, 7, 5, 3, 1);
+    const __m512i v14 = _mm512_set1_epi32(14);
+    const __m512i v15 = _mm512_set1_epi32(15);
+    const __m512i zero = _mm512_setzero_si512();
+    int64_t lin_n = 0, sign_n = 0, hl_sum = 0;
+    for (; i + 32 <= end; i += 32) {
+      const __m512i v0 = _mm512_loadu_si512(ix + i);
+      const __m512i v1 = _mm512_loadu_si512(ix + i + 16);
+      __m512i x = _mm512_permutex2var_epi32(v0, evens, v1);
+      __m512i y = _mm512_permutex2var_epi32(v0, odds, v1);
+      if (table > 15) {
+        lin_n += _mm_popcnt_u32(_mm512_cmpgt_epi32_mask(x, v14));
+        lin_n += _mm_popcnt_u32(_mm512_cmpgt_epi32_mask(y, v14));
+        x = _mm512_min_epi32(x, v15);
+        y = _mm512_min_epi32(y, v15);
+      }
+      sign_n += _mm_popcnt_u32(_mm512_cmpneq_epi32_mask(x, zero));
+      sign_n += _mm_popcnt_u32(_mm512_cmpneq_epi32_mask(y, zero));
+      const __m512i idx = _mm512_add_epi32(_mm512_slli_epi32(x, 4), y);
+      hl_sum += _mm512_reduce_add_epi32(_mm512_i32gather_epi32(idx, hl, 4));
+    }
+    h_sum = hl_sum + sign_n + lin * lin_n;
+  }
+#endif
+  for (; i < end; i += 2) {
     int32_t x = ix[i], y = ix[i + 1];
     if (table > 15) {
       if (x > 14) { h_sum += lin; x = 15; }
