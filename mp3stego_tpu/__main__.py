@@ -24,6 +24,10 @@ def main(argv=None):
 
     d = sub.add_parser("decode", help="MP3 -> WAV")
     d.add_argument("input"), d.add_argument("output")
+    d.add_argument("--stream-chunk-frames", type=int, default=0,
+                   metavar="N",
+                   help="decode in O(chunk) memory windows of N frames "
+                        "(bounded-RSS long-file mode; 0 = whole-file)")
 
     e = sub.add_parser("encode", help="WAV -> MP3")
     e.add_argument("input"), e.add_argument("output")
@@ -57,8 +61,17 @@ def main(argv=None):
 
     s = Steganography(quiet=not args.verbose, precision=args.precision)
     if args.op == "decode":
-        bitrate = s.decode_mp3_to_wav(args.input, args.output)
-        print(f"decoded at {bitrate} kbps -> {args.output}")
+        if args.stream_chunk_frames > 0:
+            from mp3stego_tpu.models.streaming import decode_file_streaming
+            info = decode_file_streaming(
+                args.input, args.output,
+                chunk_frames=args.stream_chunk_frames)
+            print(f"decoded at {info['bitrate']} kbps "
+                  f"({info['num_frames']} frames, streaming) "
+                  f"-> {args.output}")
+        else:
+            bitrate = s.decode_mp3_to_wav(args.input, args.output)
+            print(f"decoded at {bitrate} kbps -> {args.output}")
     elif args.op == "encode":
         s.encode_wav_to_mp3(args.input, args.output, args.bitrate)
         print(f"encoded at {args.bitrate} kbps -> {args.output}")
