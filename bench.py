@@ -63,37 +63,107 @@ def _note(name, value, unit):
 
 
 def bench_decode_fixture_batch():
+    """Honest end-to-end batched decode: 64 files -> int16 PCM in host
+    memory through the production ``decode_files_batched`` path. Three rows:
+
+      * auto-select (the HEADLINE: what a user gets; the calibrated cost
+        model picks the engine for this host),
+      * forced device path with the chunked prep/compute pipeline,
+      * device-plane compute+dispatch only (no PCM fetch — the chip/link
+        capability number; this was the round-2 headline, kept for
+        continuity but no longer labeled end-to-end),
+
+    plus a roofline split of the device path (parse / h2d / compute / fetch
+    and the probed link rates) showing which resource binds."""
     import jax
 
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
-    from mp3stego_tpu.parallel.batch_decode import _decode_batch, prepare_batch
+    from mp3stego_tpu.parallel import decode_files_batched
+    from mp3stego_tpu.parallel.batch_decode import (_decode_batch,
+                                                    decode_batch_device,
+                                                    prepare_batch)
+    from mp3stego_tpu.utils import calibrate
+    from mp3stego_tpu.utils.transfer import fetch_pieces
 
     with open(_fixture_path(), "rb") as f:
         data = f.read()
+    paths = []
+    for i in range(N_FILES):
+        p = f"/tmp/bench_fix{i}.mp3"
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(data)
+        paths.append(p)
+    parsed = dh.parse_mp3(data, 0)
+    audio = parsed.num_frames * N_FILES * 1152 / parsed.header.sampling_rate
+
+    def best_of(fn, iters=ITERS):
+        fn()                                  # warm
+        dt = None
+        for _ in range(iters):
+            t0 = time.time()
+            fn()
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
+        return dt
+
+    # 1. production path, engine auto-select — the headline
+    rt = audio / best_of(lambda: decode_files_batched(paths, out="int16"))
+    _note("decode 64x fixture batch (end-to-end, auto engine)", rt,
+          "x realtime")
+
+    # 2. forced device path (chunked pipeline)
+    os.environ["MP3STEGO_TPU_BATCH_HOST_G"] = "0"
+    try:
+        rt_dev = audio / best_of(
+            lambda: decode_files_batched(paths, out="int16"), iters=3)
+    finally:
+        os.environ.pop("MP3STEGO_TPU_BATCH_HOST_G", None)
+    _note("decode 64x batch (device path end-to-end, pipelined)", rt_dev,
+          "x realtime")
+
+    # 3. device-plane compute+dispatch only (no PCM fetch)
     pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1))
 
-    def pipeline_once():
+    def compute_only():
         preps = list(pool.map(
             lambda _: dp.host_prepare(dh.parse_mp3(data, 0)), range(N_FILES)))
         batch = prepare_batch(preps)
-        return _decode_batch({k: batch[k] for k in dp.ALL_KEYS},
-                             dtype_name="float32")
-
-    parsed = dh.parse_mp3(data, 0)
-    jax.block_until_ready(pipeline_once())
-    # best-of-N: the tunneled link's throughput swings ~30% between runs;
-    # the best iteration tracks the machine capability, the mean the tunnel
-    dt = None
-    for _ in range(ITERS):
-        t0 = time.time()
-        out = pipeline_once()
+        out = _decode_batch({k: batch[k] for k in dp.ALL_KEYS},
+                            dtype_name="float32")
         jax.block_until_ready(out)
-        d = time.time() - t0
-        dt = d if dt is None else min(dt, d)
-    audio = parsed.num_frames * N_FILES * 1152 / parsed.header.sampling_rate
-    rt = audio / dt
-    _note("decode 64x fixture batch (end-to-end)", rt, "x realtime")
+
+    rt_comp = audio / best_of(compute_only)
+    _note("decode 64x batch (device plane, compute+dispatch only)", rt_comp,
+          "x realtime")
+    # record the measured device rate (granules/s) into the cached probe so
+    # production engine selections on this host use it
+    total_g = parsed.num_frames * 2 * N_FILES
+    calibrate.refresh_device_rates(device_gps=total_g * rt_comp / audio)
+
+    # roofline split of one non-pipelined device pass
+    t0 = time.time()
+    preps = [dp.host_prepare(dh.parse_mp3(data, 0)) for _ in range(N_FILES)]
+    batch = prepare_batch(preps)
+    t1 = time.time()
+    dev = decode_batch_device(batch, None, "float32", to_i16=True)
+    jax.block_until_ready(dev)
+    t2 = time.time()
+    pcm = fetch_pieces([dev])[0]
+    t3 = time.time()
+    probe = calibrate.get_probe()
+    split = {
+        "parse+prep_ms": round(1000 * (t1 - t0), 1),
+        "h2d+compute_ms": round(1000 * (t2 - t1), 1),
+        "fetch_ms": round(1000 * (t3 - t2), 1),
+        "fetch_bytes": int(pcm.nbytes),
+        "link_out_mbps": round(probe.link_out_mbps, 1),
+        "link_in_mbps": round(probe.link_in_mbps, 1),
+        "host_plane_gps": round(probe.host_plane_gps),
+    }
+    DETAIL["decode batch roofline split"] = split
+    print(f"# decode batch roofline: {split}", file=sys.stderr)
     return rt
 
 
@@ -186,7 +256,58 @@ def bench_encode():
     assert all(isinstance(o, str) for o in outs)
     _note("encode 8x30s batch @320kbps (aggregate)", 8 * 30.0 / dt,
           "x realtime")
+
+    # the sharded device group engine, forced (the flagship distributed
+    # encode construct — on a mesh this shards over "files"; here it runs
+    # on the one real chip so the row records its per-chip throughput)
+    os.environ["MP3STEGO_TPU_BATCH_ENC_HOST"] = "0"
+    try:
+        encode_files_batched(jobs, bitrate=320)   # warm compiles
+        t0 = time.time()
+        outs = encode_files_batched(jobs, bitrate=320)
+        dt = time.time() - t0
+        assert all(isinstance(o, str) for o in outs)
+        _note("encode 8x30s batch (device group engine forced)",
+              8 * 30.0 / dt, "x realtime")
+    finally:
+        os.environ.pop("MP3STEGO_TPU_BATCH_ENC_HOST", None)
     return rt
+
+
+def bench_decode_streaming():
+    """Long-file decode through the O(chunk)-memory streaming path
+    (models/streaming.py): a 30-minute 128 kbps stream decoded start to
+    finish, with peak RSS measured in a fresh subprocess so the bounded-
+    memory claim is on the record (whole-file parse of the same stream
+    would materialize ~1.3 GB of planes; the streaming path stays flat)."""
+    import subprocess
+
+    wav = _synth_wav("/tmp/bench_30min.wav", 1800.0, 44100, 9)
+    mp3 = _mp3_of(wav, "/tmp/bench_30min.mp3", 128)
+    code = (
+        "import json, resource, sys, time\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from mp3stego_tpu.models.streaming import decode_file_streaming\n"
+        "t0 = time.time()\n"
+        f"info = decode_file_streaming({mp3!r}, '/tmp/bench_30min_out.wav')\n"
+        "dt = time.time() - t0\n"
+        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss\n"
+        "print(json.dumps({'dt': dt, 'rss_mb': rss / 1024,\n"
+        "                  'frames': info['num_frames']}))\n")
+    best = None
+    for rep in range(2):   # rep0 warms the page cache + .so build
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=900,
+                           env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        best = out if best is None or out["dt"] < best["dt"] else best
+    rt = 1800.0 / best["dt"]
+    _note("decode 30min stream (streaming, bounded memory)", rt, "x realtime")
+    DETAIL["streaming decode peak RSS"] = {
+        "value": round(best["rss_mb"]), "unit": "MB",
+        "frames": best["frames"]}
+    print(f"# streaming decode peak RSS: {best['rss_mb']:.0f} MB",
+          file=sys.stderr)
 
 
 def bench_hide_roundtrip():
@@ -244,6 +365,26 @@ def bench_hide_roundtrip():
         assert f.read() == msg_cap
     _note("hide 30s capacity-saturated (cursor live to EOF)", 30.0 / dt,
           "x realtime")
+
+    # same saturated hide through the cursor-pinned PARALLEL device engine
+    # (models/encoder._encode_hide_parallel): the whole-file search runs on
+    # device with pinned cursors, no sequential head. On a fast link / mesh
+    # this is the scale-out hide path; the row proves it on-chip each round.
+    os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
+    try:
+        for rep in range(2):
+            t0 = time.time()
+            too_long = s.hide_message(mp330, "/tmp/bench_hide30_dev.mp3",
+                                      msg_cap)
+            dt = time.time() - t0
+        assert too_long is False
+        with open("/tmp/bench_hide30_dev.mp3", "rb") as fa, \
+                open("/tmp/bench_hide30_out.mp3", "rb") as fb:
+            assert fa.read() == fb.read()   # engine byte-identity on-chip
+        _note("hide 30s capacity-saturated (device parallel engine)",
+              30.0 / dt, "x realtime")
+    finally:
+        os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
 
 
 def check_tpu_kernels():
@@ -303,6 +444,7 @@ def main():
     headline = bench_decode_fixture_batch()
     bench_decode_long()
     bench_decode_mixed()
+    bench_decode_streaming()
     bench_encode()
     bench_hide_roundtrip()
     check_tpu_kernels()
@@ -310,8 +452,9 @@ def main():
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(DETAIL, f, indent=1)
     print(json.dumps({
-        "metric": "batched MP3 decode, end-to-end (host parse + TPU plane); "
-                  "corpus + encode numbers in BENCH_DETAIL.json",
+        "metric": "batched MP3 decode, honest end-to-end (files on disk -> "
+                  "int16 PCM in host memory, auto-selected engine; device "
+                  "path + compute-only + roofline in BENCH_DETAIL.json)",
         "value": round(headline, 1),
         "unit": "x realtime per chip",
         "vs_baseline": round(headline / 100.0, 3),

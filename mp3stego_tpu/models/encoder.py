@@ -288,15 +288,25 @@ class MP3Encoder:
         if (self.device_search
                 and _os.environ.get("MP3STEGO_TPU_SEARCH_PLANE", "1") != "0"):
             with trace():
-                # engine order: fully-host C++ (no link traffic — wins for
-                # single streams on latency-bound hosts; MP3STEGO_TPU_ENC_HOST=0
-                # forces the device plane), then the device search plane
+                # engine order: measured cost model (utils/calibrate.py —
+                # fully-host C++ wherever the link is the bottleneck;
+                # MP3STEGO_TPU_ENC_HOST=1/0 keeps absolute priority), then
+                # the device search plane
+                from mp3stego_tpu.utils.calibrate import single_encode_engine
                 done = False
-                if _os.environ.get("MP3STEGO_TPU_ENC_HOST", "1") != "0":
+                if single_encode_engine() == "host":
                     done = self._encode_host(num_frames, timer)
                 if not done:
                     if self.hide_str:
-                        self._encode_hide_hybrid(num_frames, timer, quiet)
+                        # cursor-pinned parallel hide; the sequential-head
+                        # hybrid only ever runs if the fixpoint fails to
+                        # converge (MP3STEGO_TPU_HIDE_PARALLEL=0 forces it)
+                        par = _os.environ.get(
+                            "MP3STEGO_TPU_HIDE_PARALLEL", "1") != "0"
+                        if not (par and self._encode_hide_parallel(
+                                num_frames, timer)):
+                            self._encode_hide_hybrid(num_frames, timer,
+                                                     quiet)
                     else:
                         self._encode_plane(num_frames, timer)
             if not quiet:
@@ -434,10 +444,12 @@ class MP3Encoder:
         return paddings, mean_bits_f
 
     def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int,
-                    addr_seed=None) -> int:
+                    addr_seed=None, hide_ctx=None) -> int:
         """Verify float-fallback (approx) evaluations against the exact host
         formula and redo flagged granules with the sequential oracle, carrying
-        true cross-granule address state per (gr, ch) slot."""
+        true cross-granule address state per (gr, ch) slot. ``hide_ctx`` =
+        (bits_u8, per-lane cursors) threads the stego transform state through
+        both the cell verification and the redo oracle (parallel-hide mode)."""
         from mp3stego_tpu.ops import quant_np
         from mp3stego_tpu.ops import search_plane as SP
 
@@ -455,8 +467,13 @@ class MP3Encoder:
             dbits = res["log_bits"][cell_lane, cell_j]
             rows = SP.fetch_rows(xr_dev, lanes)
             row_idx = np.searchsorted(lanes, cell_lane)
-            hbits, hbvs = quant_np.verify_cells(rows[row_idx], steps,
-                                                self.samplerate_index)
+            if hide_ctx is None:
+                hbits, hbvs = quant_np.verify_cells(rows[row_idx], steps,
+                                                    self.samplerate_index)
+            else:
+                hbits, hbvs = quant_np.verify_cells_hide(
+                    rows[row_idx], steps, self.samplerate_index,
+                    hide_ctx[0], hide_ctx[1][cell_lane])
             bad = (hbits != dbits) | (hbvs <= 0)
             if bad.any():
                 redo[np.unique(cell_lane[bad])] = True
@@ -475,9 +492,11 @@ class MP3Encoder:
                 for f in range(nf):
                     g = ch * tg + f * gpf + gr
                     if g in rowmap:
+                        hide = None if hide_ctx is None else \
+                            (hide_ctx[0], int(hide_ctx[1][g]))
                         r = quant_np.oracle_search(
                             rowmap[g], int(max_bits_lanes[g]), addr,
-                            self.samplerate_index)
+                            self.samplerate_index, hide=hide)
                         for k in ("step", "bits", "bv", "c1", "a1", "a2",
                                   "a3", "r0c", "r1c", "cts"):
                             res[k][g] = r[k]
@@ -703,6 +722,100 @@ class MP3Encoder:
         if written < 0:
             raise RuntimeError("native serializer buffer overflow")
         self.out_buffer += out[:written].tobytes()
+
+    def _encode_hide_parallel(self, num_frames: int, timer) -> bool:
+        """Parallel hide: the WHOLE file searched on device with a live stego
+        cursor, no sequential head (VERDICT r2 item 1 / SURVEY §7.3).
+
+        The only cross-granule coupling the stego channel adds is the
+        embedded-bit cursor: granule G's cursor position is the count of
+        nonzero table selections in every earlier granule (reference order
+        f▸ch▸gr, MP3_Encoder.py:808-809). Since the pair transform never
+        zeroes a table (and never un-zeroes one), those counts are almost
+        always the same with and without the transform — so:
+
+          A. search every granule WITHOUT the transform (existing plane),
+          B. prefix-sum the region counts to pin every granule's cursor,
+             then re-search every granule WITH the transform at its pinned
+             cursor (ops/search_plane hide mode) — fully parallel,
+          C. verify the counts the transformed searches produced; where a
+             count changed (the transformed table altered the rate-loop
+             trajectory enough to change region structure), re-pin and
+             repeat. Converges in 1 extra round on real audio; bails to the
+             sequential-head hybrid if it somehow does not.
+
+        Returns True when the file was encoded; False = state untouched,
+        caller falls back."""
+        from mp3stego_tpu.ops import encode_plane
+        from mp3stego_tpu.ops import search_plane as SP
+
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        tg = num_frames * gpf
+        snap = (self.padding, self.slot_lag, self.hide_str_offset)
+
+        with timer.stage("analysis+mdct (device)"):
+            streams = self._channel_streams_i16(num_frames)
+            mdct_dev = encode_plane.run_analysis_device(streams, tg)
+            xr_dev = mdct_dev.reshape(-1, 576)
+
+        paddings, mean_bits_f = self._plane_framing(num_frames)
+        maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                            Q.MAX_BITS_ALLOWANCE)
+        max_bits_lanes = np.tile(np.repeat(maxb_f, gpf),
+                                 nch).astype(np.int32)
+
+        # reference cursor order (f, ch, gr); lane layout g = ch*tg + f*gpf+gr
+        lanes_in_order = (np.arange(num_frames)[:, None, None] * gpf
+                          + np.arange(nch)[None, :, None] * tg
+                          + np.arange(gpf)[None, None, :]).reshape(-1)
+        off0 = self.hide_str_offset
+
+        def counts_of(res):
+            return ((res["ch0"] > 0).astype(np.int64)
+                    + (res["ch1"] > 0) + (res["ch2"] > 0))
+
+        def pin(counts):
+            co = counts[lanes_in_order]
+            cur_o = off0 + np.concatenate([[0], np.cumsum(co[:-1])])
+            cur = np.empty(tg * nch, np.int64)
+            cur[lanes_in_order] = cur_o
+            return cur.astype(np.int32)
+
+        with timer.stage("hide pass A (device, no transform)"):
+            resA = SP.search_all(xr_dev, max_bits_lanes,
+                                 self.samplerate_index)
+        cursors = pin(counts_of(resA))
+
+        res = None
+        en_tot_raw = en_raw = None
+        converged = False
+        for _ in range(8):
+            with timer.stage("hide pass B (device, pinned cursors)"):
+                res = SP.search_all(xr_dev, max_bits_lanes,
+                                    self.samplerate_index,
+                                    hide_bits=self._hide_u8,
+                                    hide_cur=cursors)
+            with timer.stage("verify+redo (host)"):
+                self._plane_redo(res, xr_dev, max_bits_lanes, tg,
+                                 hide_ctx=(self._hide_u8, cursors))
+            cur2 = pin(counts_of(res))
+            if np.array_equal(cur2, cursors):
+                converged = True
+                break
+            cursors = cur2
+        if not converged:
+            self.padding, self.slot_lag, self.hide_str_offset = snap
+            return False
+
+        if self.version == 3:
+            with timer.stage("scfsi sums (device)"):
+                en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
+                                                   self.samplerate_index)
+        with timer.stage("assemble+serialize (host)"):
+            self._plane_finish(res, en_tot_raw, en_raw, num_frames, paddings,
+                               mean_bits_f, tg)
+        return True
 
     def _encode_hide_hybrid(self, num_frames: int, timer, quiet: bool):
         """Hide-mode encode: the embedded-bit cursor advances by the number of

@@ -41,15 +41,21 @@ def _host_cache_tag() -> str:
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
+# MP3STEGO_TPU_JAX_CACHE="" (empty) disables the persistent cache entirely —
+# the multichip dryrun uses this: XLA:CPU AOT entries embed tuning pseudo-
+# features (+prefer-no-scatter/-gather) that the loader's host-feature probe
+# never reports, so every load logs a machine-type-mismatch error even on
+# the machine that wrote the entry.
 _cache_dir = os.environ.get(
     "MP3STEGO_TPU_JAX_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache",
                  f"mp3stego_tpu_jax-{_host_cache_tag()}"))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:  # cache is an optimization only
-    pass
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is an optimization only
+        pass
 

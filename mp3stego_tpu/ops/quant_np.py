@@ -13,27 +13,46 @@ import numpy as np
 from mp3stego_tpu.ops import quant as Q
 
 
-def _cost_exact(ix: np.ndarray, addr_in, sr_idx: int):
+def _cost_exact(ix: np.ndarray, addr_in, sr_idx: int, hide=None):
     """calc_run_len -> count1 -> subdivide -> table select -> big-values bits,
-    carrying ``addr_in`` as the stale-address state. Returns (bits, GrInfo)."""
+    carrying ``addr_in`` as the stale-address state. Returns (bits, GrInfo).
+    ``hide`` = (bits_u8, cursor) applies the stego pair transform at the
+    granule's pinned embedded-bit cursor (MP3_Encoder.py:1147-1263)."""
     gi = Q.GrInfo()
     gi.address1, gi.address2, gi.address3 = (int(a) for a in addr_in)
     Q.calc_run_len(ix, gi)
     bits = Q.count1_bit_count(ix, gi)
     Q.subdivide(gi, sr_idx)
-    _tab_select(ix, gi)
+    _tab_select(ix, gi, hide)
     bits += Q.big_v_bit_count(ix, gi)
     return bits, gi
 
 
-def _tab_select(ix, gi):
-    """_big_v_tab_select without the stego transform (MP3_Encoder.py:1147-68)."""
+def _tab_select(ix, gi, hide=None):
+    """_big_v_tab_select (MP3_Encoder.py:1147-68); with ``hide`` the chosen
+    tables are mapped through IDX_TO_TRANSFORM_HUF by the message bits at the
+    pinned cursor (the cursor index advances over nonzero choices within the
+    granule, exactly like the reference's idx)."""
+    from mp3stego_tpu import tables as T
+
+    def pick(begin, end, idx):
+        c = Q.choose_table(ix, begin, end)
+        if hide is not None and c > 0:
+            bits_u8, cur = hide
+            j = cur + idx
+            if j < len(bits_u8):
+                c = int(T.TRANSFORM_HUF[c, int(bits_u8[j])])
+        return c
+
+    idx = 0
     gi.table_select[0] = 0 if gi.address1 <= 0 else \
-        Q.choose_table(ix, 0, gi.address1)
+        pick(0, gi.address1, idx)
+    idx += int(gi.table_select[0] > 0)
     gi.table_select[1] = 0 if gi.address2 <= gi.address1 else \
-        Q.choose_table(ix, gi.address1, gi.address2)
+        pick(gi.address1, gi.address2, idx)
+    idx += int(gi.table_select[1] > 0)
     gi.table_select[2] = 0 if (gi.big_values << 1) <= gi.address2 else \
-        Q.choose_table(ix, gi.address2, gi.big_values << 1)
+        pick(gi.address2, gi.big_values << 1, idx)
 
 
 def verify_cells_loop(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
@@ -202,12 +221,40 @@ def verify_cells(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
     return bits, bvs
 
 
-def oracle_search(xr_row: np.ndarray, max_bits: int, addr_in, sr_idx: int):
+def verify_cells_hide(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int,
+                      bits_u8: np.ndarray, cursors: np.ndarray):
+    """:func:`verify_cells` with the stego transform applied per cell at the
+    cell's lane cursor (parallel-hide mode). Approx cells are rare, so the
+    exact per-cell loop is fine here; semantics mirror verify_cells (bail or
+    ixmax overflow -> bits=100000, bv reported so bv==0 cells are treated as
+    unverifiable by the caller)."""
+    m = len(steps)
+    bits = np.zeros(m, np.int64)
+    bvs = np.full(m, -1, np.int64)
+    for i in range(m):
+        row = xr_rows[i]
+        xrabs = np.abs(row)
+        xrmax = int(max(0, xrabs.max()))
+        ix, ix_max = Q.quantize(row, xrabs, xrmax, int(steps[i]))
+        if ix_max > Q.MAX_QUANTIZE_STEP:
+            bits[i] = 100000
+            continue
+        b, gi = _cost_exact(ix, (0, 0, 0), sr_idx,
+                            hide=(bits_u8, int(cursors[i])))
+        bits[i] = b
+        bvs[i] = gi.big_values
+    return bits, bvs
+
+
+def oracle_search(xr_row: np.ndarray, max_bits: int, addr_in, sr_idx: int,
+                  hide=None):
     """The reference's full outer loop for one granule, exact on host
     (_bin_search_step_size + _inner_loop, MP3_Encoder.py:933-996,1064-1095).
 
     :param addr_in: (address1, address2, address3) carried in from the
         previous granule of the same (gr, ch) slot.
+    :param hide: optional (bits_u8, cursor) stego transform state with the
+        granule's pinned embedded-bit cursor.
     :return: dict with step, bits, big_values, count1, addresses, region
         counts, table_select, count1table_select and the signed ix row.
     """
@@ -219,7 +266,7 @@ def oracle_search(xr_row: np.ndarray, max_bits: int, addr_in, sr_idx: int):
         ix, ix_max = Q.quantize(xr_row, xrabs, xrmax, step)
         if ix_max > Q.MAX_QUANTIZE_STEP:
             return 100000
-        bits, gi = _cost_exact(ix, state["addr"], sr_idx)
+        bits, gi = _cost_exact(ix, state["addr"], sr_idx, hide)
         state["addr"] = (gi.address1, gi.address2, gi.address3)
         state["gi"] = gi
         state["ix"] = ix

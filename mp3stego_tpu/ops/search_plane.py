@@ -71,11 +71,36 @@ def _sconsts():
     pair_pack = (hlen[13] | (hlen[15] << 8) | (hlen[16] << 16)
                  | (hlen[24] << 24)).reshape(-1)               # (256,)
     quad_pack = (hlen[32, 0, :16] | (hlen[33, 0, :16] << 8))   # (16,)
+    # hide mode: pair h_len channels for EVERY table a transform can emit.
+    # Pre-transform choices are restricted to {13, 15} (the reference's
+    # descending no-linbits scan always lands on 13, alternate 15) plus the
+    # ESC rows 16..31; IDX_TO_TRANSFORM_HUF maps within that same set, so 18
+    # channels cover all emitted tables. Packed 4-per-int32 like pair_pack.
+    emit_tables = [13, 15] + list(range(16, 32))               # 18
+    packs = []
+    for p in range(0, 18, 4):
+        grp = emit_tables[p:p + 4]
+        w = np.zeros(256, np.int32)
+        for s, t in enumerate(grp):
+            w |= hlen[t].reshape(-1) << (8 * s)
+        packs.append(w)
+    # per-emitted-table linbits (0 for 13/15)
+    emit_linbits = np.array([0, 0] + [int(T.HUFF_LINBITS[t])
+                                      for t in range(16, 32)], np.int32)
+    # table index -> channel slot (13->0, 15->1, 16+k->2+k; others unused)
+    emit_slot = np.zeros(32, np.int32)
+    emit_slot[13] = 0
+    emit_slot[15] = 1
+    for t in range(16, 32):
+        emit_slot[t] = 2 + (t - 16)
     return dict(
         steptabi=steptabi.astype(np.int64),
         steptab_f32=steptab.astype(np.float32),
         th=th,
         pair_pack=pair_pack, quad_pack=quad_pack,
+        hide_packs=np.stack(packs),                            # (5, 256)
+        emit_linbits=emit_linbits, emit_slot=emit_slot,
+        transform=T.TRANSFORM_HUF.astype(np.int32),            # (32, 2)
         linmax=T.HUFF_LINMAX.astype(np.int32),
         linbits=T.HUFF_LINBITS.astype(np.int32),
         subdv=T.SUBDV_TABLE.astype(np.int32),
@@ -107,10 +132,19 @@ def _quantize(labs64, xrabs_f32, xrmax64, s, c):
     return ix, ixmax_eff, approx, oob
 
 
-def _cost(ix, addr_in, band, c):
+def _cost(ix, addr_in, band, c, hide=None):
     """The shared search-evaluation body: run lengths -> count1 -> subdivide
     (stale addresses kept when big_values==0) -> table select -> bit count.
-    Mirrors ops/quant.py / MP3_Encoder.py:266-291,171-211,998-1036,1147-1264."""
+    Mirrors ops/quant.py / MP3_Encoder.py:266-291,171-211,998-1036,1147-1264.
+
+    ``hide`` = (bits_u8 (L,), cursor (C,), hide_len scalar) enables the stego
+    pair transform (MP3_Encoder.py:1257-1263) INSIDE the device search: each
+    region's optimal table is mapped through IDX_TO_TRANSFORM_HUF by the
+    message bit at its cursor position, and the region's counted cost becomes
+    the cost under the EMITTED table (that is what feeds part2_3_length in
+    the reference). The cursor is the granule's pinned embedded-bit offset —
+    constant for all evaluations of one granule's search, exactly like the
+    sequential engine's ``hide_off`` (native/src/rate_search.cpp)."""
     n = ix.shape[0]
     pos = jnp.arange(576, dtype=jnp.int32)
     nz = ix != 0
@@ -227,6 +261,38 @@ def _cost(ix, addr_in, band, c):
     rcost = jnp.where(m == 0, 0, jnp.where(m < 15, nl_cost, esc_cost))
     active = jnp.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
     choice = jnp.where(active, choice, 0)
+
+    if hide is not None:
+        hide_bits, hide_cur, hide_len = hide
+        # cursor index per region: advances over nonzero choices within the
+        # granule (transform preserves nonzero-ness, so pre-transform counts)
+        nz = choice > 0
+        inc0 = nz[:, 0].astype(jnp.int32)
+        inc1 = inc0 + nz[:, 1].astype(jnp.int32)
+        idx = jnp.stack([hide_cur, hide_cur + inc0, hide_cur + inc1],
+                        axis=-1)                               # (C,3)
+        inb = idx < hide_len
+        bit = jnp.take(hide_bits, jnp.clip(idx, 0, hide_bits.shape[0] - 1)
+                       ).astype(jnp.int32)
+        tr = jnp.asarray(c["transform"])
+        t_new = tr[jnp.clip(choice, 0, 31), jnp.clip(bit, 0, 1)]
+        choice = jnp.where(nz & inb, t_new, choice)
+        # re-cost every region under its EMITTED table: per-pair channel
+        # select from the 5 packed 18-table h_len words, then region-sum
+        emit_slot = jnp.asarray(c["emit_slot"])
+        t_pp = jnp.sum(jnp.where(pm, choice[..., None], 0), axis=1)  # (C,288)
+        slot_pp = emit_slot[jnp.clip(t_pp, 0, 31)]
+        hp = jnp.asarray(c["hide_packs"])                      # (5, 256)
+        pk5 = jnp.sum((pidx[..., None] == pvals[None, None, :])[..., None, :]
+                      * hp[None, None, :, :], axis=-1)         # (C,288,5)
+        packed = jnp.take_along_axis(pk5, (slot_pp >> 2)[..., None],
+                                     axis=-1)[..., 0]
+        h_pp = (packed >> ((slot_pp & 3) * 8)) & 255
+        rc_t = rsum(h_pp + signs)                              # (C,3)
+        slot_r = emit_slot[jnp.clip(choice, 0, 31)]
+        cost_t = rc_t + jnp.asarray(c["emit_linbits"])[slot_r] * rnesc
+        rcost = cost_t
+
     rcost = jnp.where(active & (choice != 0), rcost, 0)
 
     bits = jnp.sum(rcost, axis=-1) + jnp.minimum(sum0, sum1)
@@ -248,11 +314,16 @@ _FIN_ROWS = ("step", "bits", "bv", "c1", "a1", "a2", "a3", "r0c", "r1c",
              "ch0", "ch1", "ch2", "cts", "flags", "nlog", "xrmax0", "iters")
 
 
-def _search_body(xr, max_bits, sr_idx):
+def _search_body(xr, max_bits, sr_idx, hide_bits=None, hide_cur=None,
+                 hide_len=None):
     """(C,576) i32 spectra + (C,) i32 bit budgets -> packed search results.
     Pure traced body — jitted directly for single-file chunks and vmapped
-    over a file axis for the sharded batch mode (parallel/batch_encode)."""
+    over a file axis for the sharded batch mode (parallel/batch_encode).
+    ``hide_bits``/``hide_cur``/``hide_len`` enable the stego transform with a
+    pinned per-lane cursor (see _cost); the parallel-hide orchestration in
+    models/encoder.py pins cursors by prefix-summing region counts."""
     c = _sconsts()
+    hide = None if hide_bits is None else (hide_bits, hide_cur, hide_len)
     band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
     n = xr.shape[0]
     labs64 = jnp.abs(xr.astype(jnp.int64))
@@ -282,7 +353,7 @@ def _search_body(xr, max_bits, sr_idx):
         st["flags"] |= jnp.where(
             live & approx & (jnp.abs(ixmax_eff - MAX_STEP) <= 8),
             jnp.int32(FLAG_IXBAND), jnp.int32(0))
-        co = _cost(ix, st["addr"], band, c)
+        co = _cost(ix, st["addr"], band, c, hide)
         gate = live & (ixmax_eff <= MAX_STEP)
         bits = jnp.where(ixmax_eff > MAX_STEP, jnp.int32(100000),
                          co["bits"].astype(jnp.int32))
@@ -349,7 +420,7 @@ def _search_body(xr, max_bits, sr_idx):
             jnp.int32(FLAG_IXBAND), jnp.int32(0))
         skip = ixmax_eff > MAX_STEP
         ev = pend & ~skip
-        co = _cost(ix, sub["addr"], band, c)
+        co = _cost(ix, sub["addr"], band, c, hide)
         bits = co["bits"].astype(jnp.int32)
         new_addr = jnp.stack([co["a1"], co["a2"], co["a3"]], axis=-1)
         sub["flags"] |= jnp.where(
@@ -399,12 +470,14 @@ def _search_body(xr, max_bits, sr_idx):
 _search_chunk_jit = jax.jit(_search_body, static_argnames=("sr_idx",))
 
 
-def _search_body_packed(xs, mb, sr_idx):
+def _search_body_packed(xs, mb, sr_idx, hide_bits=None, hide_cur=None,
+                        hide_len=None):
     """_search_body with the ix plane packed for the fetch: almost all
     quantized values are tiny, so ship int8 + a per-lane wide flag and let
     the host re-gather the rare wide lanes (linbits-scale values) at full
     width from the resident int16 plane. Halves the dominant d2h transfer."""
-    fin, ix, lsteps, lbits = _search_body(xs, mb, sr_idx)
+    fin, ix, lsteps, lbits = _search_body(xs, mb, sr_idx, hide_bits,
+                                          hide_cur, hide_len)
     ix8 = jnp.clip(ix, -128, 127).astype(jnp.int8)
     wide = jnp.any(jnp.abs(ix.astype(jnp.int32)) > 127, axis=1)
     return fin, ix8, wide, ix, lsteps, lbits
@@ -423,16 +496,38 @@ def _search_batch_jit(xr, max_bits, sr_idx):
                                                                     max_bits)
 
 
+@functools.partial(jax.jit, static_argnames=("sr_idx",))
+def _search_batch_hide_jit(xr, max_bits, hide_bits, hide_cur, hide_len,
+                           sr_idx):
+    """_search_batch_jit with per-file stego state: (F, L) message bits,
+    (F, N) pinned cursors, (F,) bit lengths. Shards over ``files`` exactly
+    like the plain batch search."""
+    return jax.vmap(
+        lambda a, b, hb, hc, hl: _search_body_packed(a, b, sr_idx, hb, hc, hl)
+    )(xr, max_bits, hide_bits, hide_cur, hide_len)
+
+
 _gather_rows2 = jax.jit(lambda a, f, l: a[f, l])
 
 
-def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
+def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int,
+                 hide_bits: np.ndarray = None, hide_cur: np.ndarray = None,
+                 hide_len: np.ndarray = None) -> dict:
     """Sharded multi-file search: resident (F, N, 576) spectra (file axis
     optionally sharded over a mesh) -> dict of stacked (F, ...) numpy arrays
     with the same keys as :func:`search_all`. The ix plane crosses the link
-    as int8 + re-gathered wide lanes (see _search_body_packed)."""
-    fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_jit(
-        xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx)
+    as int8 + re-gathered wide lanes (see _search_body_packed). The optional
+    per-file stego state ((F, L) bits / (F, N) pinned cursors / (F,) bit
+    lengths) runs the hide transform inside the sharded search."""
+    if hide_bits is not None:
+        fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_hide_jit(
+            xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)),
+            jnp.asarray(np.asarray(hide_bits, np.uint8)),
+            jnp.asarray(np.asarray(hide_cur, np.int32)),
+            jnp.asarray(np.asarray(hide_len, np.int32)), sr_idx)
+    else:
+        fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_jit(
+            xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx)
     fin_h, ix8_h, wide_h, ls_h, lb_h = _fetch_pieces(
         [fin, ix8, wide, lsteps, lbits])
     out = {k: fin_h[:, r] for r, k in enumerate(_FIN_ROWS)}
@@ -489,12 +584,18 @@ def fetch_rows(xr_dev, idx: np.ndarray) -> np.ndarray:
 
 
 
-def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
+def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int,
+               hide_bits: np.ndarray = None,
+               hide_cur: np.ndarray = None) -> dict:
     """Run the device search for all lanes.
 
     :param xr_dev: resident (N, 576) int32 spectra (device array).
     :param max_bits: (N,) int32 per-lane bit budgets.
     :param sr_idx: samplerate index (selects scalefactor band row).
+    :param hide_bits: optional (L,) uint8 0/1 message bits — enables the
+        stego pair transform inside the search (see _cost).
+    :param hide_cur: (N,) int32 pinned embedded-bit cursor per lane
+        (required with hide_bits; models/encoder pins it by prefix sum).
     :return: dict of (N,) numpy arrays (keys _FIN_ROWS) plus ``ix`` (N,576)
         int16 signed quantized samples and ``log_steps``/``log_bits``
         (N, S_MAXLOG) for approx-cell verification.
@@ -505,13 +606,30 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int) -> dict:
     mb = np.asarray(max_bits, np.int32)
     if pad:
         mb = np.concatenate([mb, np.zeros(pad, np.int32)])
+    hb = hl = None
+    if hide_bits is not None:
+        # pad the bits to a bucket so message length doesn't recompile
+        L = len(hide_bits)
+        lpad = (-max(L, 1)) % 4096
+        hb = jnp.asarray(np.concatenate(
+            [np.asarray(hide_bits, np.uint8), np.zeros(lpad, np.uint8)]))
+        hl = jnp.int32(L)
+        hc = np.asarray(hide_cur, np.int32)
+        if pad:
+            # padded lanes: cursor past the end -> transform disabled
+            hc = np.concatenate([hc, np.full(pad, 1 << 30, np.int32)])
     pending = []
     for i in range(0, n + pad, chunk):
         xs = jax.lax.dynamic_slice_in_dim(xr_dev, i, chunk, axis=0) \
             if i + chunk <= n else \
             jnp.pad(xr_dev[i:], ((0, i + chunk - n), (0, 0)))
-        pending.append(_search_chunk_packed(xs, jnp.asarray(mb[i:i + chunk]),
-                                            sr_idx))
+        if hide_bits is not None:
+            pending.append(_search_chunk_packed(
+                xs, jnp.asarray(mb[i:i + chunk]), sr_idx, hb,
+                jnp.asarray(hc[i:i + chunk]), hl))
+        else:
+            pending.append(_search_chunk_packed(
+                xs, jnp.asarray(mb[i:i + chunk]), sr_idx))
     # fetch everything EXCEPT the full-width ix plane (kept device-resident;
     # only the rare wide lanes come back at int16 width)
     flat = [b for tup in pending for b in

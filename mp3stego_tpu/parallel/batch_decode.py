@@ -19,16 +19,19 @@ from mp3stego_tpu.bitstream import decoder_host as dh
 from mp3stego_tpu.ops import decode_plane as dp
 
 
-def prepare_batch(preps: list) -> dict:
+def prepare_batch(preps: list, t_pad_to: int = 1) -> dict:
     """Stack per-file host_prepare outputs into one padded batch.
 
     Padded granules carry raw==0 / exp indices 0 and decode to silence; callers
-    trim with the returned ``lengths``.
+    trim with the returned ``lengths``. ``t_pad_to`` rounds the granule axis up
+    to a multiple (the pipelined chunk path uses it to bound the number of
+    distinct compiled shapes).
     """
     if not preps:
         raise ValueError("prepare_batch: no files to batch")
     n = len(preps)
     t_max = max(p["raw_i8"].shape[1] for p in preps)
+    t_max += (-t_max) % max(1, t_pad_to)
 
     def stack(key, axis=1):
         # preallocate once and slice-assign (np.pad+np.stack would copy twice)
@@ -119,16 +122,13 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
     "isolate" decodes the healthy files and returns the exception object in
     the failed file's slot (a corrupt file cannot poison the batch).
 
-    Engine auto-select for ``out="int16"``: batches below
-    ``MP3STEGO_TPU_BATCH_HOST_G`` total granules (default 2560, ~66 s of
-    audio) decode on the bit-exact native host plane — the device round
-    trip's fixed latency dominates small batches, and the host plane is both
-    faster there and byte-identical to the reference. Larger batches use the
-    float32 device plane (≤1 LSB int16 deviation at ~1e-4 rate). Set the
-    knob to 0 to force the device path.
+    Engine auto-select for ``out="int16"``: the measured cost model in
+    utils/calibrate.py (probed link bandwidth + host-plane rate, cached per
+    host fingerprint) picks the bit-exact native host plane or the float32
+    device plane (≤1 LSB int16 deviation at ~1e-4 rate) per batch.
+    ``MP3STEGO_TPU_BATCH_HOST_G=<granules>`` keeps absolute priority as a
+    fixed threshold (0 forces the device path).
     """
-    import os as _os
-
     metas = []
     failures = {}
     for i, path in enumerate(paths):
@@ -147,9 +147,10 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
             failures[i] = e
 
     results = [None] * len(paths)
-    host_g = int(_os.environ.get("MP3STEGO_TPU_BATCH_HOST_G", "2560"))
+    from mp3stego_tpu.utils.calibrate import batch_decode_engine
+    total_g = sum(m.num_frames for m in metas) * 2
     if (out == "int16" and dtype == "float32" and metas
-            and sum(m.num_frames for m in metas) * 2 <= host_g):
+            and batch_decode_engine(total_g) == "host"):
         host = [dp.decode_pcm_i16_host(m) for m in metas]
         if all(h is not None for h in host):   # native lib available
             j = 0
@@ -162,25 +163,77 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
                 results[i] = e
             return results
 
-    preps = [dp.host_prepare(m) for m in metas]
-    if preps:
-        from mp3stego_tpu.utils.transfer import fetch_pieces
-        batch = prepare_batch(preps)
-        dev = decode_batch_device(batch, mesh, dtype, to_i16=(out == "int16"))
-        planes = fetch_pieces([dev])[0]
+    if metas:
+        decoded = _decode_device_pipelined(metas, mesh, dtype,
+                                           to_i16=(out == "int16"))
         j = 0
         for i in range(len(paths)):
             if i in failures:
                 continue
-            parsed = metas[j]
-            t = int(batch["lengths"][j])
-            pcm = planes[j, :, :t]
-            ch = parsed.header.channels
-            inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-            if parsed.duplicate_last_pcm:
-                inter = np.concatenate([inter, inter[-1152:]], axis=0)
-            results[i] = inter
+            results[i] = decoded[j]
             j += 1
     for i, e in failures.items():
         results[i] = e
     return results
+
+
+def _unpack_chunk(planes: np.ndarray, batch: dict, metas: list) -> list:
+    """Trim the padded (files, ch, T, 576) planes back to per-file
+    interleaved PCM (samples, channels)."""
+    out = []
+    for j, parsed in enumerate(metas):
+        t = int(batch["lengths"][j])
+        pcm = planes[j, :, :t]
+        ch = parsed.header.channels
+        inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
+        if parsed.duplicate_last_pcm:
+            inter = np.concatenate([inter, inter[-1152:]], axis=0)
+        out.append(inter)
+    return out
+
+
+def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
+                             chunk_files: int = None) -> list:
+    """Device-path batch decode with the host stages pipelined against the
+    device stages (VERDICT r2 item 2).
+
+    The batch is split into chunks of ``chunk_files`` files; a single prep
+    worker thread runs host_prepare + stacking for chunk k+1 while the main
+    thread uploads/decodes/fetches chunk k. The host work is C++/NumPy
+    (releases the GIL) and the device stages block on link I/O, so the two
+    genuinely overlap even on one core. Granule counts are padded to a
+    bucket so at most a few shapes compile. MP3STEGO_TPU_BATCH_CHUNK_FILES
+    sets the chunk size (0 disables chunking/pipelining).
+    """
+    import os as _os
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mp3stego_tpu.utils.transfer import fetch_pieces
+
+    if chunk_files is None:
+        chunk_files = int(_os.environ.get(
+            "MP3STEGO_TPU_BATCH_CHUNK_FILES", "16"))
+    t_bucket = 32
+
+    def prep(ms):
+        return prepare_batch([dp.host_prepare(m) for m in ms],
+                             t_pad_to=t_bucket)
+
+    if chunk_files <= 0 or len(metas) <= chunk_files:
+        batch = prep(metas)
+        dev = decode_batch_device(batch, mesh, dtype, to_i16=to_i16)
+        return _unpack_chunk(fetch_pieces([dev])[0], batch, metas)
+
+    chunks = [metas[i:i + chunk_files]
+              for i in range(0, len(metas), chunk_files)]
+    outs = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prep, chunks[0])
+        for k, ms in enumerate(chunks):
+            batch = fut.result()
+            if k + 1 < len(chunks):
+                fut = pool.submit(prep, chunks[k + 1])
+            dev = decode_batch_device(batch, mesh, dtype, to_i16=to_i16)
+            outs.extend(_unpack_chunk(fetch_pieces([dev])[0], batch, ms))
+    return outs

@@ -69,13 +69,17 @@ def encode_files_batched(jobs: list, bitrate: int = 320, mesh=None,
 
     results = [None] * len(jobs)
 
-    # Engine auto-select: with no explicit mesh, the fully-host C++ engine
-    # per file (models/encoder._encode_host — zero link traffic, zero XLA
-    # compiles) beats the stacked device program wherever the host link is
-    # latency-bound. An explicit ``mesh`` requests the sharded device path;
-    # MP3STEGO_TPU_BATCH_ENC_HOST=0 forces it without one.
+    # Engine auto-select: with no explicit mesh, the measured cost model
+    # (utils/calibrate.py: probed link bandwidth vs the C++ whole-file
+    # search rate) picks between the fully-host engine per file
+    # (models/encoder._encode_host — zero link traffic, zero XLA compiles)
+    # and the stacked device program. An explicit ``mesh`` always requests
+    # the sharded device path; MP3STEGO_TPU_BATCH_ENC_HOST=1/0 keeps
+    # absolute priority without one.
+    from mp3stego_tpu.utils.calibrate import batch_encode_engine
+    total_g = sum(nf for (_, _, _, nf) in items) * 2
     if (items and mesh is None
-            and os.environ.get("MP3STEGO_TPU_BATCH_ENC_HOST", "1") != "0"):
+            and batch_encode_engine(total_g) == "host"):
         from mp3stego_tpu.models.encoder import _native_rate_lib
         lib = _native_rate_lib()
         if (lib is not None and hasattr(lib, "rate_search_file")

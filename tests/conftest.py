@@ -12,6 +12,10 @@ import os
 # target exercises the production sizes)
 os.environ.setdefault("MP3STEGO_TPU_SEARCH_CHUNK", "128")
 os.environ.setdefault("MP3STEGO_TPU_BATCH_BUCKET_G", "64")
+# deterministic engine selections in CI: no hardware probing — the static
+# calibration defaults reproduce the tunneled-host behavior the selection
+# tests pin (the probe itself is tested with synthetic Probe records)
+os.environ.setdefault("MP3STEGO_TPU_PROBE", "0")
 
 # jax may already be imported at interpreter start (TPU tunnel integration
 # pre-imports it), so env vars alone are too late — set the config directly

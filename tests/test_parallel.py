@@ -75,6 +75,22 @@ def test_batched_i16_matches_per_file(parsed, fixture_mp3, monkeypatch):
         np.testing.assert_array_equal(o, host)
 
 
+def test_batched_pipelined_chunks_match_single_shot(parsed, fixture_mp3,
+                                                    monkeypatch):
+    """The chunked prep/compute pipeline (parse of chunk k+1 overlapped with
+    the device stages of chunk k) must produce exactly the single-shot
+    device-path result, including the ragged tail chunk."""
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_HOST_G", "0")   # force device path
+    paths = [fixture_mp3] * 5
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_CHUNK_FILES", "2")  # 2+2+1
+    chunked = decode_files_batched(paths, out="int16")
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_CHUNK_FILES", "0")  # one shot
+    single = decode_files_batched(paths, out="int16")
+    assert len(chunked) == len(single) == 5
+    for a, b in zip(chunked, single):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
     """Files of different lengths batch correctly through padding."""
     with open(fixture_mp3, "rb") as f:
