@@ -8,7 +8,11 @@ the whole file decodes as ONE `lax.fori_loop` over symbol slots, vmapped
 implicitly across granules: step k decodes the k-th big-values pair (or later
 the k-th count1 quad) of EVERY granule at once, with lanes masked off as their
 granule finishes. Work per lane is a handful of LUT gathers; the loop length
-is the static worst case (288 pairs + 144 quads).
+is the static worst case (288 pairs + 144 quads), UNROLLED ``_UNROLL``
+symbols per loop step — the chained bit-cursor math stays identical, but the
+sequential loop shrinks 8x (36 + 18 steps), amortizing the per-iteration
+loop/state overhead that dominated the round-2 version
+(MP3STEGO_TPU_HUF_UNROLL overrides; must divide 288 and 144).
 
 The host still assembles the bit-reservoir main_data windows (byte juggling,
 decoder_host.assemble_main_data) and unpacks scalefactors (tiny); this kernel
@@ -21,6 +25,7 @@ host parser remains the default and the parity oracle. Outputs are identical
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +34,7 @@ import numpy as np
 from mp3stego_tpu import tables as T
 
 _LUT_BITS = T.LUT_BITS  # 19
+_UNROLL = int(os.environ.get("MP3STEGO_TPU_HUF_UNROLL", "8"))
 
 
 @functools.lru_cache(maxsize=1)
@@ -87,8 +93,7 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
     out0 = jnp.zeros((g, 576), jnp.int32)
 
     # ---------------- phase 1: big-values pairs (288 slots max)
-    def pair_step(k, state):
-        bit, out = state
+    def one_pair(k, bit, out):
         sample = jnp.int32(2 * k)
         active = sample < big2
         table = jnp.where(sample < region0, ts[:, 0],
@@ -131,12 +136,18 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
                       out[jnp.arange(g), jnp.minimum(sample + 1, 575)]))
         return bit, out
 
-    bit, out = jax.lax.fori_loop(0, 288, pair_step, (start_bit, out0))
+    def pair_step(j, state):
+        bit, out = state
+        for u in range(_UNROLL):
+            bit, out = one_pair(j * _UNROLL + u, bit, out)
+        return bit, out
+
+    bit, out = jax.lax.fori_loop(0, 288 // _UNROLL, pair_step,
+                                 (start_bit, out0))
 
     # ---------------- phase 2: count1 quads; each lane has its own sample
     # cursor (= big2 + 4*q) and stops at max_bit or sample+4 >= 576
-    def quad_step(q, state):
-        bit, out = state
+    def one_quad(q, bit, out):
         sample = big2 + 4 * q
         active = (bit < max_bit) & (sample + 4 < 576)
 
@@ -170,7 +181,13 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
                 jnp.where(active, vals[:, i], out[rows, pos]))
         return bit, out
 
-    bit, out = jax.lax.fori_loop(0, 144, quad_step, (bit, out))
+    def quad_step(j, state):
+        bit, out = state
+        for u in range(_UNROLL):
+            bit, out = one_quad(j * _UNROLL + u, bit, out)
+        return bit, out
+
+    bit, out = jax.lax.fori_loop(0, 144 // _UNROLL, quad_step, (bit, out))
     return out
 
 
