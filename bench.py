@@ -418,13 +418,45 @@ def check_tpu_kernels():
     DETAIL["pallas synthesis FIR"] = {"status": status}
     print(f"# pallas synthesis FIR: {status}", file=sys.stderr)
 
-    # on-device Huffman sample decode (plan B) vs the host parser
+    # on-device Huffman sample decode (plan B) vs the host parser:
+    # correctness on the fixture + a throughput record on a 30 s stream
+    # (the documented ceiling — the bit-scan is gather-bound on TPU)
     try:
         from mp3stego_tpu.ops import huffman_device as hd
         pcm_dev, _ = hd.decode_pcm_device(data, 0)
         ok = pcm_dev.shape == base.shape and np.allclose(pcm_dev, base,
                                                          atol=1e-6)
         status = "PASS" if ok else "FAIL (mismatch vs host-parse path)"
+        if ok:
+            import jax.numpy as jnp
+            with open("/tmp/bench_hide30.mp3", "rb") as f:
+                d30 = f.read()
+            t0 = time.time()
+            p30 = dh.parse_mp3(d30, 0)
+            t_host = time.time() - t0
+            _, desc = dh.parse_mp3_light(d30, 0)
+            pk = hd.pack_descriptors(desc)
+            a30 = [jnp.asarray(pk[k]) for k in
+                   ("words", "start_bit", "max_bit", "region0", "region1",
+                    "big2", "ts", "c1sel")]
+
+            def scan_once():
+                o = hd.decode_samples_device(*a30)
+                return int(np.asarray(jnp.sum(o)))   # fetch forces completion
+
+            scan_once()
+            t0 = time.time()
+            scan_once()
+            t_dev = time.time() - t0
+            g30 = p30.num_frames * 2
+            DETAIL["device huffman scan 30s"] = {
+                "device_ms": round(t_dev * 1000, 1),
+                "host_parse_ms": round(t_host * 1000, 1),
+                "ratio": round(t_dev / max(t_host, 1e-6), 1),
+                "us_per_granule": round(t_dev / g30 * 1e6, 1)}
+            print(f"# device huffman scan 30s: {t_dev*1000:.0f} ms vs host "
+                  f"parse {t_host*1000:.0f} ms "
+                  f"({t_dev/max(t_host,1e-6):.1f}x)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         status = f"FAIL ({type(e).__name__}: {str(e)[:80]})"
     DETAIL["device huffman decode"] = {"status": status}
