@@ -60,6 +60,11 @@ _L2_RATES = [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
 _L2LO_RATES = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
 
 
+# samplerate -> band-table row for all 9 rates (SCALE_FACT_BAND_INDEX order;
+# rows 0-2 equal the MPEG-1 decoder tables, tables/__init__.py)
+_SR_IDX_ALL = {int(r): i for i, r in enumerate(T.SAMPLE_RATES)}
+
+
 def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
     h = FrameHeader()
     v_bits = (bool(b1 & 0x10), bool(b1 & 0x08))
@@ -68,7 +73,7 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
     h.layer = 4 - (((b1 << 5) & 0xFF) >> 6)
     h.crc = b1 & 0x01
     rates = [[44100, 48000, 32000], [22050, 24000, 16000], [11025, 12000, 8000]]
-    cv = int(np.floor(h.mpeg_version))
+    cv = int(np.ceil(h.mpeg_version))   # 2.5 -> row 3 (FrameHeader.py:116-123)
     sr_b = (bool(b2 & 0x08), bool(b2 & 0x04))
     if sr_b == (False, False):
         h.sampling_rate = rates[cv - 1][0]
@@ -97,7 +102,7 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
             h.bit_rate = _L3_RATES[idx] * 1000
         elif h.layer < 4:
             h.bit_rate = _L2LO_RATES[idx] * 1000
-    h.sr_idx = T.SAMPLERATE_INDEX.get(h.sampling_rate, 0)
+    h.sr_idx = _SR_IDX_ALL.get(h.sampling_rate, 0)
     h.emphasis = b3 & 0x03
     h.info = (bool(b2 & 0x01), bool(b3 & 0x08), bool(b3 & 0x04))
     return h
@@ -197,13 +202,130 @@ def parse_side_info(bits: np.ndarray, h: FrameHeader) -> SideInfo:
     return si
 
 
+def parse_side_info_lsf(bits: np.ndarray, h: FrameHeader) -> SideInfo:
+    """MPEG-2/2.5 (LSF) side info, ISO 13818-3: 8-bit main_data_begin,
+    1/2 private bits, NO scfsi, ONE granule with a 9-bit scalefac_compress
+    and no preflag bit (preflag derives from the scalefac_compress class).
+
+    This is BEYOND reference parity: the reference decoder is MPEG-1-only
+    (FrameSideInformation.py:39-137) and cannot read the MPEG-2/2.5 streams
+    its own encoder emits; here the framework decodes its own output."""
+    si = SideInfo()
+    pos = 0
+
+    def rd(n):
+        nonlocal pos
+        v = 0
+        for b in bits[pos:pos + n]:
+            v = (v << 1) | int(b)
+        pos += n
+        return v
+
+    si.main_data_begin = rd(8)
+    pos += 1 if h.channels == 1 else 2
+    gr = 0
+    for ch in range(h.channels):
+        si.part2_3_length[gr][ch] = rd(12)
+        si.big_value[gr][ch] = rd(9)
+        si.global_gain[gr][ch] = rd(8)
+        si.scale_fac_compress[gr][ch] = rd(9)
+        si.window_switching[gr][ch] = rd(1)
+        if si.window_switching[gr][ch]:
+            si.block_type[gr][ch] = rd(2)
+            si.mixed_block_flag[gr][ch] = rd(1)
+            si.region0_count[gr][ch] = 8 if si.block_type[gr][ch] == 2 else 7
+            si.region1_count[gr][ch] = 20 - si.region0_count[gr][ch]
+            for region in range(2):
+                si.table_select[gr][ch][region] = rd(5)
+            for window in range(3):
+                si.sub_block_gain[gr][ch][window] = rd(3)
+        else:
+            si.block_type[gr][ch] = 0
+            si.mixed_block_flag[gr][ch] = 0
+            for region in range(3):
+                si.table_select[gr][ch][region] = rd(5)
+            si.region0_count[gr][ch] = rd(4)
+            si.region1_count[gr][ch] = rd(3)
+        si.scale_fac_scale[gr][ch] = rd(1)
+        si.count1table_select[gr][ch] = rd(1)
+    return si
+
+
+# LSF scalefactor partitions (ISO 13818-3, intensity stereo off), indexed by
+# scalefac_compress class; each row = number of scalefactors per slen group.
+_LSF_NR_LONG = ((6, 5, 5, 5), (6, 5, 7, 3), (11, 10, 0, 0))
+_LSF_NR_SHORT = ((9, 9, 9, 9), (9, 9, 12, 6), (18, 18, 0, 0))
+_LSF_NR_MIXED = ((6, 9, 9, 9), (6, 9, 12, 6), (15, 18, 0, 0))
+
+
+def _lsf_slen(sfc: int):
+    """scalefac_compress (9 bits) -> (slen[4], class, preflag)."""
+    if sfc < 400:
+        return ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), \
+            0, 0
+    if sfc < 500:
+        s = sfc - 400
+        return ((s >> 2) // 5, (s >> 2) % 5, s & 3, 0), 1, 0
+    s = sfc - 500
+    return (s // 3, s % 3, 0, 0), 2, 1
+
+
+def unpack_scale_factors_lsf(md: "_MainDataBits", si: SideInfo, ch: int,
+                             bit: int) -> int:
+    """LSF scalefactor unpack for one channel (gr 0). Sets scale_fac_l /
+    scale_fac_s and the derived pre_flag. Intensity-stereo scalefactor
+    classes are not implemented (neither encoder ever emits them)."""
+    gr = 0
+    sfc = int(si.scale_fac_compress[gr][ch])
+    slen, cls, pre = _lsf_slen(sfc)
+    si.pre_flag[gr][ch] = pre
+    short = si.window_switching[gr][ch] and si.block_type[gr][ch] == 2
+    mixed = short and si.mixed_block_flag[gr][ch]
+    if short:
+        nr = _LSF_NR_MIXED[cls] if mixed else _LSF_NR_SHORT[cls]
+        # fill order: [long sfbs if mixed] then short (sfb, window)-major
+        vals = []
+        for g_i in range(4):
+            for _ in range(nr[g_i]):
+                vals.append(md.get(bit, slen[g_i]))
+                bit += slen[g_i]
+        k = 0
+        if mixed:
+            for sfb in range(6):
+                si.scale_fac_l[gr][ch][sfb] = vals[k]
+                k += 1
+            first_s = 3
+        else:
+            first_s = 0
+        sfb = first_s
+        while k < len(vals):
+            for window in range(3):
+                si.scale_fac_s[gr][ch][window][sfb] = vals[k]
+                k += 1
+            sfb += 1
+    else:
+        nr = _LSF_NR_LONG[cls]
+        sfb = 0
+        for g_i in range(4):
+            for _ in range(nr[g_i]):
+                si.scale_fac_l[gr][ch][sfb] = md.get(bit, slen[g_i])
+                bit += slen[g_i]
+                sfb += 1
+    return bit
+
+
 # ------------------------------------------------------- main data / reservoir
 
 
 def assemble_main_data(file_data: bytes, curr_offset: int, frame_size: int,
                        prev_sizes: list, si: SideInfo, h: FrameHeader) -> bytes:
-    """Splice the frame's main data across the bit reservoir (Frame.py:318-356)."""
-    constant = 21 if h.channels == 1 else 36
+    """Splice the frame's main data across the bit reservoir (Frame.py:318-356).
+    LSF side info is 9/17 bytes (vs MPEG-1's 17/32), so the skip constant is
+    13/21 including the 4 header bytes."""
+    if h.mpeg_version == 1:
+        constant = 21 if h.channels == 1 else 36
+    else:
+        constant = 13 if h.channels == 1 else 21
     if h.crc == 0:
         constant += 2
     buf = file_data[curr_offset:curr_offset + frame_size]
@@ -319,7 +441,7 @@ def unpack_samples(md: _MainDataBits, si: SideInfo, h: FrameHeader, gr: int, ch:
                    bit: int, max_bit: int, out: np.ndarray):
     """Huffman-sample unpack (Frame.py:443-559) with O(1) LUT symbol decode."""
     out[:] = 0.0
-    long_win = T.BAND_INDEX_LONG[h.sr_idx]
+    long_win = T.SCALE_FACT_BAND_INDEX[h.sr_idx]  # rows 0-2 == BAND_INDEX_LONG
 
     if si.window_switching[gr][ch] and si.block_type[gr][ch] == 2:
         region0, region1 = 36, 576
@@ -419,6 +541,11 @@ class ParsedMP3:
     table_select: np.ndarray = None               # (F,2,2,3)
     ms_stereo: np.ndarray = None                  # (F,) bool
     duplicate_last_pcm: bool = False
+    # MPEG-2/2.5 (LSF): real single-granule frames are packed two-per-
+    # virtual-frame into the (F,2,2,...) layout; lsf_granules = the real
+    # frame count (0 = MPEG-1 stream). PCM consumers trim to
+    # lsf_granules*576 samples and the duplication quirk appends 576.
+    lsf_granules: int = 0
     side_infos: list = field(default_factory=list)
 
 
@@ -529,6 +656,13 @@ def parse_mp3(file_data: bytes, offset: int = 0,
     bytes decoded, MP3_Parser.py:67); the native parser reports once at the end.
     """
     if backend in ("auto", "native"):
+        # LSF streams ride the python parser: the C++ twin is MPEG-1-layout
+        if (offset + 1 < len(file_data) and file_data[offset] == 0xFF
+                and file_data[offset + 1] >= 0xE0
+                and parse_header(
+                    *file_data[offset:offset + 4]).mpeg_version != 1):
+            return _parse_mp3_python(file_data, offset,
+                                     progress_cb=progress_cb)
         p = parse_mp3_native(file_data, offset)
         if p is not None:
             if progress_cb is not None:
@@ -580,6 +714,8 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
             p.duplicate_last_pcm = len(frames) > 0
 
     F = len(frames)
+    if F and first_h.mpeg_version != 1:
+        return _parse_frames_lsf(p, file_data, frames, progress_cb)
     p.num_frames = F
     if F == 0:
         return p
@@ -625,6 +761,89 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
         p.table_select[fi] = si.table_select
         p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
 
+    return p
+
+
+def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
+                      progress_cb=None) -> ParsedMP3:
+    """MPEG-2/2.5 frame loop: one granule per frame, LSF side info and
+    scalefactors, with pairs of real frames packed into the (F',2,2,...)
+    virtual-frame layout (gr = frame parity) so every downstream engine —
+    the C++ f64 plane, the NumPy oracle, the batched device plane, the
+    streaming decoder — consumes LSF streams unchanged. Time order is
+    preserved (granule flatten order is frame-major, gr-within-frame).
+    LSF short blocks would need the ISO 13818-3 LSF short-window band
+    tables, which have no reference counterpart to verify against — they
+    are rejected explicitly (neither this encoder nor the reference's ever
+    emits them)."""
+    F = len(frames)
+    if p.duplicate_last_pcm and F <= 2 and len(file_data) > 4 * frames[0][2]:
+        # the signature of the reference-parity LSF writer: frames after the
+        # first land at half-byte offsets (its side info omits the 2
+        # scale_fac_scale/count1table_select bits per granule), so the sync
+        # walk dies after 1-2 frames in a many-frame file. Such streams are
+        # ambiguous (the count1 table choice is not in the stream) — fail
+        # loudly instead of returning a near-empty decode.
+        raise ValueError(
+            "unreadable LSF stream: frames are half-byte-misaligned (the "
+            "reference encoder's MPEG-2/2.5 side-info layout omits the "
+            "scale_fac_scale/count1table_select bits). Re-encode with "
+            "lsf_compliant=True / MP3STEGO_TPU_LSF_COMPLIANT=1 to produce "
+            "spec-valid LSF streams this decoder reads.")
+    fv = (F + 1) // 2
+    p.num_frames = fv
+    p.lsf_granules = F
+    z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
+    p.frame_sizes = np.array([f[2] for f in frames], dtype=np.int64)
+    p.raw_samples = np.zeros((fv, 2, 2, 576), dtype=np.int32)
+    for name in ("block_type", "mixed_block_flag", "window_switching",
+                 "global_gain", "scale_fac_scale", "pre_flag"):
+        setattr(p, name, z(fv, 2, 2))
+    p.sub_block_gain = z(fv, 2, 2, 3)
+    p.scale_fac_l = z(fv, 2, 2, 22)
+    p.scale_fac_s = z(fv, 2, 2, 3, 13)
+    p.table_select = z(fv, 2, 2, 3)
+    p.ms_stereo = np.zeros(fv, dtype=bool)
+
+    raw = np.zeros(576, dtype=np.float64)
+    for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
+        start_si = 6 if h.crc == 0 else 4
+        si_bytes = file_data[foff + start_si:foff + fsize]
+        si_bits = np.unpackbits(np.frombuffer(si_bytes, dtype=np.uint8))
+        si = parse_side_info_lsf(si_bits, h)
+        if int(si.block_type[0].max()) == 2:
+            raise ValueError(
+                "LSF short blocks are not supported (no verified "
+                "ISO 13818-3 LSF short-window band tables; neither this "
+                "encoder nor the reference emits them)")
+        md = _MainDataBits(
+            assemble_main_data(file_data, foff, fsize, prev_sizes, si, h))
+        vf, gr = fi // 2, fi & 1
+        bit = 0
+        for ch in range(h.channels):
+            max_bit = int(bit + si.part2_3_length[0][ch])
+            bit = unpack_scale_factors_lsf(md, si, ch, bit)
+            unpack_samples(md, si, h, 0, ch, bit, max_bit, raw)
+            p.raw_samples[vf, gr, ch] = raw.astype(np.int32)
+            bit = max_bit
+        if progress_cb is not None:
+            progress_cb(fsize)
+        p.side_infos.append(si)
+        p.block_type[vf, gr] = si.block_type[0]
+        p.mixed_block_flag[vf, gr] = si.mixed_block_flag[0]
+        p.window_switching[vf, gr] = si.window_switching[0]
+        p.global_gain[vf, gr] = si.global_gain[0]
+        p.scale_fac_scale[vf, gr] = si.scale_fac_scale[0]
+        p.pre_flag[vf, gr] = si.pre_flag[0]
+        p.sub_block_gain[vf, gr] = si.sub_block_gain[0]
+        p.scale_fac_l[vf, gr] = si.scale_fac_l[0]
+        p.scale_fac_s[vf, gr] = si.scale_fac_s[0]
+        p.table_select[vf, gr] = si.table_select[0]
+        ms = (h.channel_mode == 1) and bool(h.mode_ext[0])
+        if fi & 1 and bool(p.ms_stereo[vf]) != ms:
+            raise ValueError("LSF stream switches MS stereo mid-virtual-"
+                             "frame pair (unsupported)")
+        p.ms_stereo[vf] = ms
     return p
 
 
@@ -733,7 +952,12 @@ def stego_bits(p: ParsedMP3) -> str:
     (decoder/util.py:67-81 + Frame.py:676-685 flatten order)."""
     if p.num_frames == 0:
         return ""
-    ts = p.table_select.transpose(0, 2, 1, 3).reshape(-1)  # frame, ch, gr, region
+    if p.lsf_granules:
+        # one granule per real frame: natural (vframe, gr=frame parity, ch,
+        # region) order IS temporal frame order; pad granules are all-zero
+        ts = p.table_select.reshape(-1)
+    else:
+        ts = p.table_select.transpose(0, 2, 1, 3).reshape(-1)  # f, ch, gr, region
     ts = ts[ts != 0]
     bits = np.where(np.isin(ts, np.array(sorted(T.H0))), ord("0"), ord("1"))
     return bits.astype(np.uint8).tobytes().decode()

@@ -159,10 +159,20 @@ class MP3Encoder:
     """
 
     def __init__(self, wav_file: WavFile, hide_str: str = "",
-                 device_search: bool = True):
+                 device_search: bool = True, lsf_compliant: bool = None):
         w = wav_file
         self.wav = w
         self.hide_str = hide_str
+        # MPEG-2/2.5 only: write the ISO 13818-3 LSF side info correctly
+        # (scale_fac_scale + count1table_select bits, byte-aligned frames)
+        # instead of the reference's layout, which omits those 2 bits per
+        # (gr, ch) and emits half-byte-misaligned frames no decoder can
+        # fully read (count1 table choice is lost). Default stays reference-
+        # byte-identical; opt in per call or via MP3STEGO_TPU_LSF_COMPLIANT=1.
+        if lsf_compliant is None:
+            lsf_compliant = os.environ.get(
+                "MP3STEGO_TPU_LSF_COMPLIANT", "0") == "1"
+        self.lsf_compliant = lsf_compliant
         self.hide_str_offset = 0
         # hide bits as 0/1 bytes for the native search twin
         self._hide_u8 = (np.frombuffer(hide_str.encode(), np.uint8)
@@ -611,7 +621,10 @@ class MP3Encoder:
         ix_l = res["ix"].reshape(nch, nf, gpf, 576)
         from mp3stego_tpu import native
         lib = native.get_lib()
-        if lib is not None and hasattr(lib, "mp3_format_frames"):
+        if (lib is not None and hasattr(lib, "mp3_format_frames")
+                and not (self.version != 3 and self.lsf_compliant)):
+            # (the C serializer writes the reference's LSF layout; compliant
+            # LSF mode uses the python writers)
             self._plane_serialize_native(lib, res, p23, gg, scfsi_f, paddings,
                                          ix_l, nf, tg)
             return
@@ -1304,7 +1317,8 @@ class MP3Encoder:
         if self._nat_ser is None:
             from mp3stego_tpu import native
             lib = native.get_lib()
-            use = lib is not None and hasattr(lib, "mp3_format_frame")
+            use = (lib is not None and hasattr(lib, "mp3_format_frame")
+                   and not (self.version != 3 and self.lsf_compliant))
             self._nat_ser = lib if use else False
             if use:
                 self._nat_cache = np.zeros(1, dtype=np.uint32)
@@ -1389,6 +1403,11 @@ class MP3Encoder:
                 bw.put(int(gi.region1_count), 3)
                 if self.version == 3:
                     bw.put(int(gi.preflag), 1)
+                    bw.put(int(gi.scale_fac_scale), 1)
+                    bw.put(int(gi.count1table_select), 1)
+                elif self.lsf_compliant:
+                    # ISO 13818-3 LSF: these two bits ARE in the stream; the
+                    # reference omits them (MP3_Encoder.py:1335-1337 guard)
                     bw.put(int(gi.scale_fac_scale), 1)
                     bw.put(int(gi.count1table_select), 1)
 

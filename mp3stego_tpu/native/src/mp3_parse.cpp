@@ -113,7 +113,9 @@ bool parse_header(const uint8_t* b, Header* h) {
   static const int rates[3][3] = {{44100, 48000, 32000},
                                   {22050, 24000, 16000},
                                   {11025, 12000, 8000}};
-  int cv = h->version_num;  // 1, 2, or 0 (for 2.5/0.0 floor) — reference indexes rates[cv-1]
+  // ceil(mpeg_version) like the reference (FrameHeader.py:116-123):
+  // 1 -> row 0, 2 -> row 1, 2.5 -> row 2 (and the reserved 0.0 wraps to -1)
+  int cv = (h->mpeg_version == 2.5) ? 3 : h->version_num;
   bool srb1 = b[2] & 0x08, srb2 = b[2] & 0x04;
   int row = cv - 1;
   if (row < 0) row = 2;  // mirror python negative-index rates[-1]

@@ -49,8 +49,12 @@ _EXP2X2_MAX = 64
 def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
     """Replicates the sfb/window walk of re_quantize (Frame.py:176-208) for a
     whole granule, returning static per-sample maps (is_short, sfb, window)."""
-    long_win = T.BAND_INDEX_LONG[sr_idx]
-    short_win = T.BAND_WIDTH_SHORT[sr_idx]
+    long_win = T.SCALE_FACT_BAND_INDEX[sr_idx]  # rows 0-2 == BAND_INDEX_LONG
+    # LSF rows (3..8) have no verified short-window tables; LSF short blocks
+    # are rejected at parse (decoder_host._parse_frames_lsf), so the short
+    # walk is never consulted there — zeros keep the map construction total.
+    short_win = (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
+                 else np.zeros(12, np.int32))
     is_short = np.zeros(576, dtype=bool)
     sfb_map = np.zeros(576, dtype=np.int32)
     win_map = np.zeros(576, dtype=np.int32)
@@ -81,8 +85,11 @@ def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
 @functools.lru_cache(maxsize=None)
 def _reorder_perm(sr_idx: int):
     """Static permutation for short-block reorder (Frame.py:574-602). Output
-    positions never written stay 0 (the reference's zero-filled tail)."""
-    short_win = T.BAND_WIDTH_SHORT[sr_idx]
+    positions never written stay 0 (the reference's zero-filled tail).
+    LSF rows: no short blocks ever reach the plane (rejected at parse), so
+    the permutation is the all-unwritten map."""
+    short_win = (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
+                 else np.zeros(12, np.int32))
     perm = np.full(576, -1, dtype=np.int32)
     total = start = block = 0
     for sb in range(12):
@@ -587,6 +594,18 @@ def decode_granules_f64_native(p) -> "np.ndarray | None":
     return out
 
 
+def _finish_inter(p, inter: np.ndarray) -> np.ndarray:
+    """Trim virtual-frame padding (LSF) and apply the stale-PCM duplication
+    quirk (MP3_Parser.py:79; one real frame = 576 samples for LSF)."""
+    if p.lsf_granules:
+        inter = inter[:p.lsf_granules * 576]
+        if p.duplicate_last_pcm:
+            inter = np.concatenate([inter, inter[-576:]], axis=0)
+    elif p.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    return inter
+
+
 def decode_pcm_i16_host(p) -> "np.ndarray | None":
     """ParsedMP3 -> interleaved int16 PCM (samples, channels) straight from
     the native f64 plane — byte-identical to
@@ -603,9 +622,7 @@ def decode_pcm_i16_host(p) -> "np.ndarray | None":
     ch = p.header.channels
     out = np.empty((2 * p.num_frames * 576, ch), np.int16)
     lib.decode_plane_i16(*args, out, ch)
-    if p.duplicate_last_pcm:
-        out = np.concatenate([out, out[-1152:]], axis=0)
-    return out
+    return _finish_inter(p, out)
 
 
 def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
@@ -624,9 +641,7 @@ def decode_pcm(p, dtype: str = "float64") -> np.ndarray:
     ch = p.header.channels
     t = pcm.shape[1]
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-    if p.duplicate_last_pcm:
-        inter = np.concatenate([inter, inter[-1152:]], axis=0)
-    return inter
+    return _finish_inter(p, inter)
 
 
 _DEC_BUCKET = 128  # granule bucket: any file length reuses a few compiles
@@ -684,6 +699,4 @@ def decode_pcm_i16(p) -> np.ndarray:
     ch = p.header.channels
     t = pcm.shape[1]
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-    if p.duplicate_last_pcm:
-        inter = np.concatenate([inter, inter[-1152:]], axis=0)
-    return inter
+    return _finish_inter(p, inter)

@@ -1,0 +1,179 @@
+"""MPEG-2/2.5 (LSF) decode — BEYOND reference parity.
+
+The reference decoder is MPEG-1-only (FrameSideInformation.py:39-137), and
+its encoder's LSF output is not even a valid bitstream: __encode_side_info
+(MP3_Encoder.py:1299-1337) omits the scale_fac_scale and count1table_select
+bits for version != 3, so stereo LSF side info is 16.5 bytes and every other
+frame starts at a half-byte offset (and the count1 table choice is simply
+lost). This framework therefore:
+
+  * keeps the reference-byte-identical LSF writer as the default
+    (tests/test_mpeg2.py pins those bytes),
+  * adds an opt-in spec-valid writer (``lsf_compliant=True`` /
+    ``MP3STEGO_TPU_LSF_COMPLIANT=1``) that emits the ISO 13818-3 layout,
+  * decodes compliant LSF streams through every engine (virtual-frame
+    packing, decoder_host._parse_frames_lsf), and
+  * fails loudly with an explanatory error on the reference-layout streams.
+
+Oracles: the encoder itself — the decoder must recover the exact signed
+quantized samples (l3_enc) and side-info fields the encoder serialized —
+plus an SNR floor on the full decode chain (requantize -> IMDCT ->
+synthesis), which matches the MPEG-1 chain's SNR on the same signal.
+"""
+
+import numpy as np
+import pytest
+
+from mp3stego_tpu.bitstream import decoder_host as dh
+from mp3stego_tpu.models.encoder import MP3Encoder
+from mp3stego_tpu.ops import decode_plane as dp
+from mp3stego_tpu.utils.wav import WavFile
+
+
+def _wav(sr, br, secs=2.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs))
+    sig = (0.45 * np.sin(2 * np.pi * 440 * t / sr)
+           + 0.05 * rng.standard_normal(len(t)))
+    pcm = np.clip(sig * 22000, -32768, 32767).astype(np.int16)
+    buf = np.empty(2 * len(pcm), np.int16)
+    buf[0::2] = pcm
+    buf[1::2] = pcm
+    return WavFile(file_path="synth.wav", bitrate=br, num_of_channels=2,
+                   samplerate=sr, bits_per_sample=16,
+                   num_of_samples=len(pcm), mpeg_mode=0, buffer=buf), pcm
+
+
+def _best_snr(ref_pcm, dec, max_lag=1600):
+    n = min(len(dec), len(ref_pcm))
+    best = -99.0
+    for lag in range(max_lag):
+        a = ref_pcm[:n - lag].astype(np.float64)
+        b = dec[lag:n]
+        if len(a) < 8000:
+            break
+        s = 10 * np.log10((a ** 2).mean()
+                          / max(((a - b) ** 2).mean(), 1e-9))
+        best = max(best, s)
+    return best
+
+
+CASES = [(22050, 64), (24000, 64), (8000, 32)]
+
+
+@pytest.mark.parametrize("sr,br", CASES)
+def test_lsf_decode_roundtrip_snr(sr, br):
+    w, pcm = _wav(sr, br)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    assert p.header.mpeg_version != 1
+    assert p.lsf_granules == enc._num_frames()
+    out = dp.decode_pcm(p, "float64")
+    assert out.shape[0] == p.lsf_granules * 576
+    snr = _best_snr(pcm, out[:, 0] * 32767)
+    # sine+noise at 64/32 kbps scores ~12 dB through this (psychoacoustics-
+    # free) encoder; broken exponent/scalefactor math scores < 0 dB
+    assert snr > 8.0, snr
+
+
+def test_lsf_fields_and_samples_match_encoder(monkeypatch):
+    """Bit-level: parse must recover exactly the side-info fields and the
+    signed quantized sample rows the encoder serialized (the sequential
+    cost-grid engine exposes per-frame state to hook)."""
+    monkeypatch.setenv("MP3STEGO_TPU_SEARCH_PLANE", "0")
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    caps = []
+    orig = enc._format_bitstream
+
+    def patched(mdct_frame):
+        orig(mdct_frame)   # signs l3_enc in place, then serializes
+        gi = enc.gr_info[0]
+        caps.append(dict(
+            l3=enc.l3_enc.copy(),
+            fields=[(int(gi[ch].part2_3_length), int(gi[ch].big_values),
+                     int(gi[ch].global_gain),
+                     tuple(int(t) for t in gi[ch].table_select),
+                     int(gi[ch].region0_count), int(gi[ch].region1_count),
+                     int(gi[ch].count1table_select),
+                     int(gi[ch].scale_fac_scale)) for ch in range(2)]))
+
+    enc._format_bitstream = patched
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0, backend="python")
+    assert p.lsf_granules == len(caps)
+    for fi, cap in enumerate(caps):
+        vf, gr = fi // 2, fi & 1
+        si = p.side_infos[fi]
+        for ch in range(2):
+            (p23, bv, gg, ts, r0, r1, cts, sfs) = cap["fields"][ch]
+            assert int(si.part2_3_length[0][ch]) == p23, (fi, ch)
+            assert int(si.big_value[0][ch]) == bv
+            assert int(si.global_gain[0][ch]) == gg
+            assert tuple(int(t) for t in si.table_select[0][ch]) == ts
+            assert int(si.region0_count[0][ch]) == r0
+            assert int(si.region1_count[0][ch]) == r1
+            assert int(si.count1table_select[0][ch]) == cts
+            assert int(si.scale_fac_scale[0][ch]) == sfs
+            # exact sample equality holds for the big-values region; the
+            # count1 region is NOT writer/reader-consistent even in the
+            # reference (its encoder indexes quads v-as-LSB,
+            # MP3_Encoder.py:1533, while its decoder's quad table reads
+            # v-as-MSB — asymmetric quads come back reversed on every
+            # reference MPEG-1 roundtrip too, and both sides here are
+            # byte/golden-pinned twins of those behaviors)
+            b2 = min(bv * 2, 576)
+            np.testing.assert_array_equal(
+                p.raw_samples[vf, gr, ch][:b2], cap["l3"][ch][0][:b2],
+                err_msg=str((fi, ch)))
+
+
+def test_lsf_reference_layout_stream_rejected():
+    """The default (reference-byte-identical) LSF writer produces misaligned
+    frames; the decoder must fail with the explanatory error, not silently
+    decode one frame."""
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=False)
+    enc.encode(quiet=True)
+    with pytest.raises(ValueError, match="lsf_compliant"):
+        dh.parse_mp3(bytes(enc.out_buffer), 0)
+
+
+def test_lsf_compliant_env_knob(monkeypatch):
+    monkeypatch.setenv("MP3STEGO_TPU_LSF_COMPLIANT", "1")
+    w, _ = _wav(24000, 64, secs=1.0)
+    enc = MP3Encoder(w)
+    assert enc.lsf_compliant
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    assert p.lsf_granules > 20
+
+
+def test_lsf_engines_agree():
+    """float64 NumPy plane, C++ f64/i16 plane and the float32 device plane
+    all consume the virtual-frame LSF layout and agree."""
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    f64 = dp.decode_pcm(p, "float64")
+    i16h = dp.decode_pcm_i16_host(p)
+    if i16h is not None:
+        np.testing.assert_array_equal(i16h,
+                                      (f64 * 32767).astype(np.int16))
+    f32 = dp.decode_pcm(p, "float32")
+    assert f32.shape == f64.shape
+    np.testing.assert_allclose(f32, f64, atol=2e-4)
+
+
+def test_lsf_stego_bits_temporal_order():
+    """One granule per real frame: the extraction order must be temporal
+    (frame-major), matching the embed cursor order of an LSF hide."""
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    bits = dh.stego_bits(p)
+    nz = int((p.table_select != 0).sum())
+    assert len(bits) == nz > 0
