@@ -6,6 +6,7 @@ directory-decode throughput mode.
 """
 
 import argparse
+import os
 import sys
 
 
@@ -32,6 +33,10 @@ def main(argv=None):
     e = sub.add_parser("encode", help="WAV -> MP3")
     e.add_argument("input"), e.add_argument("output")
     e.add_argument("--bitrate", type=int, default=320)
+    e.add_argument("--lsf-compliant", action="store_true",
+                   help="MPEG-2/2.5 only: write spec-valid ISO 13818-3 side "
+                        "info instead of the reference-identical layout "
+                        "(which is misaligned and undecodable)")
 
     h = sub.add_parser("hide", help="hide a message in an MP3")
     h.add_argument("input"), h.add_argument("output"), h.add_argument("message")
@@ -73,6 +78,8 @@ def main(argv=None):
             bitrate = s.decode_mp3_to_wav(args.input, args.output)
             print(f"decoded at {bitrate} kbps -> {args.output}")
     elif args.op == "encode":
+        if args.lsf_compliant:
+            os.environ["MP3STEGO_TPU_LSF_COMPLIANT"] = "1"
         s.encode_wav_to_mp3(args.input, args.output, args.bitrate)
         print(f"encoded at {args.bitrate} kbps -> {args.output}")
     elif args.op == "hide":
