@@ -167,6 +167,25 @@ def test_lsf_engines_agree():
     np.testing.assert_allclose(f32, f64, atol=2e-4)
 
 
+def test_lsf_facade_decode(tmp_path):
+    """The Steganography facade decodes a compliant LSF file end to end
+    (bitrate return, WAV on disk with the right sample count)."""
+    from mp3stego_tpu import Steganography
+
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    mp3 = tmp_path / "lsf.mp3"
+    mp3.write_bytes(bytes(enc.out_buffer))
+    wav = tmp_path / "lsf.wav"
+    s = Steganography(quiet=True)
+    br = s.decode_mp3_to_wav(str(mp3), str(wav))
+    assert br == 64
+    raw = wav.read_bytes()
+    n_samples = (len(raw) - 44) // 4    # stereo int16
+    assert n_samples == enc._num_frames() * 576
+
+
 def test_lsf_stego_bits_temporal_order():
     """One granule per real frame: the extraction order must be temporal
     (frame-major), matching the embed cursor order of an LSF hide."""
