@@ -186,6 +186,27 @@ def test_lsf_facade_decode(tmp_path):
     assert n_samples == enc._num_frames() * 576
 
 
+def test_lsf_hide_reveal_roundtrip():
+    """The steganography channel works on compliant LSF streams end to end:
+    embed through the (version-agnostic) engines, extract through the LSF
+    parse + temporal-order bit flatten."""
+    from mp3stego_tpu.steganography import str_to_binary_str
+
+    w, _ = _wav(22050, 64, secs=2.0, seed=3)
+    msg = "lsf stego works"
+    bits = str_to_binary_str(f"{len(msg)}#{msg}")
+    enc = MP3Encoder(w, hide_str=bits, lsf_compliant=True)
+    enc.encode(quiet=True)
+    assert enc.hide_str_offset >= len(bits) - 1    # fit (too_long contract)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    got = dh.stego_bits(p)[:len(bits)]
+    assert got == bits
+    chars = "".join(chr(int(got[i:i + 8], 2))
+                    for i in range(0, len(got) - 7, 8))
+    ln, _, payload = chars.partition("#")
+    assert payload[:int(ln)] == msg
+
+
 def test_lsf_stego_bits_temporal_order():
     """One granule per real frame: the extraction order must be temporal
     (frame-major), matching the embed cursor order of an LSF hide."""
