@@ -7,12 +7,20 @@ carries only (bit cursor, sample cursor) and every granule is independent — so
 the whole file decodes as ONE `lax.fori_loop` over symbol slots, vmapped
 implicitly across granules: step k decodes the k-th big-values pair (or later
 the k-th count1 quad) of EVERY granule at once, with lanes masked off as their
-granule finishes. Work per lane is a handful of LUT gathers; the loop length
-is the static worst case (288 pairs + 144 quads), UNROLLED ``_UNROLL``
-symbols per loop step — the chained bit-cursor math stays identical, but the
-sequential loop shrinks 8x (36 + 18 steps), amortizing the per-iteration
-loop/state overhead that dominated the round-2 version
-(MP3STEGO_TPU_HUF_UNROLL overrides; must divide 288 and 144).
+granule finishes.
+
+Two structural optimizations over the naive lockstep scan (which cost ~1 ms
+per step, gather-bound):
+
+* **register-resident bit cache** — each lane carries a 64-bit cache of
+  upcoming bits (+ valid count + next-word index), refilled 32 bits at a
+  time. All peeks (codeword, linbits, signs) become register shifts; only
+  the refills (<= 3/pair) and the codeword LUT lookup (1/pair) remain as
+  per-lane gathers — the round-2 version issued ~11 gathers per pair.
+* **symbol unrolling** — ``_UNROLL`` symbols decode per loop step (the
+  chained cursor math is identical, traced inline), shrinking the
+  sequential loop from 288+144 to 36+18 steps
+  (MP3STEGO_TPU_HUF_UNROLL overrides; must divide 288 and 144).
 
 The host still assembles the bit-reservoir main_data windows (byte juggling,
 decoder_host.assemble_main_data) and unpacks scalefactors (tiny); this kernel
@@ -21,7 +29,8 @@ main_data itself (~audio bitrate) instead of the unpacked sample plane.
 
 Used when MP3STEGO_TPU_DEVICE_HUFFMAN=1 (decode_pcm float32 path); the C++
 host parser remains the default and the parity oracle. Outputs are identical
-(tests/test_huffman_device.py).
+(tests/test_huffman_device.py); the measured throughput vs the host parser
+is recorded by bench.py every round.
 """
 
 import functools
@@ -52,19 +61,56 @@ def _device_tables():
             T.DEC_MAXVAL.astype(np.int32), T.QUAD_LUT.astype(np.int32))
 
 
-def _peek2(words, bit, n):
-    """MSB-first n-bit (n <= 25) read at per-lane ``bit`` offsets from
-    (G, W) big-endian-packed uint32 buffers, zero-extended past the end
-    (matches the reference's _MainDataBits semantics)."""
+# ----------------------------------------------------------- bit-cache reader
+#
+# Per-lane state: cache (uint64, upcoming bits left-aligned at bit 63, the
+# bits below the valid region are ZERO), nbits (valid bits), wpos (next
+# 32-bit word to load), bit (absolute cursor — kept as pure arithmetic for
+# the max_bit budget checks). Reads past the stream end see zeros, matching
+# _MainDataBits semantics (the packed buffers carry >= 4 zero pad words and
+# the word index clips to the last, zero, word).
+
+
+def _cache_init(words, start_bit):
+    """Initialize the cache at per-lane absolute bit offsets."""
     wmax = words.shape[-1] - 1
-    w = jnp.clip(bit >> 5, 0, wmax).astype(jnp.int32)
-    off = (bit & 31).astype(jnp.uint32)
+    w = jnp.clip(start_bit >> 5, 0, wmax).astype(jnp.int32)
+    off = (start_bit & 31).astype(jnp.uint64)
     hi = jnp.take_along_axis(words, w[..., None], axis=-1)[..., 0]
     lo = jnp.take_along_axis(words, jnp.minimum(w + 1, wmax)[..., None],
                              axis=-1)[..., 0]
     wide = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
-    out = (wide << off.astype(jnp.uint64)) >> jnp.uint64(64 - n)
-    return out.astype(jnp.int32)
+    cache = wide << off
+    nbits = (jnp.int32(64) - (start_bit & 31)).astype(jnp.int32)
+    return cache, nbits, (w + 2).astype(jnp.int32)
+
+
+def _refill(words, cache, nbits, wpos):
+    """One conditional 32-bit refill (a single per-lane gather).
+
+    Invariant maintained: nbits > 32 on return, so a following codeword
+    peek (19) + one value's linbits (<= 13) + sign (1) never underflows
+    before the next refill point."""
+    wmax = words.shape[-1] - 1
+    need = nbits <= 32
+    w = jnp.take_along_axis(words, jnp.clip(wpos, 0, wmax)[..., None],
+                            axis=-1)[..., 0].astype(jnp.uint64)
+    sh = jnp.clip(32 - nbits, 0, 63).astype(jnp.uint64)
+    cache = jnp.where(need, cache | (w << sh), cache)
+    nbits = jnp.where(need, nbits + 32, nbits)
+    wpos = jnp.where(need, wpos + 1, wpos)
+    return cache, nbits, wpos
+
+
+def _peek(cache, n: int):
+    """Top n (static) bits of the cache."""
+    return (cache >> jnp.uint64(64 - n)).astype(jnp.int32)
+
+
+def _consume(cache, nbits, bit, k):
+    """Drop k (traced, per-lane, >= 0) bits."""
+    cache = cache << jnp.clip(k, 0, 63).astype(jnp.uint64)
+    return cache, nbits - k, bit + k
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -73,7 +119,7 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
     """Batched Huffman sample decode.
 
     words   (G, W) uint32  — big-endian packed main_data bits per granule,
-                             zero-padded (>= 2 pad words)
+                             zero-padded (>= 4 pad words)
     start_bit (G,) int32   — first sample bit (after scalefactors)
     max_bit (G,) int32     — start + part2_3_length
     region0/region1 (G,)   — region boundaries in samples
@@ -90,10 +136,14 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
     quad_lut = jnp.asarray(quad_np)
 
     g = words.shape[0]
+    rows = jnp.arange(g)
     out0 = jnp.zeros((g, 576), jnp.int32)
+    cache0, nbits0, wpos0 = _cache_init(words, start_bit)
 
     # ---------------- phase 1: big-values pairs (288 slots max)
-    def one_pair(k, bit, out):
+    def one_pair(k, st):
+        cache, nbits, wpos, bit, out = st
+        cache, nbits, wpos = _refill(words, cache, nbits, wpos)
         sample = jnp.int32(2 * k)
         active = sample < big2
         table = jnp.where(sample < region0, ts[:, 0],
@@ -101,94 +151,100 @@ def decode_samples_device(words, start_bit, max_bit, region0, region1, big2,
         book = book_row[jnp.clip(table, 0, 31)]
         decodable = active & (table != 0) & (book >= 0)
 
-        idx = _peek2(words, bit, _LUT_BITS)
+        idx = _peek(cache, _LUT_BITS)
         # flat single-element gather (2D fancy indexing would materialize a
         # (G, 2^19) row gather and OOM at scale)
         packed = luts_flat[jnp.maximum(book, 0) * (1 << _LUT_BITS) + idx]
         size = packed & 31
         hit = decodable & (size > 0)   # size==0: corrupt stream, skip pair
-        bit = jnp.where(hit, bit + size, bit)
+        cache, nbits, bit = _consume(cache, nbits, bit,
+                                     jnp.where(hit, size, 0))
 
         vx = packed >> 9
         vy = (packed >> 5) & 15
         lb = linbits_t[jnp.clip(table, 0, 31)]
         mv = maxval_t[jnp.clip(table, 0, 31)]
 
-        def read_value(v, bit):
+        def read_value(v, cache, nbits, wpos, bit):
+            cache, nbits, wpos = _refill(words, cache, nbits, wpos)
             esc = hit & (lb != 0) & (v == mv - 1)
-            linbit = jnp.where(esc, _peek2(words, bit, 16) >> (16 - lb), 0)
-            # variable-width read: take lb bits (lb in 1..13); emulate via
-            # 16-bit peek shifted down — exact since lb <= 13 when esc
-            bit = jnp.where(esc, bit + lb, bit)
+            linbit = jnp.where(esc, _peek(cache, 16) >> (16 - lb), 0)
+            cache, nbits, bit = _consume(cache, nbits, bit,
+                                         jnp.where(esc, lb, 0))
             signed = hit & (v > 0)
-            neg = jnp.where(signed, _peek2(words, bit, 1), 0)
-            bit = jnp.where(signed, bit + 1, bit)
+            neg = jnp.where(signed, _peek(cache, 1), 0)
+            cache, nbits, bit = _consume(cache, nbits, bit,
+                                         jnp.where(signed, 1, 0))
             val = jnp.where(neg > 0, -(v + linbit), v + linbit)
-            return jnp.where(hit, val, 0), bit
+            return jnp.where(hit, val, 0), cache, nbits, wpos, bit
 
-        v0, bit = read_value(vx, bit)
-        v1, bit = read_value(vy, bit)
-        write = hit
-        out = out.at[jnp.arange(g), jnp.minimum(sample, 574)].set(
-            jnp.where(write, v0, out[jnp.arange(g), jnp.minimum(sample, 574)]))
-        out = out.at[jnp.arange(g), jnp.minimum(sample + 1, 575)].set(
-            jnp.where(write, v1,
-                      out[jnp.arange(g), jnp.minimum(sample + 1, 575)]))
-        return bit, out
+        v0, cache, nbits, wpos, bit = read_value(vx, cache, nbits, wpos, bit)
+        v1, cache, nbits, wpos, bit = read_value(vy, cache, nbits, wpos, bit)
+        out = out.at[rows, jnp.minimum(sample, 574)].set(
+            jnp.where(hit, v0, out[rows, jnp.minimum(sample, 574)]))
+        out = out.at[rows, jnp.minimum(sample + 1, 575)].set(
+            jnp.where(hit, v1, out[rows, jnp.minimum(sample + 1, 575)]))
+        return cache, nbits, wpos, bit, out
 
-    def pair_step(j, state):
-        bit, out = state
+    def pair_step(j, st):
         for u in range(_UNROLL):
-            bit, out = one_pair(j * _UNROLL + u, bit, out)
-        return bit, out
+            st = one_pair(j * _UNROLL + u, st)
+        return st
 
-    bit, out = jax.lax.fori_loop(0, 288 // _UNROLL, pair_step,
-                                 (start_bit, out0))
+    st = jax.lax.fori_loop(0, 288 // _UNROLL, pair_step,
+                           (cache0, nbits0, wpos0, start_bit, out0))
+    cache, nbits, wpos, bit, out = st
 
     # ---------------- phase 2: count1 quads; each lane has its own sample
     # cursor (= big2 + 4*q) and stops at max_bit or sample+4 >= 576
-    def one_quad(q, bit, out):
+    def one_quad(q, st):
+        cache, nbits, wpos, bit, out = st
+        cache, nbits, wpos = _refill(words, cache, nbits, wpos)
         sample = big2 + 4 * q
         active = (bit < max_bit) & (sample + 4 < 576)
 
         use_b = c1sel == 1
-        bsv = _peek2(words, bit, 4)
+        bsv = _peek(cache, 4)
         vals_b = jnp.stack([1 - ((bsv >> 3) & 1), 1 - ((bsv >> 2) & 1),
                             1 - ((bsv >> 1) & 1), 1 - (bsv & 1)], axis=-1)
-        qidx = _peek2(words, bit, 6)
+        qidx = _peek(cache, 6)
         qpacked = quad_lut[qidx]
         qsize = qpacked & 31
         p = qpacked >> 5
         vals_a = jnp.stack([(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1],
                            axis=-1)
         vals = jnp.where(use_b[..., None], vals_b, vals_a)
-        bit = jnp.where(active, bit + jnp.where(use_b, 4, qsize), bit)
+        cache, nbits, bit = _consume(
+            cache, nbits, bit,
+            jnp.where(active, jnp.where(use_b, 4, qsize), 0))
 
-        def sign_one(i, st):
-            bit, vals = st
+        # up to 4 sign bits off the (just-refilled, > 32-bit) cache
+        def sign_one(i, st2):
+            cache, nbits, bit, vals = st2
             v = vals[:, i]
             signed = active & (v > 0)
-            neg = jnp.where(signed, _peek2(words, bit, 1), 0)
-            bit = jnp.where(signed, bit + 1, bit)
+            neg = jnp.where(signed, _peek(cache, 1), 0)
+            cache, nbits, bit = _consume(cache, nbits, bit,
+                                         jnp.where(signed, 1, 0))
             vals = vals.at[:, i].set(jnp.where(neg > 0, -v, v))
-            return bit, vals
+            return cache, nbits, bit, vals
 
-        bit, vals = jax.lax.fori_loop(0, 4, sign_one, (bit, vals))
-        rows = jnp.arange(g)
+        cache, nbits, bit, vals = jax.lax.fori_loop(
+            0, 4, sign_one, (cache, nbits, bit, vals))
         for i in range(4):
             pos = jnp.minimum(sample + i, 575)
             out = out.at[rows, pos].set(
                 jnp.where(active, vals[:, i], out[rows, pos]))
-        return bit, out
+        return cache, nbits, wpos, bit, out
 
-    def quad_step(j, state):
-        bit, out = state
+    def quad_step(j, st):
         for u in range(_UNROLL):
-            bit, out = one_quad(j * _UNROLL + u, bit, out)
-        return bit, out
+            st = one_quad(j * _UNROLL + u, st)
+        return st
 
-    bit, out = jax.lax.fori_loop(0, 144 // _UNROLL, quad_step, (bit, out))
-    return out
+    st = jax.lax.fori_loop(0, 144 // _UNROLL, quad_step,
+                           (cache, nbits, wpos, bit, out))
+    return st[4]
 
 
 # ----------------------------------------------------------------- host glue
