@@ -186,6 +186,39 @@ def test_lsf_facade_decode(tmp_path):
     assert n_samples == enc._num_frames() * 576
 
 
+def test_lsf_parse_robust_to_corruption():
+    """Mutated/truncated/spliced LSF streams must parse cleanly or raise
+    ValueError (the explanatory rejection) — never crash or hang."""
+    rng = np.random.default_rng(42)
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    base = bytearray(enc.out_buffer)
+    for trial in range(40):
+        data = bytearray(base)
+        kind = trial % 4
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 30))):
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256))
+        elif kind == 1:
+            data = data[:int(rng.integers(4, len(data)))]
+        elif kind == 2:
+            data = bytearray(rng.integers(
+                0, 256, int(rng.integers(8, 4000)),
+                dtype=np.uint8).tobytes())
+            data[0:2] = b"\xff\xf3"
+        else:
+            cut = int(rng.integers(0, len(data)))
+            data = data[cut:] + data[:cut]
+        try:
+            p = dh.parse_mp3(bytes(data), 0)
+            if p.num_frames > 0:
+                dp.decode_pcm(p, "float64")
+        except ValueError:
+            pass
+
+
 def test_lsf_hide_reveal_roundtrip():
     """The steganography channel works on compliant LSF streams end to end:
     embed through the (version-agnostic) engines, extract through the LSF
