@@ -117,6 +117,41 @@ def frame_size_of(h: FrameHeader) -> int:
     return size
 
 
+def walk_frames(file_data: bytes, offset: int):
+    """The frame sync walk shared by the python parser and the streaming
+    decoder (MP3_Parser.py:21-52 semantics): returns (frames, end_byte,
+    first_header, duplicate_last_pcm) where frames entries are
+    (byte_offset, header, size, prev_sizes snapshot). Stops cleanly on
+    truncation (< 4 header bytes), malformed sizes, or a bad sync (which
+    sets the reference's stale-PCM duplication quirk)."""
+    n = len(file_data)
+    if (offset + HEADER_SIZE > n or file_data[offset] != 0xFF
+            or file_data[offset + 1] < 0xE0):
+        return [], offset, None, False
+    first_h = parse_header(*file_data[offset:offset + 4])
+    frames = []
+    # pre-loop set_frame_size (MP3_Parser.py:42) seeds the history with fs0
+    # twice
+    prev_hist = [0.0] * NUM_PREV_FRAMES
+    frame_size = frame_size_of(first_h)
+    cur = offset
+    dup = False
+    while n > cur + HEADER_SIZE:
+        if file_data[cur] == 0xFF and file_data[cur + 1] >= 0xE0:
+            h = parse_header(*file_data[cur:cur + 4])
+            prev_hist = [frame_size] + prev_hist[:-1]
+            frame_size = frame_size_of(h)
+            if frame_size <= 0:    # malformed header: stop (matches native)
+                break
+            frames.append((cur, h, frame_size, list(prev_hist)))
+            cur += frame_size
+        else:
+            # MP3_Parser.py:79 appends the stale previous frame's PCM again
+            dup = len(frames) > 0
+            break
+    return frames, cur, first_h, dup
+
+
 # ------------------------------------------------------------------- side info
 
 
@@ -604,7 +639,8 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
     p = ParsedMP3()
     if fcount == 0:
         p.num_frames = 0
-        if offset + 1 < n and data[offset] == 0xFF and data[offset + 1] >= 0xE0:
+        if (offset + HEADER_SIZE <= n and data[offset] == 0xFF
+                and data[offset + 1] >= 0xE0):
             p.header = parse_header(*file_data[offset:offset + 4])
         return p
 
@@ -657,7 +693,8 @@ def parse_mp3(file_data: bytes, offset: int = 0,
     """
     if backend in ("auto", "native"):
         # LSF streams ride the python parser: the C++ twin is MPEG-1-layout
-        if (offset + 1 < len(file_data) and file_data[offset] == 0xFF
+        if (offset + HEADER_SIZE <= len(file_data)
+                and file_data[offset] == 0xFF
                 and file_data[offset + 1] >= 0xE0
                 and parse_header(
                     *file_data[offset:offset + 4]).mpeg_version != 1):
@@ -684,34 +721,12 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
                       progress_cb=None) -> ParsedMP3:
     """Pure-python host pass (fallback + golden-test oracle)."""
     p = ParsedMP3()
-    n = len(file_data)
-    if offset + 1 >= n or file_data[offset] != 0xFF or file_data[offset + 1] < 0xE0:
+    frames, _, first_h, dup = walk_frames(file_data, offset)
+    p.header = first_h
+    p.duplicate_last_pcm = dup
+    if first_h is None:
         p.num_frames = 0
         return p
-
-    first_h = parse_header(*file_data[offset:offset + 4])
-    p.header = first_h
-
-    frames = []       # (offset, header, size, prev_sizes snapshot)
-    # pre-loop set_frame_size (MP3_Parser.py:42) seeds the history with fs0 twice
-    prev_hist = [0.0] * NUM_PREV_FRAMES
-    frame_size = frame_size_of(first_h)
-
-    cur = offset
-    valid = True
-    while valid and n > cur + HEADER_SIZE:
-        if file_data[cur] == 0xFF and file_data[cur + 1] >= 0xE0:
-            h = parse_header(*file_data[cur:cur + 4])
-            prev_hist = [frame_size] + prev_hist[:-1]
-            frame_size = frame_size_of(h)
-            if frame_size <= 0:    # malformed header: stop (matches native)
-                break
-            frames.append((cur, h, frame_size, list(prev_hist)))
-            cur += frame_size
-        else:
-            valid = False
-            # MP3_Parser.py:79 appends the stale previous frame's PCM once more
-            p.duplicate_last_pcm = len(frames) > 0
 
     F = len(frames)
     if F and first_h.mpeg_version != 1:
@@ -777,7 +792,8 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     are rejected explicitly (neither this encoder nor the reference's ever
     emits them)."""
     F = len(frames)
-    if p.duplicate_last_pcm and F <= 2 and len(file_data) > 4 * frames[0][2]:
+    stream_len = len(file_data) - frames[0][0]
+    if p.duplicate_last_pcm and F <= 2 and stream_len > 4 * frames[0][2]:
         # the signature of the reference-parity LSF writer: frames after the
         # first land at half-byte offsets (its side info omits the 2
         # scale_fac_scale/count1table_select bits per granule), so the sync
@@ -859,11 +875,15 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
     """
     p = ParsedMP3()
     n = len(file_data)
-    if offset + 1 >= n or file_data[offset] != 0xFF or file_data[offset + 1] < 0xE0:
+    if (offset + HEADER_SIZE > n or file_data[offset] != 0xFF
+            or file_data[offset + 1] < 0xE0):
         p.num_frames = 0
         return p, []
 
     first_h = parse_header(*file_data[offset:offset + 4])
+    if first_h.mpeg_version != 1:
+        raise ValueError("the device Huffman scan is MPEG-1-only; LSF "
+                         "streams decode through the host parse path")
     p.header = first_h
 
     frames = []

@@ -16,48 +16,24 @@ are all short-range, so a windowed decode is exact:
 
 So each chunk of frames is parsed and decoded with ``_WARMUP`` extra leading
 frames whose output is discarded, and the results are byte-identical to the
-whole-file path (pinned by tests/test_streaming.py). Peak memory is
+whole-file path (pinned by tests/test_streaming.py). MPEG-2/2.5 (LSF)
+streams work too: windows are counted in REAL frames (576 samples each) and
+every window re-derives its own virtual-frame packing. Peak memory is
 O(chunk): ~(chunk+10) * 9.2 kB of parse planes + chunk * 4.6 kB of PCM —
 about 60 MB at the default chunk of 4096 frames (~107 s of 44.1 kHz audio) —
 independent of file length (the input rides an mmap).
 """
 
 import mmap
-import os
-import struct
 
 import numpy as np
 
 from mp3stego_tpu.bitstream import decoder_host as dh
 from mp3stego_tpu.bitstream.id3 import parse_id3
+from mp3stego_tpu.utils.wav import wav_header
 
 # 9 reservoir frames + 1 frame (2 granules) for the plane's overlap/V carries
 _WARMUP = dh.NUM_PREV_FRAMES + 1
-
-
-def _walk_offsets(data, offset: int):
-    """Cheap header walk: byte offset of every frame, stopping exactly where
-    the full parser stops (bad sync mid-stream sets the reference's
-    stale-PCM duplication quirk, MP3_Parser.py:79)."""
-    n = len(data)
-    offsets = []
-    cur = offset
-    first_h = None
-    duplicate_last = False
-    while n > cur + dh.HEADER_SIZE:
-        if data[cur] == 0xFF and data[cur + 1] >= 0xE0:
-            h = dh.parse_header(*bytes(data[cur:cur + 4]))
-            if first_h is None:
-                first_h = h
-            size = dh.frame_size_of(h)
-            if size <= 0:
-                break
-            offsets.append(cur)
-            cur += size
-        else:
-            duplicate_last = len(offsets) > 0
-            break
-    return offsets, cur, first_h, duplicate_last
 
 
 def decode_file_streaming(file_path: str, wav_path: str,
@@ -85,18 +61,21 @@ def decode_file_streaming(file_path: str, wav_path: str,
     id3 = parse_id3(bytes(data[:min(len(data), 1 << 20)]))
     offset = id3.offset if id3.is_valid else 0
 
-    offsets, end_byte, first_h, dup = _walk_offsets(data, offset)
-    total = len(offsets)
+    frames, end_byte, first_h, dup = dh.walk_frames(data, offset)
+    total = len(frames)
     if total == 0:
         raise ValueError(f"{file_path}: no MP3 frames found")
+    offsets = [fr[0] for fr in frames]
     sr = first_h.sampling_rate
     channels = first_h.channels
+    lsf = first_h.mpeg_version != 1
+    spf = first_h.frame_samples            # 1152 (MPEG-1) / 576 (LSF)
 
-    n_samples = (total + (1 if dup else 0)) * 1152
+    n_samples = (total + (1 if dup else 0)) * spf
     bits_out = []
     frames_done = 0
     with open(wav_path, "wb") as out:
-        _write_wav_header(out, sr, channels, n_samples)
+        out.write(wav_header(sr, channels, n_samples * channels * 2))
         f0 = 0
         while f0 < total:
             f1 = min(total, f0 + chunk_frames)
@@ -109,18 +88,15 @@ def decode_file_streaming(file_path: str, wav_path: str,
             window = bytes(data[start:stop])
             p = dh.parse_mp3(window, 0)
             warm = f0 - w0
-            assert p.num_frames == f1 - w0, (p.num_frames, f1 - w0)
+            got = p.lsf_granules if lsf else p.num_frames
+            assert got == f1 - w0, (got, f1 - w0)
             pcm = dp.decode_pcm_i16_host(p)
             if pcm is None:   # no native toolchain: NumPy parity oracle
                 pcm = (dp.decode_pcm(p, "float64") * 32767).astype(np.int16)
             # drop warm-up PCM; the duplication tail only applies on the
             # final window (decode_pcm_i16_host already appended it there)
-            out.write(pcm[warm * 1152:].tobytes())
-            ts = p.table_select[warm:]
-            sub = dh.ParsedMP3()
-            sub.num_frames = ts.shape[0]
-            sub.table_select = ts
-            bits_out.append(dh.stego_bits(sub))
+            out.write(pcm[warm * spf:].tobytes())
+            bits_out.append(_window_stego_bits(p, warm, lsf))
             frames_done = f1
             if progress_cb:
                 progress_cb(frames_done, total)
@@ -131,15 +107,17 @@ def decode_file_streaming(file_path: str, wav_path: str,
                 stego_bits="".join(bits_out))
 
 
-def _write_wav_header(f, rate: int, channels: int, n_samples: int):
-    """The header utils/wav.write_wav emits, with sizes precomputed so PCM
-    chunks can stream straight behind it."""
-    payload = n_samples * channels * 2
-    f.write(b"RIFF")
-    f.write(struct.pack("<I", 36 + payload))
-    f.write(b"WAVE")
-    f.write(b"fmt ")
-    f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate,
-                        rate * channels * 2, channels * 2, 16))
-    f.write(b"data")
-    f.write(struct.pack("<I", payload))
+def _window_stego_bits(p, warm: int, lsf: bool) -> str:
+    """Stego bits of one window's frames past the warm-up, in the same
+    order decoder_host.stego_bits uses for the whole file."""
+    if lsf:
+        # one granule per real frame: temporal (frame, ch, region) order;
+        # side_infos carries the per-REAL-frame fields
+        ts = np.stack([si.table_select[0] for si in p.side_infos[warm:]])
+    else:
+        ts = p.table_select[warm:]
+    sub = dh.ParsedMP3()
+    sub.num_frames = ts.shape[0]
+    sub.lsf_granules = ts.shape[0] if lsf else 0
+    sub.table_select = ts if not lsf else ts[:, None]
+    return dh.stego_bits(sub)

@@ -297,6 +297,14 @@ def dense_raw(prep, xp=np):
         ok = prep["exc_t"] < tt
         flat[idx[ok]] = prep["exc_val"][ok].astype(np.int32)
         return flat.reshape(ch, tt, 576)
+    # padding sentinels must stay out-of-bounds under 32-BIT index math: XLA
+    # on TPU truncates scatter indices to s32, and the raw sentinel
+    # _EXC_PAD_T*576 = 9*2^34 wraps to exactly 0 — which silently zeroed
+    # sample (ch0, granule0, s0) of any batched file with fewer escapes than
+    # the batch max. Clamp dropped entries to 2^31-1 (OOB for any flat plane
+    # below ~6.7 h of audio) so mode="drop" actually drops them.
+    idx = xp.where(prep["exc_t"].astype(xp.int64) < tt, idx,
+                   xp.int64(2**31 - 1))
     flat = flat.at[idx].set(prep["exc_val"].astype(xp.int32), mode="drop")
     return flat.reshape(ch, tt, 576)
 

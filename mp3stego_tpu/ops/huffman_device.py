@@ -44,6 +44,10 @@ from mp3stego_tpu import tables as T
 
 _LUT_BITS = T.LUT_BITS  # 19
 _UNROLL = int(os.environ.get("MP3STEGO_TPU_HUF_UNROLL", "8"))
+if 288 % _UNROLL or 144 % _UNROLL:
+    raise ValueError(
+        f"MP3STEGO_TPU_HUF_UNROLL={_UNROLL} must divide 288 and 144 "
+        "(otherwise the tail symbols of every granule would be dropped)")
 
 
 @functools.lru_cache(maxsize=1)

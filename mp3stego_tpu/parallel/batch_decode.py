@@ -179,16 +179,16 @@ def decode_files_batched(paths: list, mesh: Mesh = None,
 
 def _unpack_chunk(planes: np.ndarray, batch: dict, metas: list) -> list:
     """Trim the padded (files, ch, T, 576) planes back to per-file
-    interleaved PCM (samples, channels)."""
+    interleaved PCM (samples, channels). LSF virtual-frame trimming and the
+    stale-PCM duplication quirk are shared with every other PCM producer
+    (decode_plane._finish_inter)."""
     out = []
     for j, parsed in enumerate(metas):
         t = int(batch["lengths"][j])
         pcm = planes[j, :, :t]
         ch = parsed.header.channels
         inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-        if parsed.duplicate_last_pcm:
-            inter = np.concatenate([inter, inter[-1152:]], axis=0)
-        out.append(inter)
+        out.append(dp._finish_inter(parsed, inter))
     return out
 
 

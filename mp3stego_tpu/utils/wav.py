@@ -14,24 +14,26 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+def wav_header(rate: int, channels: int, payload_bytes: int,
+               bits: int = 16) -> bytes:
+    """The 44-byte PCM WAV header (scipy.io.wavfile layout) for a payload of
+    known size — shared by write_wav and the streaming decoder."""
+    block_align = channels * (bits // 8)
+    return (b"RIFF" + struct.pack("<I", 36 + payload_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * block_align, block_align, bits)
+            + b"data" + struct.pack("<I", payload_bytes))
+
+
 def write_wav(path: str, rate: int, data: np.ndarray):
     """Minimal PCM WAV writer, byte-identical to scipy.io.wavfile.write for
     int16 input."""
     data = np.asarray(data)
     channels = 1 if data.ndim == 1 else data.shape[1]
-    bits = data.dtype.itemsize * 8
-    block_align = channels * (bits // 8)
-    byte_rate = rate * block_align
     payload = data.tobytes()
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(payload)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
-                            block_align, bits))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(payload)))
+        f.write(wav_header(rate, channels, len(payload),
+                           bits=data.dtype.itemsize * 8))
         f.write(payload)
 
 

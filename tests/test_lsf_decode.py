@@ -186,6 +186,52 @@ def test_lsf_facade_decode(tmp_path):
     assert n_samples == enc._num_frames() * 576
 
 
+def test_lsf_batched_device_path_matches_host(tmp_path, monkeypatch):
+    """The batched device decode path must apply the LSF virtual-frame trim
+    and 576-sample duplication exactly like the per-file paths (regression:
+    _unpack_chunk used to leak the pad granule and append 1152 samples)."""
+    from mp3stego_tpu.parallel import decode_files_batched
+
+    w, _ = _wav(22050, 64, secs=1.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    mp3 = tmp_path / "lsf.mp3"
+    # enough trailing junk to survive the final frame's size overhang
+    mp3.write_bytes(bytes(enc.out_buffer) + b"\x00\x11\x22\x33" * 4)  # dup
+    p = dh.parse_mp3(mp3.read_bytes(), 0)
+    assert p.duplicate_last_pcm and p.lsf_granules % 2 == 1  # odd: pad slot
+    ref = dp.decode_pcm_i16(p)   # per-file float32 path (same plane)
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_HOST_G", "0")   # force device
+    outs = decode_files_batched([str(mp3)] * 2, out="int16")
+    for o in outs:
+        assert o.shape == ref.shape
+        np.testing.assert_array_equal(o, ref)
+
+
+def test_lsf_streaming_matches_whole_file(tmp_path):
+    """Streaming decode of an LSF stream (regression: it asserted on the
+    virtual-frame count and sliced warm-up PCM at 1152 samples/frame)."""
+    from mp3stego_tpu.models.streaming import decode_file_streaming
+    from mp3stego_tpu.utils.wav import write_wav
+
+    w, _ = _wav(22050, 64, secs=2.0)
+    enc = MP3Encoder(w, lsf_compliant=True)
+    enc.encode(quiet=True)
+    mp3 = tmp_path / "lsf.mp3"
+    mp3.write_bytes(bytes(enc.out_buffer))
+    p = dh.parse_mp3(mp3.read_bytes(), 0)
+    pcm = dp.decode_pcm_i16_host(p)
+    if pcm is None:
+        pcm = (dp.decode_pcm(p, "float64") * 32767).astype(np.int16)
+    ref_wav = tmp_path / "ref.wav"
+    write_wav(str(ref_wav), 22050, pcm)
+    out_wav = tmp_path / "s.wav"
+    info = decode_file_streaming(str(mp3), str(out_wav), chunk_frames=30)
+    assert info["num_frames"] == p.lsf_granules
+    assert out_wav.read_bytes() == ref_wav.read_bytes()
+    assert info["stego_bits"] == dh.stego_bits(p)
+
+
 def test_lsf_parse_robust_to_corruption():
     """Mutated/truncated/spliced LSF streams must parse cleanly or raise
     ValueError (the explanatory rejection) — never crash or hang."""

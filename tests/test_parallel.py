@@ -91,6 +91,37 @@ def test_batched_pipelined_chunks_match_single_shot(parsed, fixture_mp3,
         np.testing.assert_array_equal(a, b)
 
 
+def test_batched_mono_files_slim_fetch(tmp_path, monkeypatch):
+    """An all-mono batch decodes through the device path with the dead
+    channel sliced off ON DEVICE before the fetch (slim), and still matches
+    the per-file decode exactly."""
+    from mp3stego_tpu.models.encoder import MP3Encoder
+    from mp3stego_tpu.utils.wav import WavFile
+
+    rng = np.random.default_rng(3)
+    sr = 44100
+    t = np.arange(sr)   # 1 s
+    sig = 0.4 * np.sin(2 * np.pi * 330 * t / sr) + 0.05 * rng.standard_normal(sr)
+    pcm = np.clip(sig * 20000, -32768, 32767).astype(np.int16)
+    w = WavFile(file_path="mono.wav", bitrate=128, num_of_channels=1,
+                samplerate=sr, bits_per_sample=16, num_of_samples=len(pcm),
+                mpeg_mode=3, buffer=pcm)
+    enc = MP3Encoder(w)
+    enc.encode(quiet=True)
+    mp3 = tmp_path / "mono.mp3"
+    mp3.write_bytes(bytes(enc.out_buffer))
+    p = dh.parse_mp3(mp3.read_bytes(), 0)
+    assert p.header.channels == 1
+    ref = dp.decode_pcm_i16(p)          # per-file float32 plane
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_HOST_G", "0")   # force device
+    for chunk in ("0", "2"):            # single-shot AND pipelined
+        monkeypatch.setenv("MP3STEGO_TPU_BATCH_CHUNK_FILES", chunk)
+        outs = decode_files_batched([str(mp3)] * 3, out="int16")
+        for o in outs:
+            assert o.shape == ref.shape == (p.num_frames * 1152, 1)
+            np.testing.assert_array_equal(o, ref)
+
+
 def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
     """Files of different lengths batch correctly through padding."""
     with open(fixture_mp3, "rb") as f:
@@ -120,6 +151,20 @@ def test_prepare_batch_padding(parsed):
     assert batch["raw_i8"].shape[0] == 2
     assert batch["raw_i8"].shape[2] == t_full
     assert list(batch["lengths"]) == [t_full, 10]
+    # the padded exception slots must scatter to an index that is STILL
+    # out-of-bounds after XLA:TPU truncates scatter indices to s32 — the raw
+    # sentinel _EXC_PAD_T*576 wraps to exactly 0 mod 2^32 and used to zero
+    # sample (ch0, g0, s0) of every under-full file in the batch
+    for j in range(2):
+        tt = batch["raw_i8"].shape[2]
+        idx = ((batch["exc_ch"][j].astype(np.int64) * tt
+                + batch["exc_t"][j].astype(np.int64)) * 576
+               + batch["exc_s"][j].astype(np.int64))
+        idx = np.where(batch["exc_t"][j].astype(np.int64) < tt,
+                       idx, np.int64(2**31 - 1))
+        pad = batch["exc_t"][j] >= tt
+        assert idx.max() < 2**31            # no s32 wraparound possible
+        assert (idx[pad] >= 2 * tt * 576).all()   # padding stays OOB
 
 
 def test_batched_decode_error_isolation(fixture_mp3, tmp_path):
