@@ -220,9 +220,15 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
         return prepare_batch([dp.host_prepare(m) for m in ms],
                              t_pad_to=t_bucket)
 
+    def slim(dev, ms):
+        # all-mono chunk: drop the dead channel ON DEVICE before the fetch
+        # (halves the d2h bytes — the link is this path's binding resource)
+        return dev[:, :1] if all(m.header.channels == 1 for m in ms) else dev
+
     if chunk_files <= 0 or len(metas) <= chunk_files:
         batch = prep(metas)
-        dev = decode_batch_device(batch, mesh, dtype, to_i16=to_i16)
+        dev = slim(decode_batch_device(batch, mesh, dtype, to_i16=to_i16),
+                   metas)
         return _unpack_chunk(fetch_pieces([dev])[0], batch, metas)
 
     chunks = [metas[i:i + chunk_files]
@@ -230,10 +236,21 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
     outs = []
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(prep, chunks[0])
+        pending = None   # (dev ref, batch, metas) — dispatched, not fetched
         for k, ms in enumerate(chunks):
             batch = fut.result()
             if k + 1 < len(chunks):
                 fut = pool.submit(prep, chunks[k + 1])
-            dev = decode_batch_device(batch, mesh, dtype, to_i16=to_i16)
-            outs.extend(_unpack_chunk(fetch_pieces([dev])[0], batch, ms))
+            # dispatch chunk k BEFORE fetching chunk k-1: jax dispatch is
+            # async, so chunk k's upload+compute runs on the device while the
+            # host link drains chunk k-1's PCM (two-deep software pipeline:
+            # prep(k+1) ∥ compute(k) ∥ fetch(k-1))
+            dev = slim(decode_batch_device(batch, mesh, dtype, to_i16=to_i16),
+                       ms)
+            if pending is not None:
+                outs.extend(_unpack_chunk(fetch_pieces([pending[0]])[0],
+                                          pending[1], pending[2]))
+            pending = (dev, batch, ms)
+        outs.extend(_unpack_chunk(fetch_pieces([pending[0]])[0],
+                                  pending[1], pending[2]))
     return outs
