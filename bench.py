@@ -285,15 +285,24 @@ def bench_decode_streaming():
     wav = _synth_wav("/tmp/bench_30min.wav", 1800.0, 44100, 9)
     mp3 = _mp3_of(wav, "/tmp/bench_30min.mp3", 128)
     code = (
-        "import json, resource, sys, time\n"
+        # peak RSS via /proc/self/status VmHWM: ru_maxrss lives in the
+        # kernel's signal_struct and SURVIVES fork+exec, so a subprocess of
+        # this (JAX-heavy) bench inherits the parent's multi-GB peak; VmHWM
+        # is per-mm and resets on exec, measuring only this process.
+        "import json, sys, time\n"
+        "def hwm():\n"
+        "    with open('/proc/self/status') as f:\n"
+        "        for ln in f:\n"
+        "            if ln.startswith('VmHWM:'): return int(ln.split()[1])\n"
+        "    return 0\n"
         f"sys.path.insert(0, {REPO!r})\n"
         "from mp3stego_tpu.models.streaming import decode_file_streaming\n"
         "from mp3stego_tpu.ops import decode_plane  # import-only baseline\n"
-        "base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss\n"
+        "base = hwm()\n"
         "t0 = time.time()\n"
         f"info = decode_file_streaming({mp3!r}, '/tmp/bench_30min_out.wav')\n"
         "dt = time.time() - t0\n"
-        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss\n"
+        "rss = hwm()\n"
         "print(json.dumps({'dt': dt, 'rss_mb': rss / 1024,\n"
         "                  'delta_mb': (rss - base) / 1024,\n"
         "                  'frames': info['num_frames']}))\n")
