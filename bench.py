@@ -142,13 +142,23 @@ def bench_decode_fixture_batch():
     total_g = parsed.num_frames * 2 * N_FILES
     calibrate.refresh_device_rates(device_gps=total_g * rt_comp / audio)
 
-    # roofline split of one non-pipelined device pass
+    # Roofline split of one non-pipelined device pass. Two tunnel gotchas
+    # shape this: (a) the warm pass must include a FETCH (the process's
+    # first d2h stalls for seconds), and (b) jax.block_until_ready returns
+    # without a device round trip on the tunneled backend, so the
+    # h2d+compute boundary is taken with a 1-element sync fetch (waits for
+    # the whole program, transfers 2 bytes) instead. The warm pass also
+    # compiles the single-shot 64-file i16 program, whose shape differs
+    # from the chunked pipeline runs above.
+    warm = prepare_batch([dp.host_prepare(dh.parse_mp3(data, 0))
+                          for _ in range(N_FILES)])
+    fetch_pieces([decode_batch_device(warm, None, "float32", to_i16=True)])
     t0 = time.time()
     preps = [dp.host_prepare(dh.parse_mp3(data, 0)) for _ in range(N_FILES)]
     batch = prepare_batch(preps)
     t1 = time.time()
     dev = decode_batch_device(batch, None, "float32", to_i16=True)
-    jax.block_until_ready(dev)
+    np.asarray(dev[0, 0, 0, 0])   # sync: whole program done, 2-byte fetch
     t2 = time.time()
     pcm = fetch_pieces([dev])[0]
     t3 = time.time()
