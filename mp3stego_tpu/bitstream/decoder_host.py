@@ -582,6 +582,13 @@ class ParsedMP3:
     # lsf_granules*576 samples and the duplication quirk appends 576.
     lsf_granules: int = 0
     side_infos: list = field(default_factory=list)
+    # Xing/Info/VBRI tag frame (bitstream/vbr.py): the tag's stream stats,
+    # and whether PCM consumers should drop frame 0's silence (default when
+    # a tag is present; MP3STEGO_TPU_KEEP_TAG_FRAME=1 keeps reference
+    # behavior). The tag frame stays in the parse: it seeds the bit
+    # reservoir and the synthesis carries exactly like any first frame.
+    vbr_tag: object = None
+    skip_first_pcm: bool = False
 
 
 import functools
@@ -691,6 +698,26 @@ def parse_mp3(file_data: bytes, offset: int = 0,
     ``progress_cb(n_bytes)``: byte-progress hook (the reference's tqdm bar over
     bytes decoded, MP3_Parser.py:67); the native parser reports once at the end.
     """
+    return _attach_vbr_tag(
+        _parse_mp3_engine(file_data, offset, backend, progress_cb),
+        file_data, offset)
+
+
+def _attach_vbr_tag(p: "ParsedMP3", file_data: bytes, offset: int):
+    """Detect a Xing/Info/VBRI tag frame at the stream head and mark the
+    parse (bitstream/vbr.py). The tag frame stays in the parse planes; PCM
+    consumers (_finish_inter) drop its silence unless the keep flag is set."""
+    if p.num_frames > 0:
+        from mp3stego_tpu.bitstream import vbr
+        tag = vbr.parse_vbr_tag(file_data, offset)
+        if tag is not None:
+            p.vbr_tag = tag
+            p.skip_first_pcm = not vbr.keep_tag_frame()
+    return p
+
+
+def _parse_mp3_engine(file_data: bytes, offset: int, backend,
+                      progress_cb) -> "ParsedMP3":
     if backend in ("auto", "native"):
         # LSF streams ride the python parser: the C++ twin is MPEG-1-layout
         if (offset + HEADER_SIZE <= len(file_data)
@@ -907,6 +934,7 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
     p.num_frames = F
     if F == 0:
         return p, []
+    _attach_vbr_tag(p, file_data, offset)
     z = lambda *s: np.zeros(s, dtype=np.int32)  # noqa: E731
     p.frame_sizes = np.array([f[2] for f in frames], dtype=np.int64)
     p.raw_samples = np.zeros((F, 2, 2, 576), dtype=np.int32)

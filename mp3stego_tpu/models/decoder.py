@@ -146,6 +146,8 @@ class Decoder:
         if not quiet:
             print('\nParsed', parsed.num_frames, 'frames in', parsing_time,
                   'seconds.')
+            if parsed.vbr_tag is not None:
+                self.__write_vbr_metadata(parsed)
 
         with timer.stage("wav write"):
             write_wav(self.__output_file_path, parsed.header.sampling_rate,
@@ -160,7 +162,39 @@ class Decoder:
                 sys.exit("txt_file_path must be txt file.")
             self.__write_revealed(txt_file_path)
 
-        return parsed.header.bit_rate // 1000
+        # Xing/VBRI-tagged stream: the first header's rate is the tag
+        # frame's (meaningless) one — report the tag-derived average,
+        # rounded to a valid Layer III rate so hide/clear can re-encode at
+        # it. Untagged streams keep exact reference behavior.
+        kbps = parsed.header.bit_rate // 1000
+        if parsed.skip_first_pcm and parsed.vbr_tag is not None:
+            from mp3stego_tpu.bitstream import vbr
+            kbps = vbr.avg_bitrate_kbps(parsed.vbr_tag,
+                                        parsed.header) or kbps
+        return kbps
+
+    def __write_vbr_metadata(self, parsed):
+        """Append the tag frame's stream statistics to METADATA.txt
+        (superset of the reference's ID3-only dump; only ever written for
+        tagged streams, which the reference mis-decodes as audio)."""
+        from mp3stego_tpu.bitstream import vbr
+        tag = parsed.vbr_tag
+        mode = "a" if os.path.exists('METADATA.txt') else "w"
+        with open('METADATA.txt', mode) as f:
+            f.write(f'\nVBR TAG ({tag.kind.upper()}) FOR FILE: '
+                    f'{self.__file_path}\n')
+            f.write('################################\n\n')
+            if tag.frames is not None:
+                f.write(f'Frames: {tag.frames}\n')
+            if tag.stream_bytes is not None:
+                f.write(f'Stream bytes: {tag.stream_bytes}\n')
+            avg = vbr.avg_bitrate_kbps(tag, parsed.header)
+            if avg is not None:
+                f.write(f'Average bitrate: {avg} kbps\n')
+            if tag.quality is not None:
+                f.write(f'Quality: {tag.quality}\n')
+            if tag.toc is not None:
+                f.write(f'Seek TOC entries: {len(tag.toc)}\n')
 
     def __write_revealed(self, txt_file_path: str):
         """'len#message' framing parse (decoder/decoder.py:90-108, quirks and all)."""

@@ -71,7 +71,13 @@ def decode_file_streaming(file_path: str, wav_path: str,
     lsf = first_h.mpeg_version != 1
     spf = first_h.frame_samples            # 1152 (MPEG-1) / 576 (LSF)
 
-    n_samples = (total + (1 if dup else 0)) * spf
+    # Xing/Info/VBRI tag frame: window 0's parse drops its silence inside
+    # _finish_inter; the WAV header must account for it up front
+    from mp3stego_tpu.bitstream import vbr
+    tag = vbr.parse_vbr_tag(bytes(data[offset:offset + frames[0][2]]), 0)
+    skip = 1 if (tag is not None and not vbr.keep_tag_frame()) else 0
+
+    n_samples = (total - skip + (1 if dup else 0)) * spf
     bits_out = []
     frames_done = 0
     with open(wav_path, "wb") as out:
@@ -94,8 +100,12 @@ def decode_file_streaming(file_path: str, wav_path: str,
             if pcm is None:   # no native toolchain: NumPy parity oracle
                 pcm = (dp.decode_pcm(p, "float64") * 32767).astype(np.int16)
             # drop warm-up PCM; the duplication tail only applies on the
-            # final window (decode_pcm_i16_host already appended it there)
-            out.write(pcm[warm * spf:].tobytes())
+            # final window (decode_pcm_i16_host already appended it there).
+            # Any window that starts at frame 0 of a tagged stream re-parses
+            # the tag frame, and _finish_inter already dropped its samples —
+            # one warm-up frame fewer to trim here.
+            trim = max(0, warm - (1 if p.skip_first_pcm else 0))
+            out.write(pcm[trim * spf:].tobytes())
             bits_out.append(_window_stego_bits(p, warm, lsf))
             frames_done = f1
             if progress_cb:
@@ -103,7 +113,10 @@ def decode_file_streaming(file_path: str, wav_path: str,
             f0 = f1
     if isinstance(data, mmap.mmap):
         data.close()
-    return dict(bitrate=first_h.bit_rate // 1000, num_frames=total,
+    kbps = first_h.bit_rate // 1000
+    if skip:
+        kbps = vbr.avg_bitrate_kbps(tag, first_h) or kbps
+    return dict(bitrate=kbps, num_frames=total,
                 stego_bits="".join(bits_out))
 
 

@@ -603,14 +603,17 @@ def decode_granules_f64_native(p) -> "np.ndarray | None":
 
 
 def _finish_inter(p, inter: np.ndarray) -> np.ndarray:
-    """Trim virtual-frame padding (LSF) and apply the stale-PCM duplication
-    quirk (MP3_Parser.py:79; one real frame = 576 samples for LSF)."""
+    """Trim virtual-frame padding (LSF), apply the stale-PCM duplication
+    quirk (MP3_Parser.py:79; one real frame = 576 samples for LSF), and drop
+    a Xing/Info/VBRI tag frame's silence (bitstream/vbr.py) — the single
+    finishing step shared by every PCM producer."""
+    spf = 576 if p.lsf_granules else 1152
     if p.lsf_granules:
         inter = inter[:p.lsf_granules * 576]
-        if p.duplicate_last_pcm:
-            inter = np.concatenate([inter, inter[-576:]], axis=0)
-    elif p.duplicate_last_pcm:
-        inter = np.concatenate([inter, inter[-1152:]], axis=0)
+    if p.duplicate_last_pcm:
+        inter = np.concatenate([inter, inter[-spf:]], axis=0)
+    if p.skip_first_pcm:
+        inter = inter[spf:]
     return inter
 
 

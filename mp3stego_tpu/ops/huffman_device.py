@@ -320,10 +320,8 @@ def decode_pcm_i16_device(file_data: bytes, offset: int = 0):
         .reshape(2, t_pad, 576)[:, :t]
     ch = parsed.header.channels
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-    if parsed.duplicate_last_pcm:
-        inter = np.concatenate([inter, inter[-1152:]], axis=0)
     _ = jax
-    return inter, parsed
+    return dp._finish_inter(parsed, inter), parsed
 
 
 def decode_pcm_device(file_data: bytes, offset: int = 0):
@@ -346,6 +344,4 @@ def decode_pcm_device(file_data: bytes, offset: int = 0):
     ch = parsed.header.channels
     t = pcm.shape[1]
     inter = pcm[:ch].transpose(1, 2, 0).reshape(t * 576, ch)
-    if parsed.duplicate_last_pcm:
-        inter = np.concatenate([inter, inter[-1152:]], axis=0)
-    return inter, parsed
+    return dp._finish_inter(parsed, inter), parsed

@@ -27,6 +27,8 @@ PAGES = [
     ]),
     ("decoder", "Decoder", [
         ("class", "mp3stego_tpu.models.decoder.Decoder", None),
+        ("func", "mp3stego_tpu.models.streaming.decode_file_streaming", None),
+        ("module", "mp3stego_tpu.bitstream.vbr", None),
     ]),
     ("encoder", "Encoder", [
         ("class", "mp3stego_tpu.models.encoder.Encoder", None),
