@@ -37,6 +37,9 @@ def main(argv=None):
                    help="MPEG-2/2.5 only: write spec-valid ISO 13818-3 side "
                         "info instead of the reference-identical layout "
                         "(which is misaligned and undecodable)")
+    e.add_argument("--vbr", action="store_true",
+                   help="constant-quality VBR with --bitrate as the target "
+                        "average (Xing tag written; beyond the reference)")
 
     h = sub.add_parser("hide", help="hide a message in an MP3")
     h.add_argument("input"), h.add_argument("output"), h.add_argument("message")
@@ -80,8 +83,10 @@ def main(argv=None):
     elif args.op == "encode":
         if args.lsf_compliant:
             os.environ["MP3STEGO_TPU_LSF_COMPLIANT"] = "1"
-        s.encode_wav_to_mp3(args.input, args.output, args.bitrate)
-        print(f"encoded at {args.bitrate} kbps -> {args.output}")
+        s.encode_wav_to_mp3(args.input, args.output, args.bitrate,
+                            vbr=args.vbr or None)
+        print(f"encoded at {args.bitrate} kbps"
+              f"{' average (VBR)' if args.vbr else ''} -> {args.output}")
     elif args.op == "hide":
         too_long = s.hide_message(args.input, args.output, args.message)
         print("warning: message truncated (file too short)" if too_long

@@ -159,10 +159,25 @@ class MP3Encoder:
     """
 
     def __init__(self, wav_file: WavFile, hide_str: str = "",
-                 device_search: bool = True, lsf_compliant: bool = None):
+                 device_search: bool = True, lsf_compliant: bool = None,
+                 vbr: bool = False):
         w = wav_file
         self.wav = w
         self.hide_str = hide_str
+        # Constant-quality VBR (beyond the reference, which is CBR-only):
+        # wav_file.bitrate becomes the TARGET AVERAGE rate. A device cost
+        # grid evaluates every granule at all 128 quantizer steps, a global
+        # step is picked whose whole-file cost best matches the target
+        # average, and each frame then gets the smallest standard rate whose
+        # budget clears that step's cost — constant quality, CBR-grade
+        # frames where the audio is simple. The stream carries a Xing tag
+        # (bitstream/vbr.py reads it back). Incompatible with hide_str: the
+        # stego contract is defined on the reference's CBR layout.
+        self.vbr = bool(vbr)
+        if self.vbr and hide_str:
+            raise ValueError("hide is defined on CBR streams only; "
+                             "encode with vbr=False to embed a message")
+        self._vbr_rate_idx = None        # (F,) int32, set by _vbr_framing
         # MPEG-2/2.5 only: write the ISO 13818-3 LSF side info correctly
         # (scale_fac_scale + count1table_select bits, byte-aligned frames)
         # instead of the reference's layout, which omits those 2 bits per
@@ -319,6 +334,9 @@ class MP3Encoder:
                                                      quiet)
                     else:
                         self._encode_plane(num_frames, timer)
+            if self.vbr:
+                self.out_buffer = (bytearray(self._xing_frame(num_frames))
+                                   + self.out_buffer)
             if not quiet:
                 timer.print_report()
             return
@@ -336,6 +354,9 @@ class MP3Encoder:
                         mdct_all.reshape(-1, 576), self.samplerate_index,
                         with_hide=bool(self.hide_str))
                     self._tg = tg
+            if self.vbr:
+                # sets _vbr_rate_idx/_vbr_rates; _encode_frame reads them
+                self._vbr_framing(mdct_all.reshape(-1, 576), num_frames)
 
             with timer.stage("rate control + serialize (host)"):
                 for f in progress(range(num_frames), desc="encoding",
@@ -347,6 +368,9 @@ class MP3Encoder:
                     self.out_buffer += self.bw.take_frame()
                 # final flush (MP3_Encoder.py:616-618)
                 self.out_buffer += self.bw.take_frame()
+        if self.vbr:
+            self.out_buffer = (bytearray(self._xing_frame(num_frames))
+                               + self.out_buffer)
         if not quiet:
             timer.print_report()
 
@@ -370,7 +394,7 @@ class MP3Encoder:
             mdct_dev = encode_plane.run_analysis_device(streams, tg)
             xr_dev = mdct_dev.reshape(-1, 576)   # lane g = ch*tg + f*gpf + gr
 
-        paddings, mean_bits_f = self._plane_framing(num_frames)
+        paddings, mean_bits_f = self._framing(xr_dev, num_frames)
         maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
                             Q.MAX_BITS_ALLOWANCE)
         max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
@@ -411,7 +435,7 @@ class MP3Encoder:
                 return False
             xr = np.ascontiguousarray(xr.reshape(-1, 576))
 
-        paddings, mean_bits_f = self._plane_framing(num_frames)
+        paddings, mean_bits_f = self._framing(xr, num_frames)
         maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
                             Q.MAX_BITS_ALLOWANCE)
         max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
@@ -452,6 +476,148 @@ class MP3Encoder:
             mean_bits_f.append(int((bits_per_frame - self.side_info_len)
                                    / self.granules_per_frame))
         return paddings, mean_bits_f
+
+    # ------------------------------------------------------------------ VBR
+
+    def _frame_rate_indices(self, nf: int) -> np.ndarray:
+        """Per-frame header bitrate indices for the serializer: the VBR
+        choice when set, else the constant CBR index."""
+        if self._vbr_rate_idx is not None:
+            return self._vbr_rate_idx.astype(np.int32)
+        return np.full(nf, self.bitrate_index, np.int32)
+
+    def _vbr_valid_rates(self):
+        """Ascending valid Layer III rates (kbps) for this MPEG version."""
+        from mp3stego_tpu import tables as T
+        return [int(r[self.version]) for r in T.BIT_RATES
+                if int(r[self.version]) > 0]
+
+    def _vbr_slots(self, rate_kbps: int) -> int:
+        """Whole slots per frame at ``rate_kbps`` (padding-free VBR frame)."""
+        return int((self.granules_per_frame * 576.0 / self.wav.samplerate)
+                   * (1000.0 * rate_kbps / self.bits_per_slot))
+
+    def _vbr_framing(self, xr: np.ndarray, num_frames: int):
+        """Constant-quality VBR framing (beyond the reference, CBR-only).
+
+        The device cost grid (ops/quant_batch.cost_all_steps) prices every
+        granule at all 128 quantizer steps in one batched program. A single
+        global step s* is chosen whose whole-file slot total best matches
+        the target-average rate (``wav.bitrate``), then each frame gets the
+        smallest standard rate whose per-cell budget clears that step's cost
+        — constant quality across the file, with quiet frames dropping to
+        cheap rates and dense frames rising toward 320. Frames use
+        padding=0 (size fully determined by their own header). Returns
+        (paddings, mean_bits_f) and records the per-frame header indices in
+        ``self._vbr_rate_idx``.
+        """
+        from mp3stego_tpu.ops import quant_batch as QB
+
+        gpf = self.granules_per_frame
+        nch = self.wav.num_of_channels
+        tg = num_frames * gpf
+        cost = self._cost if (self._cost is not None and self._tg == tg) \
+            else QB.cost_all_steps(np.ascontiguousarray(
+                np.asarray(xr).reshape(-1, 576)), self.samplerate_index)
+
+        # usable (lane, step): quantization representable (the search's own
+        # ixmax <= 8192 gate); unusable cells price as +inf so the frame
+        # escalates to a higher rate or the search's fallback
+        big = np.int64(1) << 20
+        bits = np.where(cost["bail"] | (cost["ixmax"] > Q.MAX_QUANTIZE_STEP),
+                        big, cost["bits_total"].astype(np.int64))
+        # lane layout ch*tg + f*gpf + gr -> per-(frame, step) binding cell
+        need = bits.reshape(nch, num_frames, gpf, -1).max(axis=(0, 2))
+
+        rates = self._vbr_valid_rates()
+        slots = np.array([self._vbr_slots(r) for r in rates], np.int64)
+        budgets = np.array(
+            [min(int((8 * s - self.side_info_len) / gpf) // nch,
+                 Q.MAX_BITS_ALLOWANCE) for s in slots], np.int64)
+        # budgets are ascending with rate; smallest rate covering the need
+        ridx = np.searchsorted(budgets, need)            # (F, S)
+        ridx = np.minimum(ridx, len(rates) - 1)
+        total = slots[ridx].sum(axis=0)                  # (S,) whole-file
+
+        target = num_frames * (gpf * 576.0 / self.wav.samplerate) * (
+            1000.0 * self.bitrate / self.bits_per_slot)
+        s_star = int(np.argmin(np.abs(total - target)))
+        self._vbr_step = s_star
+        chosen = ridx[:, s_star]                         # (F,) rate index
+        self._vbr_rate_idx = np.array(
+            [_find_bitrate_index(rates[i], self.version) for i in
+             range(len(rates))], np.int32)[chosen]
+        self._vbr_rates = np.asarray(rates, np.int64)[chosen]
+        mean_bits_f = [int((8 * int(slots[i]) - self.side_info_len) / gpf)
+                       for i in chosen]
+        return [0] * num_frames, mean_bits_f
+
+    def _framing(self, xr, num_frames: int):
+        """Engine-facing framing: VBR when requested, else the reference's
+        CBR padding/slot-lag machinery."""
+        if self.vbr:
+            return self._vbr_framing(xr, num_frames)
+        return self._plane_framing(num_frames)
+
+    def _xing_frame(self, num_frames: int) -> bytes:
+        """Build the Xing tag frame for a VBR stream (bitstream/vbr.py is
+        the reader): fourcc + flags + frames + bytes + 100-point TOC +
+        quality, inside the smallest valid silent frame that fits it."""
+        from mp3stego_tpu.bitstream.bits import BitWriter
+
+        si = 32 if (self.version == 3 and self.wav.num_of_channels == 2) \
+            else 17 if (self.version == 3
+                        or self.wav.num_of_channels == 2) else 9
+        payload = 4 + 4 + 4 + 4 + 100 + 4     # fourcc/flags/frames/bytes/toc/q
+        rates = self._vbr_valid_rates()
+        tag_rate = next((r for r in rates
+                         if self._vbr_slots(r) >= 4 + si + payload),
+                        rates[-1])
+        size = self._vbr_slots(tag_rate)
+
+        bw = BitWriter()
+        bw.put(0x7FF, 11)
+        bw.put(self.version, 2)
+        bw.put(self.layer, 2)
+        bw.put(0 if self.crc else 1, 1)
+        bw.put(_find_bitrate_index(tag_rate, self.version), 4)
+        bw.put(self.samplerate_index % 3, 2)
+        bw.put(0, 1)                          # padding
+        bw.put(self.ext, 1)
+        bw.put(self.mode, 2)
+        bw.put(self.mode_ext, 2)
+        bw.put(self.copyright, 1)
+        bw.put(self.original, 1)
+        bw.put(self.emphasis, 2)
+        head = bytes(bw.take_frame())
+        assert len(head) == 4
+
+        # a Layer III slot is one byte: frame bytes == slots (padding-free).
+        # The byte count comes from the buffer, not the slot sum: the final
+        # flush drops residual cache bits (reference quirk), so the last
+        # frame on disk can be up to 3 bytes short.
+        frame_sizes = np.asarray(
+            [self._vbr_slots(int(r)) for r in self._vbr_rates], np.int64)
+        total_bytes = size + len(self.out_buffer)
+        # 100-point TOC: byte offset (scaled to 0..255) of the frame at each
+        # percent of stream time
+        starts = size + np.concatenate([[0], np.cumsum(frame_sizes)[:-1]])
+        pick = (np.arange(100, dtype=np.int64) * num_frames) // 100
+        toc = np.minimum(255, (256 * starts[pick]) // total_bytes) \
+            .astype(np.uint8)
+
+        buf = bytearray(size)
+        buf[0:4] = head
+        pos = 4 + si
+        buf[pos:pos + 4] = b"Xing"
+        import struct as _struct
+        _struct.pack_into(">I", buf, pos + 4, 0xF)          # all fields
+        _struct.pack_into(">I", buf, pos + 8, num_frames)
+        _struct.pack_into(">I", buf, pos + 12, total_bytes)
+        buf[pos + 16:pos + 116] = toc.tobytes()
+        _struct.pack_into(">I", buf, pos + 116,
+                          min(100, int(round(100 * self._vbr_step / 127))))
+        return bytes(buf)
 
     def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int,
                     addr_seed=None, hide_ctx=None) -> int:
@@ -637,6 +803,8 @@ class MP3Encoder:
             patches.setdefault(f_, []).append((ch_, gr_, row))
         for f in range(nf):
             self.padding = int(paddings[f])
+            if self._vbr_rate_idx is not None:
+                self.bitrate_index = int(self._vbr_rate_idx[f])
             if self.version == 3:
                 for ch in range(nch):
                     self.scfsi[ch, :4] = scfsi_f[f, ch]
@@ -719,7 +887,8 @@ class MP3Encoder:
             cache_bits = np.full(1, 32, dtype=np.int32)
         written = lib.mp3_format_frames(
             cache, cache_bits, out, len(out), nf,
-            self.version, self.layer, self.crc, self.bitrate_index,
+            self.version, self.layer, self.crc,
+            np.ascontiguousarray(self._frame_rate_indices(nf)),
             self.samplerate_index % 3,
             np.ascontiguousarray(np.asarray(paddings, np.int32)),
             self.ext, self.mode, self.mode_ext, self.copyright,
@@ -915,10 +1084,19 @@ class MP3Encoder:
     # ------------------------------------------------------------- frame logic
 
     def _encode_frame(self, mdct_frame: np.ndarray):
-        if self.frac_slots_per_frame:
-            self.padding = 1 if self.slot_lag <= (self.frac_slots_per_frame - 1.0) else 0
-            self.slot_lag += self.padding - self.frac_slots_per_frame
-        self.bits_per_frame = 8 * (self.whole_slots_per_frame + self.padding)
+        if self._vbr_rate_idx is not None:
+            # VBR: this frame's size comes from its own chosen rate
+            f = self._frame_idx
+            self.padding = 0
+            self.bitrate_index = int(self._vbr_rate_idx[f])
+            self.bits_per_frame = 8 * self._vbr_slots(int(self._vbr_rates[f]))
+        else:
+            if self.frac_slots_per_frame:
+                self.padding = 1 if self.slot_lag <= (
+                    self.frac_slots_per_frame - 1.0) else 0
+                self.slot_lag += self.padding - self.frac_slots_per_frame
+            self.bits_per_frame = 8 * (self.whole_slots_per_frame
+                                       + self.padding)
         self.mean_bits = int((self.bits_per_frame - self.side_info_len)
                              / self.granules_per_frame)
 
@@ -1549,19 +1727,24 @@ class Encoder:
 
     :param file_path: the wav file path.
     :param output_file_path: the mp3 output file path.
-    :param bitrate: target bitrate in kbps.
+    :param bitrate: target bitrate in kbps (the target AVERAGE when vbr).
     :param hide_str: bit string to embed (empty = no embedding).
+    :param vbr: constant-quality VBR with a Xing tag (beyond the reference;
+        see MP3Encoder); also enabled by MP3STEGO_TPU_VBR=1.
     """
 
     def __init__(self, file_path: str, output_file_path: str, bitrate: int = 320,
-                 hide_str: str = ''):
+                 hide_str: str = '', vbr: bool = None):
         self.__file_path = file_path
         self.__output_file_path = output_file_path
         if not os.path.exists(self.__file_path):
             sys.exit(f'File {self.__file_path} not found.')
         self.__wav_file = read_wav(self.__file_path, bitrate)
         self.__hide_str = hide_str
-        self.__encoder = MP3Encoder(self.__wav_file, hide_str=hide_str)
+        if vbr is None:
+            vbr = os.environ.get("MP3STEGO_TPU_VBR", "0") == "1"
+        self.__encoder = MP3Encoder(self.__wav_file, hide_str=hide_str,
+                                    vbr=vbr)
 
     def encode(self, quiet: bool = True) -> bool:
         """Encode; returns True if the message was too long to embed fully

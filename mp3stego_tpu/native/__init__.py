@@ -166,7 +166,7 @@ def get_lib():
         lib.mp3_format_frames.argtypes = [
             p_u32, p_i32, p_u8, i64,
             i64,
-            i32, i32, i32, i32, i32, p_i32, i32, i32,
+            i32, i32, i32, p_i32, i32, p_i32, i32, i32,
             i32, i32, i32, i32, i32, i32, i32,
             p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
             p_u32, p_u8, p_i32, p_i32,

@@ -230,7 +230,8 @@ int64_t mp3_format_frame(
 int64_t mp3_format_frames(
     uint32_t* cache, int32_t* cache_bits, uint8_t* out, int64_t out_cap,
     int64_t num_frames,
-    int32_t version, int32_t layer, int32_t crc, int32_t bitrate_index,
+    int32_t version, int32_t layer, int32_t crc,
+    const int32_t* bitrate_indices,  // per frame (VBR; CBR passes a fill)
     int32_t sr_mod3, const int32_t* paddings, int32_t ext, int32_t mode,
     int32_t mode_ext, int32_t copyright, int32_t original, int32_t emphasis,
     int32_t private_bits, int32_t nch, int32_t granules,
@@ -246,7 +247,8 @@ int64_t mp3_format_frames(
   for (int64_t f = 0; f < num_frames; ++f) {
     int64_t w = mp3_format_frame(
         cache, cache_bits, out + total, out_cap - total,
-        version, layer, crc, bitrate_index, sr_mod3, paddings[f], ext, mode,
+        version, layer, crc, bitrate_indices[f], sr_mod3, paddings[f], ext,
+        mode,
         mode_ext, copyright, original, emphasis, private_bits, nch, granules,
         scfsi + f * 8, gi + f * 2 * 2 * F_NFIELDS, table_select + f * 12,
         sfl + f * 2 * 2 * 22, slen1_tab, slen2_tab, l3_enc + f * 2 * 2 * 576,

@@ -87,9 +87,10 @@ class Steganography:
         self._last_bitrate = self._last_decoder.decode(
             self.quiet, reveal=reveal, txt_file_path=txt_file_path)
 
-    def _encode(self, wav_file_path, output_file_path, bitrate, hide_bits=""):
+    def _encode(self, wav_file_path, output_file_path, bitrate, hide_bits="",
+                vbr=None):
         encoder = Encoder(wav_file_path, output_file_path, bitrate=bitrate,
-                          hide_str=hide_bits)
+                          hide_str=hide_bits, vbr=vbr)
         return encoder.encode(quiet=self.quiet)
 
     def _drop_temp_wav(self):
@@ -100,17 +101,20 @@ class Steganography:
     # ------------------------------------------------------------------- public
 
     def encode_wav_to_mp3(self, wav_file_path: str, output_file_path: str,
-                          bitrate: int = 320):
+                          bitrate: int = 320, vbr: bool = None):
         """Encode a wav file into an mp3 file.
 
         :param wav_file_path: the wav file path.
         :param output_file_path: the output mp3 file desired path.
         :param bitrate: the bitrate of the wav file.
+        :param vbr: constant-quality VBR with ``bitrate`` as the target
+            average and a Xing tag (beyond the reference's CBR; also
+            MP3STEGO_TPU_VBR=1). Default CBR, reference-byte-identical.
         """
         with self._banner(f"Start Encoding {wav_file_path} to  "
                           f"{output_file_path}.", "Encoding"):
             _wav_to_mp3_paths(wav_file_path, output_file_path)
-            self._encode(wav_file_path, output_file_path, bitrate)
+            self._encode(wav_file_path, output_file_path, bitrate, vbr=vbr)
 
     def decode_mp3_to_wav(self, input_file_path: str, wav_file_path: str = "") -> int:
         """Decode an mp3 file into a wav file; returns the bitrate in kbps.
