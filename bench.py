@@ -244,6 +244,19 @@ def bench_encode():
     rt = 30.0 / dt
     _note("encode 30s single stream @320kbps", rt, "x realtime")
 
+    # constant-quality VBR (target average 128): a bisection over the
+    # whole-file cost picks the global quality step (AVX-512 C++ pass per
+    # visited step; device cost grid on toolchain-less hosts), then the
+    # chosen engine runs at the per-frame budgets — recorded since round 3
+    # as the beyond-reference encode mode
+    for rep in range(2):
+        enc = MP3Encoder(read_wav(wav, 128), vbr=True)
+        t0 = time.time()
+        enc.encode(quiet=True)
+        dt = time.time() - t0
+    _note("encode 30s VBR (target avg 128kbps, bisected rate choice)",
+          30.0 / dt, "x realtime")
+
     # secondary: the device search plane (the sharded-batch engine), forced
     os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
     try:

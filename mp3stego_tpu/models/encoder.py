@@ -500,50 +500,90 @@ class MP3Encoder:
     def _vbr_framing(self, xr: np.ndarray, num_frames: int):
         """Constant-quality VBR framing (beyond the reference, CBR-only).
 
-        The device cost grid (ops/quant_batch.cost_all_steps) prices every
-        granule at all 128 quantizer steps in one batched program. A single
-        global step s* is chosen whose whole-file slot total best matches
-        the target-average rate (``wav.bitrate``), then each frame gets the
+        A single global quantizer step s* is chosen (by bisection over the
+        monotone whole-file cost) whose slot total best matches the
+        target-average rate (``wav.bitrate``); each frame then gets the
         smallest standard rate whose per-cell budget clears that step's cost
         — constant quality across the file, with quiet frames dropping to
         cheap rates and dense frames rising toward 320. Frames use
         padding=0 (size fully determined by their own header). Returns
         (paddings, mean_bits_f) and records the per-frame header indices in
         ``self._vbr_rate_idx``.
-        """
-        from mp3stego_tpu.ops import quant_batch as QB
 
+        The per-step lane costs come from the AVX-512 C++ pass
+        (``rate_cost_step``, ~8 ms per visited step for a 30 s stereo file)
+        when the native library builds, else from the device cost grid
+        (ops/quant_batch — exact but gather-bound on TPU). The bisection
+        visits the same steps either way; the two sources agree except on
+        the rare quantize-float-fallback lanes (the grid's f32 approximation
+        of the reference's f64 expression), where a frame may land one rate
+        notch apart — both outcomes are valid, deterministic per host.
+        """
         gpf = self.granules_per_frame
         nch = self.wav.num_of_channels
         tg = num_frames * gpf
-        cost = self._cost if (self._cost is not None and self._tg == tg) \
-            else QB.cost_all_steps(np.ascontiguousarray(
-                np.asarray(xr).reshape(-1, 576)), self.samplerate_index)
-
-        # usable (lane, step): quantization representable (the search's own
-        # ixmax <= 8192 gate); unusable cells price as +inf so the frame
-        # escalates to a higher rate or the search's fallback
+        lanes_n = nch * tg
         big = np.int64(1) << 20
-        bits = np.where(cost["bail"] | (cost["ixmax"] > Q.MAX_QUANTIZE_STEP),
-                        big, cost["bits_total"].astype(np.int64))
-        # lane layout ch*tg + f*gpf + gr -> per-(frame, step) binding cell
-        need = bits.reshape(nch, num_frames, gpf, -1).max(axis=(0, 2))
+        sr_off = self.samplerate_index * 23
+
+        xr_np = None
+        lib = _native_rate_lib()
+        grid = [self._cost] if (self._cost is not None
+                                and self._tg == tg) else []
+
+        def lane_bits(s: int) -> np.ndarray:
+            """Exact bits to code each lane at grid step s (big = the
+            search's ixmax<=8192 gate fails there)."""
+            nonlocal xr_np
+            if lib is not None and hasattr(lib, "rate_cost_step"):
+                if xr_np is None:
+                    xr_np = np.ascontiguousarray(
+                        np.asarray(xr).reshape(-1, 576), np.int32)
+                out = np.empty(lanes_n, np.int64)
+                lib.rate_cost_step(xr_np, lanes_n, s - 127, sr_off, big, out)
+                return out
+            if not grid:
+                from mp3stego_tpu.ops import quant_batch as QB
+                grid.append(QB.cost_all_steps(np.ascontiguousarray(
+                    np.asarray(xr).reshape(-1, 576)), self.samplerate_index))
+            c = grid[0]
+            return np.where(
+                c["bail"][:, s] | (c["ixmax"][:, s] > Q.MAX_QUANTIZE_STEP),
+                big, c["bits_total"][:, s].astype(np.int64))
 
         rates = self._vbr_valid_rates()
         slots = np.array([self._vbr_slots(r) for r in rates], np.int64)
         budgets = np.array(
             [min(int((8 * s - self.side_info_len) / gpf) // nch,
                  Q.MAX_BITS_ALLOWANCE) for s in slots], np.int64)
-        # budgets are ascending with rate; smallest rate covering the need
-        ridx = np.searchsorted(budgets, need)            # (F, S)
-        ridx = np.minimum(ridx, len(rates) - 1)
-        total = slots[ridx].sum(axis=0)                  # (S,) whole-file
+
+        cache = {}
+
+        def plan(s: int):
+            """(slot total, per-frame rate choice) at grid step s."""
+            if s not in cache:
+                need = lane_bits(s).reshape(nch, num_frames, gpf) \
+                    .max(axis=(0, 2))
+                ridx = np.minimum(np.searchsorted(budgets, need),
+                                  len(rates) - 1)
+                cache[s] = (int(slots[ridx].sum()), ridx)
+            return cache[s]
 
         target = num_frames * (gpf * 576.0 / self.wav.samplerate) * (
             1000.0 * self.bitrate / self.bits_per_slot)
-        s_star = int(np.argmin(np.abs(total - target)))
+        # cost is non-increasing in s (coarser step -> fewer bits): bisect
+        # the crossing, then take the best of the crossing's neighborhood
+        lo, hi = 0, 127
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if plan(mid)[0] > target:
+                lo = mid + 1
+            else:
+                hi = mid
+        s_star = min((s for s in (lo - 1, lo, lo + 1) if 0 <= s <= 127),
+                     key=lambda s: (abs(plan(s)[0] - target), s))
         self._vbr_step = s_star
-        chosen = ridx[:, s_star]                         # (F,) rate index
+        chosen = plan(s_star)[1]                         # (F,) rate index
         self._vbr_rate_idx = np.array(
             [_find_bitrate_index(rates[i], self.version) for i in
              range(len(rates))], np.int32)[chosen]

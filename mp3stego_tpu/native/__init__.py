@@ -155,6 +155,9 @@ def get_lib():
             p_i64, p_i32, p_i32, p_i32,
         ]
 
+        lib.rate_cost_step.restype = i64
+        lib.rate_cost_step.argtypes = [p_i32, i64, i64, i64, i64, p_i64]
+
         lib.encode_analysis.restype = i64
         lib.encode_analysis.argtypes = [
             p_i16, i64, i64,

@@ -451,6 +451,39 @@ extern "C" int64_t rate_exact_eval(
   return eval_ix(ix, st, sr_off, hide, hide_len, hide_off);
 }
 
+// VBR rate choice (models/encoder.py::_vbr_framing): bits to code every
+// lane at ONE quantizer step, hide-free and with fresh per-lane state (the
+// stale-address chain is a property of the actual search, not of a budget
+// estimate). Lanes whose quantization bails or overflows the ixmax gate
+// record `big_bits`. One vectorized pass per lane (~8 ms for a 30s stereo
+// file) — the exact host twin of one column of quant_batch's device grid,
+// which is gather-bound on TPU.
+extern "C" int64_t rate_cost_step(
+    const int32_t* xr_all, int64_t lanes, int64_t step, int64_t sr_off,
+    int64_t big_bits, int64_t* out_bits) {
+  int32_t xrabs[kGranule];
+  int32_t ix[kGranule];
+  for (int64_t g = 0; g < lanes; ++g) {
+    const int32_t* row = xr_all + g * kGranule;
+    int32_t mx = 0;
+    for (int i = 0; i < kGranule; ++i) {
+      const int32_t av =
+          int32_t(row[i] < 0 ? 0u - uint32_t(row[i]) : uint32_t(row[i]));
+      xrabs[i] = av;
+      if (av > mx) mx = av;
+    }
+    int64_t ixmax;
+    if (!quantize(row, xrabs, mx, step, ix, &ixmax) || ixmax > kMaxQuant) {
+      out_bits[g] = big_bits;
+      continue;
+    }
+    int64_t state[12] = {0};
+    State st{state};
+    out_bits[g] = eval_ix(ix, st, sr_off, nullptr, 0, 0);
+  }
+  return 0;
+}
+
 // _bin_search_step_size (MP3_Encoder.py:958-996): returns the step; the ix
 // buffer keeps the LAST successful quantization (bails leave it stale).
 extern "C" int64_t rate_bin_search(

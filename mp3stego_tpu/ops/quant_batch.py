@@ -224,21 +224,32 @@ _HIDE_SCALAR = ("sum0", "sum1")
 _HIDE_R3 = ("choice", "rc13", "rc15", "rc16", "rc24", "rnesc")
 
 
-@functools.partial(jax.jit, static_argnames=("sr_idx", "with_hide"))
-def _cost_all_steps_jit(xr, sr_idx, with_hide):
+def _cost_pack(xr, sr_idx, with_hide):
     band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
     out, out_hide = _cost_all_steps(xr, band, _consts())
     if with_hide:
         out.update(out_hide)
-    # pack everything into ONE int16 tensor: a single fetch per chunk (the
-    # host link is latency-bound; dozens of small buffers cost more than the
-    # bytes themselves)
+    # pack everything into ONE int16 tensor: a single fetch (the host link
+    # is latency-bound; dozens of small buffers cost more than the bytes)
     rows = [out[k].astype(jnp.int16) for k in _BASE_KEYS]
     if with_hide:
         rows += [out[k].astype(jnp.int16) for k in _HIDE_SCALAR]
         for k in _HIDE_R3:
             rows += [out[k][..., r].astype(jnp.int16) for r in range(3)]
     return jnp.stack(rows)
+
+
+_cost_all_steps_jit = functools.partial(
+    jax.jit, static_argnames=("sr_idx", "with_hide"))(_cost_pack)
+
+
+@functools.partial(jax.jit, static_argnames=("sr_idx", "with_hide"))
+def _cost_map_jit(xr_kc, sr_idx, with_hide):
+    """(K, chunk, 576) -> (K, rows, chunk, S): the whole chunk loop as ONE
+    compiled sequential lax.map — a single dispatch and a single fetch
+    instead of K round trips over the (latency-bound) host link, while the
+    per-chunk intermediates keep device memory at O(chunk)."""
+    return jax.lax.map(lambda x: _cost_pack(x, sr_idx, with_hide), xr_kc)
 
 
 def _unpack(packed: np.ndarray, with_hide: bool) -> dict:
@@ -263,19 +274,29 @@ def cost_all_steps(xr: np.ndarray, sr_idx: int, with_hide: bool = False,
                    chunk: int = 256) -> dict:
     """(N, 576) int32 spectra -> dict of (N, 128) numpy costing arrays.
     ``with_hide`` additionally fetches the per-region cost channels needed to
-    replay the steganographic table transform. Work is dispatched in
-    fixed-size chunks (zero-padded) so every file length hits one compiled
-    program; all chunks are dispatched before any is fetched."""
+    replay the steganographic table transform.
+
+    The work runs as chunk-sized body iterations of a single jitted lax.map:
+    one pieced h2d upload, one dispatch, one pieced d2h fetch — K separate
+    chunk dispatches used to pay K tunnel round trips (~9.7s for a 30s file
+    on the ~0.3s-latency link; now ~1s). The chunk count is bucketed so file
+    lengths share compiled programs; zero-padded lanes are trimmed off."""
+    from mp3stego_tpu.utils.transfer import fetch_pieces, put_pieces
+
     n = xr.shape[0]
-    pad = (-n) % chunk
-    if pad:
-        xr = np.concatenate([xr, np.zeros((pad, 576), xr.dtype)])
-    pending = [_cost_all_steps_jit(jnp.asarray(xr[i:i + chunk]), sr_idx,
-                                   with_hide)
-               for i in range(0, xr.shape[0], chunk)]
-    outs = [_unpack(p, with_hide) for p in jax.device_get(pending)]
-    merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-    return {k: v[:n] for k, v in merged.items()}
+    k = -(-max(n, 1) // chunk)
+    k += (-k) % 4                              # bucket the trip count
+    if isinstance(xr, np.ndarray):
+        staged = np.zeros((k * chunk, 576), np.int32)
+        staged[:n] = xr
+        dev = put_pieces(np.ascontiguousarray(
+            staged.reshape(k, chunk, 576)))
+    else:                                      # already device-resident
+        dev = jnp.pad(xr, ((0, k * chunk - n), (0, 0))) \
+            .reshape(k, chunk, 576)
+    packed = fetch_pieces([_cost_map_jit(dev, sr_idx, with_hide)])[0]
+    out = _unpack(np.concatenate(list(packed), axis=1), with_hide)
+    return {key: v[:n] for key, v in out.items()}
 
 
 # ------------------------------------------------------------- host-side recost
