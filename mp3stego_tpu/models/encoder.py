@@ -278,12 +278,20 @@ class MP3Encoder:
     def _channel_streams_i16(self, num_frames: int) -> np.ndarray:
         """(nch, F*1152) raw int16 streams — the device plane upshifts by 16
         on chip (encode_plane.analysis_mdct_i16), so the PCM upload crosses
-        the link at half the bytes of the int32<<16 form."""
+        the link at half the bytes of the int32<<16 form.
+
+        Mono reads at stride 1: the reference's feeder steps its cursor by 2
+        regardless of channel count (WAV_Reader.py:160-164), which on mono
+        input walks past the buffer and crashes partway through the file —
+        there is no reference behavior to be byte-identical to, so mono
+        encodes the actual samples instead of every other one (deliberate
+        superset, see PARITY.md)."""
         nch = self.wav.num_of_channels
         need = num_frames * self.granules_per_frame * 576
         out = np.zeros((nch, need), dtype=np.int16)
         for c in range(nch):
-            s = self.wav.buffer[c::2][:need]
+            s = (self.wav.buffer if nch == 1
+                 else self.wav.buffer[c::2])[:need]
             out[c, :len(s)] = s
         return out
 

@@ -122,6 +122,30 @@ def test_batched_mono_files_slim_fetch(tmp_path, monkeypatch):
             np.testing.assert_array_equal(o, ref)
 
 
+def test_mono_encode_keeps_pitch(tmp_path):
+    """Mono encode reads samples at stride 1 (regression: the reference's
+    stride-2 feeder semantics were kept even for mono, encoding every OTHER
+    sample — a 440 Hz sine came back as 880 Hz over half the duration; the
+    reference itself crashes on mono, so stride-1 is the documented
+    superset)."""
+    from mp3stego_tpu.models.encoder import MP3Encoder
+    from mp3stego_tpu.utils.wav import WavFile
+
+    sr = 44100
+    t = np.arange(sr)
+    pcm = (18000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    w = WavFile(file_path="m.wav", bitrate=128, num_of_channels=1,
+                samplerate=sr, bits_per_sample=16, num_of_samples=len(pcm),
+                mpeg_mode=3, buffer=pcm)
+    enc = MP3Encoder(w)
+    enc.encode(quiet=True)
+    p = dh.parse_mp3(bytes(enc.out_buffer), 0)
+    out = dp.decode_pcm_i16(p)[:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(out[:sr]))
+    peak_hz = float(np.argmax(spec))        # 1 s window -> bin == Hz
+    assert abs(peak_hz - 440) < 3, peak_hz
+
+
 def test_batched_ragged_lengths(parsed, fixture_mp3, tmp_path):
     """Files of different lengths batch correctly through padding."""
     with open(fixture_mp3, "rb") as f:
