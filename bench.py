@@ -352,6 +352,55 @@ def bench_decode_streaming():
           file=sys.stderr)
 
 
+def bench_encode_streaming():
+    """Long-input encode through the O(chunk)-memory streaming path: a
+    30-minute WAV (318 MB) encoded start to finish in a fresh subprocess
+    with peak RSS on the record (the whole-file engine materializes the
+    full spectra plane, ~2.4 GB for this input; the streaming path stays
+    flat and byte-identical)."""
+    import subprocess
+
+    wav = _synth_wav("/tmp/bench_30min.wav", 1800.0, 44100, 9)
+    code = (
+        "import json, sys, time\n"
+        "def hwm():\n"
+        "    with open('/proc/self/status') as f:\n"
+        "        for ln in f:\n"
+        "            if ln.startswith('VmHWM:'): return int(ln.split()[1])\n"
+        "    return 0\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from mp3stego_tpu.models.streaming import encode_file_streaming\n"
+        "base = hwm()\n"
+        "t0 = time.time()\n"
+        f"info = encode_file_streaming({wav!r}, '/tmp/bench_30min_enc.mp3',"
+        " 128)\n"
+        "dt = time.time() - t0\n"
+        "print(json.dumps({'dt': dt, 'rss_mb': hwm() / 1024,\n"
+        "                  'delta_mb': (hwm() - base) / 1024,\n"
+        "                  'frames': info['frames']}))\n")
+    best = None
+    for rep in range(2):   # rep0 warms the page cache + .so build
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=900,
+                           env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        if best is None:
+            best = dict(out)
+        else:
+            best["dt"] = min(best["dt"], out["dt"])
+            best["rss_mb"] = min(best["rss_mb"], out["rss_mb"])
+            best["delta_mb"] = min(best["delta_mb"], out["delta_mb"])
+    _note("encode 30min stream (streaming, bounded memory)",
+          1800.0 / best["dt"], "x realtime")
+    DETAIL["streaming encode peak RSS"] = {
+        "value": round(best["rss_mb"]), "unit": "MB",
+        "encode_delta_mb": round(best["delta_mb"]),
+        "frames": best["frames"]}
+    print(f"# streaming encode peak RSS: {best['rss_mb']:.0f} MB "
+          f"(+{best['delta_mb']:.0f} MB over import baseline)",
+          file=sys.stderr)
+
+
 def bench_hide_roundtrip():
     """hide -> reveal on a 10s file at 320kbps (the stego headline op:
     decode + hybrid-search re-encode with a live bit cursor + reveal)."""
@@ -520,6 +569,7 @@ def main():
     bench_decode_mixed()
     bench_decode_streaming()
     bench_encode()
+    bench_encode_streaming()
     bench_hide_roundtrip()
     check_tpu_kernels()
 

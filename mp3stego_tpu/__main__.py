@@ -40,6 +40,10 @@ def main(argv=None):
     e.add_argument("--vbr", action="store_true",
                    help="constant-quality VBR with --bitrate as the target "
                         "average (Xing tag written; beyond the reference)")
+    e.add_argument("--stream-chunk-frames", type=int, default=0,
+                   help="encode in bounded-memory windows of N frames "
+                        "(byte-identical to the whole-file encode; CBR "
+                        "only, requires the native host engine)")
 
     h = sub.add_parser("hide", help="hide a message in an MP3")
     h.add_argument("input"), h.add_argument("output"), h.add_argument("message")
@@ -83,8 +87,16 @@ def main(argv=None):
     elif args.op == "encode":
         if args.lsf_compliant:
             os.environ["MP3STEGO_TPU_LSF_COMPLIANT"] = "1"
-        s.encode_wav_to_mp3(args.input, args.output, args.bitrate,
-                            vbr=args.vbr or None)
+        if args.stream_chunk_frames > 0:
+            if args.vbr:
+                p.error("--stream-chunk-frames is CBR-only (VBR's rate "
+                        "choice needs the whole file)")
+            from mp3stego_tpu.models.streaming import encode_file_streaming
+            encode_file_streaming(args.input, args.output, args.bitrate,
+                                  chunk_frames=args.stream_chunk_frames)
+        else:
+            s.encode_wav_to_mp3(args.input, args.output, args.bitrate,
+                                vbr=args.vbr or None)
         print(f"encoded at {args.bitrate} kbps"
               f"{' average (VBR)' if args.vbr else ''} -> {args.output}")
     elif args.op == "hide":

@@ -458,7 +458,9 @@ class MP3Encoder:
                 xr, max_bits_lanes, nch, tg, gpf,
                 self.samplerate_index * 23,
                 self._hide_u8, len(self.hide_str), self.hide_str_offset,
-                raw, ix, en_tot, en21)
+                raw, ix, en_tot, en21,
+                np.zeros(2 * 2 * 12, np.int64),
+                np.zeros(2 * 2 * 576, np.int32), 0)
             res = {k: np.ascontiguousarray(raw[:, c]) for c, k in enumerate(
                 ("step", "bits", "bv", "c1", "cts", "r0c", "r1c",
                  "ch0", "ch1", "ch2", "xrmax0"))}

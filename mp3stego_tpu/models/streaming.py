@@ -120,6 +120,146 @@ def decode_file_streaming(file_path: str, wav_path: str,
                 stego_bits="".join(bits_out))
 
 
+def encode_file_streaming(wav_path: str, mp3_path: str, bitrate: int = 320,
+                          chunk_frames: int = 512, hide_str: str = "",
+                          progress_cb=None) -> dict:
+    """WAV -> MP3 in O(chunk) memory, byte-identical to the whole-file
+    ``MP3Encoder`` (pinned at every chunk alignment by
+    tests/test_streaming_encode.py).
+
+    Works because every cross-frame coupling in the encode pipeline is
+    small, explicit state:
+
+    * **analysis** is a pure function of a bounded sample window — 480
+      samples of filterbank history plus one granule of left context for
+      the MDCT's previous-subband half (the device plane already chunks on
+      exactly this contract, ops/encode_plane.run_analysis);
+    * **rate search** carries the per-(gr, ch)-slot quantizer-step seed,
+      stale region addresses, and stale ix buffers — saved and re-seeded
+      through ``rate_search_file``'s chain io;
+    * **reservoir/stuffing, padding slot-lag, scfsi, stego cursor and the
+      32-bit serializer cache** are already sequential instance state on
+      the encoder and simply persist across chunk calls.
+
+    The WAV rides an ``np.memmap``; each chunk materializes only its own
+    sample window, spectra and search results. Requires the native host
+    engine (the C++ analysis + search twins); CBR only (VBR's rate choice
+    is a whole-file bisection). Returns ``{frames, bytes, too_long}``.
+    """
+    from mp3stego_tpu import native
+    from mp3stego_tpu.models import encoder as enc_mod
+    from mp3stego_tpu.ops import encode_plane
+    from mp3stego_tpu.utils.wav import read_wav
+
+    w = read_wav(wav_path, bitrate, use_mmap=True)
+    enc = enc_mod.MP3Encoder(w, hide_str=hide_str)
+    lib = enc_mod._native_rate_lib()
+    slib = native.get_lib()
+    if (lib is None or slib is None
+            or not hasattr(lib, "rate_search_file")
+            or not hasattr(slib, "encode_analysis")):
+        raise RuntimeError(
+            "streaming encode requires the native host engine (g++ build)")
+    # persistent serializer bit cache: chunks continue one bitstream
+    enc._nat_ser = slib
+    enc._nat_cache = np.zeros(1, np.uint32)
+    enc._nat_cache_bits = np.full(1, 32, np.int32)
+
+    gpf = enc.granules_per_frame
+    nch = w.num_of_channels
+    spg = 576
+    past = encode_plane._PAST                     # 480-sample filter history
+    nf_total = enc._num_frames()
+    sr_off = enc.samplerate_index * 23
+    chain_state = np.zeros(2 * 2 * 12, np.int64)
+    chain_ix = np.zeros(2 * 2 * 576, np.int32)
+    import mp3stego_tpu.ops.quant as Q
+
+    def stream_slice(t_lo: int, t_hi: int) -> np.ndarray:
+        """(nch, t_hi-t_lo) int16 granule-time samples; out-of-range = 0
+        (same semantics as the whole-file zero-padded stream build)."""
+        out = np.zeros((nch, t_hi - t_lo), np.int16)
+        lo = max(0, t_lo)
+        for c in range(nch):
+            src = w.buffer if nch == 1 else w.buffer[c::2]
+            seg = src[lo:t_hi]
+            out[c, lo - t_lo:lo - t_lo + len(seg)] = seg
+        return out
+
+    total_bytes = 0
+    with open(mp3_path, "wb") as out_f:
+        f0 = 0
+        while f0 < nf_total:
+            f1 = min(nf_total, f0 + chunk_frames)
+            nf = f1 - f0
+            tg = nf * gpf
+            g0 = f0 * gpf
+            margin = 1 if f0 > 0 else 0           # MDCT left-context granule
+            full = stream_slice((g0 - margin) * spg - past, f1 * gpf * spg)
+            tg_run = margin + tg
+            spec = np.empty((nch, tg_run, 576), np.int32)
+            slib.encode_analysis(np.ascontiguousarray(full), nch, tg_run,
+                                 *encode_plane._analysis_tables(), spec)
+            xr = np.ascontiguousarray(spec[:, margin:].reshape(-1, 576))
+
+            # seed for skipped granules at the chunk head = the chain's
+            # step BEFORE this chunk's searches overwrite it
+            seed = None
+            if f0 > 0:
+                qss = chain_state.reshape(2, 2, 12)[:, :, 0]
+                seed = np.array([[qss[gr][ch] for gr in range(gpf)]
+                                 for ch in range(nch)], np.int64)
+
+            paddings, mean_bits_f = enc._plane_framing(nf)
+            maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
+                                Q.MAX_BITS_ALLOWANCE)
+            maxb = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
+
+            lanes = nch * tg
+            raw = np.zeros((lanes, 12), np.int64)
+            ix = np.zeros((lanes, 576), np.int32)
+            en_tot = np.zeros(lanes, np.int32)
+            en21 = np.zeros((lanes, 21), np.int32)
+            lib.rate_search_file(
+                xr, maxb, nch, tg, gpf, sr_off,
+                enc._hide_u8, len(hide_str), enc.hide_str_offset,
+                raw, ix, en_tot, en21,
+                chain_state, chain_ix, 1 if f0 else 0)
+            res = {k: np.ascontiguousarray(raw[:, c]) for c, k in enumerate(
+                ("step", "bits", "bv", "c1", "cts", "r0c", "r1c",
+                 "ch0", "ch1", "ch2", "xrmax0"))}
+            res["ix"] = ix
+            enc._plane_finish(res, en_tot if enc.version == 3 else None,
+                              en21 if enc.version == 3 else None,
+                              nf, paddings, mean_bits_f, tg, step_seed=seed)
+            out_f.write(bytes(enc.out_buffer))
+            total_bytes += len(enc.out_buffer)
+            enc.out_buffer = bytearray()
+            _release_consumed(w.buffer, f1, gpf, nch, past)
+            if progress_cb:
+                progress_cb(f1, nf_total)
+            f0 = f1
+    too_long = enc.hide_str_offset < len(hide_str) - 1
+    return dict(frames=nf_total, bytes=total_bytes, too_long=too_long)
+
+
+def _release_consumed(buf, frames_done: int, gpf: int, nch: int, past: int):
+    """Drop the memmapped WAV pages the encode cursor has passed
+    (madvise(MADV_DONTNEED)) so a multi-GB input cannot accumulate in RSS —
+    the next chunk only ever looks back one granule + the 480-sample filter
+    history."""
+    base = getattr(buf, "_mmap", None)
+    if base is None:
+        return
+    keep_from = max(0, (frames_done * gpf - 1) * 576 - past) * nch * 2
+    aligned = (keep_from // mmap.PAGESIZE) * mmap.PAGESIZE
+    if aligned > 0:
+        try:
+            base.madvise(mmap.MADV_DONTNEED, 0, aligned)
+        except (OSError, ValueError, AttributeError):
+            pass   # platform without madvise: pages stay (reclaimable)
+
+
 def _window_stego_bits(p, warm: int, lsf: bool) -> str:
     """Stego bits of one window's frames past the warm-up, in the same
     order decoder_host.stego_bits uses for the whole file."""

@@ -153,6 +153,7 @@ def get_lib():
             p_i32, p_i32, i64, i64, i64, i64,
             p_u8, i64, i64,
             p_i64, p_i32, p_i32, p_i32,
+            p_i64, p_i32, i64,      # chain state/ix io + chain_in flag
         ]
 
         lib.rate_cost_step.restype = i64

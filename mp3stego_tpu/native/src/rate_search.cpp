@@ -542,7 +542,13 @@ extern "C" int64_t rate_search_file(
     int64_t* res,             // (nch*tg, 12)
     int32_t* ix_out,          // (nch*tg, 576)
     int32_t* en_tot,          // (nch*tg,)
-    int32_t* en21) {          // (nch*tg, 21)
+    int32_t* en21,            // (nch*tg, 21)
+    // chunked/streaming encode: the per-slot search chains, saved at return
+    // and re-seeded on the next call so chunk boundaries are invisible
+    // (byte-identical to one whole-file call). chain_in=0 starts fresh.
+    int64_t* chain_state,     // (2*2*12) [gr][ch] qss/addr chain, or null
+    int32_t* chain_ix,        // (2*2*576) [gr][ch] stale-ix buffers, or null
+    int64_t chain_in) {
   const int64_t nf = tg / gpf;
   int64_t slot_state[2][2][12];  // [gr][ch]
   std::memset(slot_state, 0, sizeof(slot_state));
@@ -552,6 +558,10 @@ extern "C" int64_t rate_search_file(
   // on per-slot buffers, copied out per granule
   static thread_local int32_t slot_ix[2][2][kGranule];
   std::memset(slot_ix, 0, sizeof(slot_ix));
+  if (chain_in && chain_state && chain_ix) {
+    std::memcpy(slot_state, chain_state, sizeof(slot_state));
+    std::memcpy(slot_ix, chain_ix, sizeof(slot_ix));
+  }
   int64_t cursor = hide_off0;
   const int32_t* band = g_band + sr_off;
 
@@ -628,6 +638,10 @@ extern "C" int64_t rate_search_file(
         std::memcpy(ix_out + g * kGranule, ix, kGranule * sizeof(int32_t));
       }
     }
+  }
+  if (chain_state && chain_ix) {
+    std::memcpy(chain_state, slot_state, sizeof(slot_state));
+    std::memcpy(chain_ix, slot_ix, sizeof(slot_ix));
   }
   return cursor;
 }

@@ -52,7 +52,12 @@ class WavFile:
     buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int16))
 
 
-def read_wav(path: str, bitrate: int = 320) -> WavFile:
+def read_wav(path: str, bitrate: int = 320,
+             use_mmap: bool = False) -> WavFile:
+    """Parse a PCM WAV into a WavFile. ``use_mmap=True`` maps the sample
+    region instead of loading it (O(1) memory for the streaming encoder;
+    consumers already zero-pad short reads, so the missing tail padding of
+    a truncated file behaves identically)."""
     with open(path, "rb") as f:
         header = f.read(128)
         w = WavFile(file_path=path, bitrate=bitrate)
@@ -93,9 +98,18 @@ def read_wav(path: str, bitrate: int = 320) -> WavFile:
 
         f.seek(idx + 4)
         want = w.num_of_samples * w.num_of_channels * 2  # WAV_Reader.py:108 over-asks
-        buf = np.fromfile(f, dtype=np.int16, count=want)
+        if use_mmap:
+            data_off = f.tell()
+            f.seek(0, 2)
+            avail = max(0, (f.tell() - data_off) // 2)
+            n_map = min(want, avail)
+            buf = (np.memmap(path, dtype=np.int16, mode="r",
+                             offset=data_off, shape=(n_map,))
+                   if n_map else np.zeros(0, np.int16))
+        else:
+            buf = np.fromfile(f, dtype=np.int16, count=want)
     # zero-pad so the encoder's two-cursor stepping never runs off the end
-    if len(buf) < want:
+    if not use_mmap and len(buf) < want:
         buf = np.concatenate([buf, np.zeros(want - len(buf), dtype=np.int16)])
     w.buffer = buf
 
