@@ -34,6 +34,7 @@ PAGES = [
         ("class", "mp3stego_tpu.models.encoder.Encoder", None),
         ("class", "mp3stego_tpu.models.encoder.MP3Encoder",
          ("encode", "write_mp3_file")),
+        ("func", "mp3stego_tpu.models.streaming.encode_file_streaming", None),
     ]),
     ("parallel", "Parallel layer (mesh / batch / SP)", [
         ("func", "mp3stego_tpu.parallel.mesh.make_mesh", None),
