@@ -160,10 +160,16 @@ def encode_file_streaming(wav_path: str, mp3_path: str, bitrate: int = 320,
             or not hasattr(slib, "encode_analysis")):
         raise RuntimeError(
             "streaming encode requires the native host engine (g++ build)")
-    # persistent serializer bit cache: chunks continue one bitstream
-    enc._nat_ser = slib
-    enc._nat_cache = np.zeros(1, np.uint32)
-    enc._nat_cache_bits = np.full(1, 32, np.int32)
+    # persistent serializer bit cache: chunks continue one bitstream.
+    # Compliant-LSF streams serialize through the python BitWriter (its
+    # 32-bit cache already persists on the instance) — pre-seeding the
+    # native serializer would bypass that routing and emit the reference
+    # LSF layout instead.
+    if not (enc.version != 3 and enc.lsf_compliant):
+        enc._nat_ser = slib
+        enc._nat_cache = np.zeros(1, np.uint32)
+        enc._nat_cache_bits = np.full(1, 32, np.int32)
+        enc._nat_out = np.zeros(1 << 16, np.uint8)  # per-frame serializer path
 
     gpf = enc.granules_per_frame
     nch = w.num_of_channels

@@ -83,7 +83,13 @@ def read_wav(path: str, bitrate: int = 320,
         w.mpeg_mode = 0 if w.num_of_channels > 1 else 3
         idx += 2
         w.samplerate = struct.unpack("<I", header[idx:idx + 4])[0]
-        if w.samplerate not in (32000, 44100, 48000):
+        # Deliberate superset of the reference (WAV_Reader.py:68 admits only
+        # the MPEG-1 rates): all nine Layer III samplerates are accepted —
+        # the encoder's MPEG-2/2.5 branches are golden-tested and otherwise
+        # unreachable through files (see PARITY.md deviations).
+        if w.samplerate not in (32000, 44100, 48000,          # MPEG-1
+                                16000, 22050, 24000,          # MPEG-2
+                                8000, 11025, 12000):          # MPEG-2.5
             sys.exit("Unsupported sampling frequency.")
         idx += 4 + 4 + 2  # byte rate, block align
         w.bits_per_sample = struct.unpack("<H", header[idx:idx + 2])[0]

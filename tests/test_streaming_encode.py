@@ -70,6 +70,24 @@ def test_streaming_encode_mono_48k(tmp_path):
     assert out.read_bytes() == ref
 
 
+@pytest.mark.parametrize("sr,br", [(22050, 64), (11025, 32)])
+def test_streaming_encode_lsf(tmp_path, sr, br, monkeypatch):
+    """MPEG-2/2.5 (gpf=1) through the chunked path, file-driven — read_wav
+    admits all nine Layer III samplerates (deliberate superset; the
+    reference's reader exits on non-MPEG-1 rates, WAV_Reader.py:68). With
+    the spec-valid LSF writer the stream also decodes back."""
+    monkeypatch.setenv("MP3STEGO_TPU_LSF_COMPLIANT", "1")
+    wav = _wav_file(tmp_path, secs=1.5, sr=sr)
+    ref = _whole_file(wav, br)
+    out = tmp_path / "out.mp3"
+    encode_file_streaming(wav, str(out), bitrate=br, chunk_frames=13)
+    assert out.read_bytes() == ref
+
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    p = dh.parse_mp3(out.read_bytes(), 0)
+    assert p.header.sampling_rate == sr
+
+
 def test_streaming_encode_uses_mmap(tmp_path):
     """The WAV buffer must be a memmap (O(1) input memory)."""
     wav = _wav_file(tmp_path, secs=0.5)
