@@ -19,9 +19,41 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
+
+// Explicit AVX-512 kernels for the three hot accumulations. The FP-exactness
+// contract holds: each output element still accumulates in ascending k/j
+// order with separate multiply and add (no FMA — intrinsics are never
+// contracted), only *different outputs* ride the vector lanes. gcc's
+// autovectorizer produces the same semantics but spills the accumulators to
+// the stack every iteration; keeping them in zmm registers is ~2-3x here.
+#if defined(__AVX512F__)
+#define MP3STEGO_PLANE_AVX512 1
+#endif
 
 namespace {
+
+// MP3STEGO_TPU_PLANE_PROF=1: per-stage cycle split printed to stderr per
+// call (tuning aid; zero overhead when off — one branch per stage).
+inline uint64_t prof_tsc() {
+#if defined(__x86_64__)
+  return __rdtsc();
+#else
+  return 0;
+#endif
+}
+inline bool prof_enabled() {
+  static const bool on = [] {
+    const char* e = std::getenv("MP3STEGO_TPU_PLANE_PROF");
+    return e && e[0] == '1';
+  }();
+  return on;
+}
 constexpr double kSqrt2 = 1.4142135623730951;  // math.sqrt(2), exact f64
 
 // Output modes: float64 (2,T,576) planes for the parity oracle, or the WAV
@@ -123,10 +155,15 @@ int64_t decode_plane_run(
     nseg[m] = k;
   }
 
+  const bool prof = prof_enabled();
+  uint64_t c_deq = 0, c_pre = 0, c_imdct = 0, c_ov = 0, c_mat = 0, c_fir = 0;
+  uint64_t tp0 = 0, tp1 = 0;
+
   for (int64_t t = 0; t < T; ++t) {
     const int64_t f = t >> 1;
     const int gr = int(t & 1);
     const bool ms = ms_stereo[f] != 0;
+    if (prof) tp0 = prof_tsc();
 
     // ---- requantize (exact multiply order: ((sign*a)*b)*c )
     for (int ch = 0; ch < 2; ++ch) {
@@ -172,6 +209,7 @@ int64_t decode_plane_run(
         x[1][s] = (mid - side) / kSqrt2;
       }
     }
+    if (prof) { tp1 = prof_tsc(); c_deq += tp1 - tp0; tp0 = tp1; }
 
     for (int ch = 0; ch < 2; ++ch) {
       const int64_t g = (f * 2 + gr) * 2 + ch;
@@ -179,6 +217,7 @@ int64_t decode_plane_run(
       const int mixed = mixed_block_flag[g];
       const bool do_reorder = (bt == 2) || mixed;
       double* xc = x[ch];
+      if (prof) tp0 = prof_tsc();
 
       // ---- reorder (short) or alias reduction (long)
       double w[576];
@@ -200,6 +239,8 @@ int64_t decode_plane_run(
         }
       }
 
+      if (prof) { tp1 = prof_tsc(); c_pre += tp1 - tp0; tp0 = tp1; }
+
       // ---- IMDCT + windowing (ascending-k accumulation)
       const bool short_blk = bt == 2;
       int wr = bt;
@@ -210,6 +251,30 @@ int64_t decode_plane_run(
         const double* s18 = w + band * 18;
         double* b = blk[ch][band];
         if (!short_blk) {
+#if defined(MP3STEGO_PLANE_AVX512)
+          // acc[36] = 4 zmm + 1 ymm, register-resident across all 18 k
+          __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+          __m256d a4 = _mm256_setzero_pd();
+          for (int k = 0; k < 18; ++k) {
+            const __m512d sk = _mm512_set1_pd(s18[k]);
+            const double* ck = c_longT[k];
+            a0 = _mm512_add_pd(a0, _mm512_mul_pd(sk, _mm512_loadu_pd(ck)));
+            a1 = _mm512_add_pd(a1, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 8)));
+            a2 = _mm512_add_pd(a2, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 16)));
+            a3 = _mm512_add_pd(a3, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 24)));
+            a4 = _mm256_add_pd(a4, _mm256_mul_pd(_mm512_castpd512_pd256(sk),
+                                                 _mm256_loadu_pd(ck + 32)));
+          }
+          _mm512_storeu_pd(b, _mm512_mul_pd(a0, _mm512_loadu_pd(win_l)));
+          _mm512_storeu_pd(b + 8,
+                           _mm512_mul_pd(a1, _mm512_loadu_pd(win_l + 8)));
+          _mm512_storeu_pd(b + 16,
+                           _mm512_mul_pd(a2, _mm512_loadu_pd(win_l + 16)));
+          _mm512_storeu_pd(b + 24,
+                           _mm512_mul_pd(a3, _mm512_loadu_pd(win_l + 24)));
+          _mm256_storeu_pd(b + 32,
+                           _mm256_mul_pd(a4, _mm256_loadu_pd(win_l + 32)));
+#else
           double acc[36];
           for (int i = 0; i < 36; ++i) acc[i] = 0.0;
           for (int k = 0; k < 18; ++k) {
@@ -218,6 +283,7 @@ int64_t decode_plane_run(
             for (int i = 0; i < 36; ++i) acc[i] += sk * ck[i];
           }
           for (int i = 0; i < 36; ++i) b[i] = acc[i] * win_l[i];
+#endif
         } else {
           // 3 windows of 6 inputs -> 12 outputs, windowed by sine[2][:12]
           double xs[3][12];
@@ -244,6 +310,8 @@ int64_t decode_plane_run(
         }
       }
 
+      if (prof) { tp1 = prof_tsc(); c_imdct += tp1 - tp0; tp0 = tp1; }
+
       // ---- overlap-add with the carried tail, then update the carry
       for (int band = 0; band < 32; ++band) {
         for (int i = 0; i < 18; ++i) {
@@ -255,6 +323,7 @@ int64_t decode_plane_run(
       // ---- frequency inversion
       for (int band = 1; band < 32; band += 2)
         for (int i = 1; i < 18; i += 2) y[ch][band][i] = -y[ch][band][i];
+      if (prof) { tp1 = prof_tsc(); c_ov += tp1 - tp0; tp0 = tp1; }
     }
 
     // ---- polyphase synthesis, whole granule at once: V rows 15..32 from
@@ -262,7 +331,38 @@ int64_t decode_plane_run(
     // per-output accumulation stays ascending-j (bit-exact), the linear
     // history rows replace ring-index arithmetic.
     for (int ch = 0; ch < 2; ++ch) {
+      if (prof) tp0 = prof_tsc();
       double* vg = &vlin[ch][15][0];           // rows 15..32: this granule
+#if defined(MP3STEGO_PLANE_AVX512)
+      // step OUTER / j INNER with the 64-wide V row in 8 zmm accumulators:
+      // each v[i] still sums ascending-j (bit-exact), but the row is written
+      // once instead of loaded+stored per j.
+      for (int step = 0; step < 18; ++step) {
+        __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+        __m512d a4 = a0, a5 = a0, a6 = a0, a7 = a0;
+        for (int j = 0; j < 32; ++j) {
+          const __m512d ys = _mm512_set1_pd(y[ch][j][step]);
+          const double* nj = n_matT[j];
+          a0 = _mm512_add_pd(a0, _mm512_mul_pd(ys, _mm512_loadu_pd(nj)));
+          a1 = _mm512_add_pd(a1, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 8)));
+          a2 = _mm512_add_pd(a2, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 16)));
+          a3 = _mm512_add_pd(a3, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 24)));
+          a4 = _mm512_add_pd(a4, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 32)));
+          a5 = _mm512_add_pd(a5, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 40)));
+          a6 = _mm512_add_pd(a6, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 48)));
+          a7 = _mm512_add_pd(a7, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 56)));
+        }
+        double* v = vg + step * 64;
+        _mm512_storeu_pd(v, a0);
+        _mm512_storeu_pd(v + 8, a1);
+        _mm512_storeu_pd(v + 16, a2);
+        _mm512_storeu_pd(v + 24, a3);
+        _mm512_storeu_pd(v + 32, a4);
+        _mm512_storeu_pd(v + 40, a5);
+        _mm512_storeu_pd(v + 48, a6);
+        _mm512_storeu_pd(v + 56, a7);
+      }
+#else
       std::memset(vg, 0, 18 * 64 * sizeof(double));
       for (int j = 0; j < 32; ++j) {
         const double* yj = y[ch][j];           // 18 steps, contiguous
@@ -273,7 +373,30 @@ int64_t decode_plane_run(
           for (int i = 0; i < 64; ++i) v[i] += ys * nj[i];
         }
       }
+#endif
+      if (prof) { tp1 = prof_tsc(); c_mat += tp1 - tp0; tp0 = tp1; }
       double acc[18][32];
+#if defined(MP3STEGO_PLANE_AVX512)
+      for (int step = 0; step < 18; ++step) {
+        __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+        for (int j = 0; j < 16; ++j) {
+          const double* dw = d_win + j * 32;
+          const double* vj = &vlin[ch][15 + step - j][(j & 1) ? 32 : 0];
+          a0 = _mm512_add_pd(
+              a0, _mm512_mul_pd(_mm512_loadu_pd(vj), _mm512_loadu_pd(dw)));
+          a1 = _mm512_add_pd(a1, _mm512_mul_pd(_mm512_loadu_pd(vj + 8),
+                                               _mm512_loadu_pd(dw + 8)));
+          a2 = _mm512_add_pd(a2, _mm512_mul_pd(_mm512_loadu_pd(vj + 16),
+                                               _mm512_loadu_pd(dw + 16)));
+          a3 = _mm512_add_pd(a3, _mm512_mul_pd(_mm512_loadu_pd(vj + 24),
+                                               _mm512_loadu_pd(dw + 24)));
+        }
+        _mm512_storeu_pd(acc[step], a0);
+        _mm512_storeu_pd(acc[step] + 8, a1);
+        _mm512_storeu_pd(acc[step] + 16, a2);
+        _mm512_storeu_pd(acc[step] + 24, a3);
+      }
+#else
       std::memset(acc, 0, sizeof(acc));
       for (int j = 0; j < 16; ++j) {
         const double* dw = d_win + j * 32;
@@ -284,12 +407,24 @@ int64_t decode_plane_run(
           for (int n = 0; n < 32; ++n) a[n] += vj[n] * dw[n];
         }
       }
+#endif
       for (int step = 0; step < 18; ++step)
         for (int n = 0; n < 32; ++n) sink.write(ch, t, step, n, acc[step][n]);
       // carry: last 15 V rows become the next granule's history
       std::memmove(&vlin[ch][0][0], &vlin[ch][18][0],
                    15 * 64 * sizeof(double));
+      if (prof) { tp1 = prof_tsc(); c_fir += tp1 - tp0; tp0 = tp1; }
     }
+  }
+  if (prof && T > 0) {
+    std::fprintf(stderr,
+                 "[plane_prof] T=%lld cyc/granule: dequant+ms=%.0f "
+                 "reorder/alias=%.0f imdct=%.0f overlap/inv=%.0f "
+                 "synth_mat=%.0f fir+sink=%.0f total=%.0f\n",
+                 (long long)T, double(c_deq) / T, double(c_pre) / T,
+                 double(c_imdct) / T, double(c_ov) / T, double(c_mat) / T,
+                 double(c_fir) / T,
+                 double(c_deq + c_pre + c_imdct + c_ov + c_mat + c_fir) / T);
   }
   return 0;
 }
