@@ -32,7 +32,7 @@
 // contracted), only *different outputs* ride the vector lanes. gcc's
 // autovectorizer produces the same semantics but spills the accumulators to
 // the stack every iteration; keeping them in zmm registers is ~2-3x here.
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512BW__)
 #define MP3STEGO_PLANE_AVX512 1
 #endif
 
@@ -65,6 +65,11 @@ struct OutF64 {
   inline void write(int ch, int64_t t, int step, int n, double v) const {
     out[((int64_t(ch) * T + t) * 576) + step * 32 + n] = v;
   }
+  // acc is already in output order (step*32+n contiguous): one copy
+  inline void write_granule(int ch, int64_t t, const double (*acc)[32]) const {
+    std::memcpy(out + (int64_t(ch) * T + t) * 576, &acc[0][0],
+                576 * sizeof(double));
+  }
 };
 struct OutI16 {
   int16_t* out;
@@ -73,6 +78,46 @@ struct OutI16 {
     if (ch >= nch) return;
     out[(t * 576 + step * 32 + n) * nch + ch] =
         int16_t(int32_t(v * 32767.0));
+  }
+  inline void write_granule(int ch, int64_t t, const double (*acc)[32]) const {
+#if defined(MP3STEGO_PLANE_AVX512)
+    // vector cvttpd matches the scalar int32_t(v*32767.0) truncation lane
+    // for lane (including the 0x80000000 overflow sentinel, which both
+    // wrap to 0 as int16)
+    static thread_local int16_t stage[576];  // ch0 parked until ch1 lands
+    const __m512d scale = _mm512_set1_pd(32767.0);
+    const double* a = &acc[0][0];
+    if (nch == 1) {
+      if (ch > 0) return;
+      int16_t* dst = out + t * 576;
+      for (int s = 0; s < 576; s += 8)
+        _mm_storeu_si128((__m128i*)(dst + s),
+                         _mm256_cvtepi32_epi16(_mm512_cvttpd_epi32(
+                             _mm512_mul_pd(_mm512_loadu_pd(a + s), scale))));
+      return;
+    }
+    if (ch == 0) {
+      for (int s = 0; s < 576; s += 8)
+        _mm_storeu_si128((__m128i*)(stage + s),
+                         _mm256_cvtepi32_epi16(_mm512_cvttpd_epi32(
+                             _mm512_mul_pd(_mm512_loadu_pd(a + s), scale))));
+      return;
+    }
+    int16_t* dst = out + t * 1152;   // interleave parked L with this R
+    const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
+    for (int s = 0; s < 576; s += 8) {
+      const __m256i l = _mm256_cvtepi16_epi32(
+          _mm_loadu_si128((const __m128i*)(stage + s)));
+      const __m256i r = _mm512_cvttpd_epi32(
+          _mm512_mul_pd(_mm512_loadu_pd(a + s), scale));
+      const __m256i comb = _mm256_or_si256(_mm256_and_si256(l, lo16),
+                                           _mm256_slli_epi32(r, 16));
+      _mm256_storeu_si256((__m256i*)(dst + 2 * s), comb);
+    }
+#else
+    for (int step = 0; step < 18; ++step)
+      for (int n = 0; n < 32; ++n) write(ch, t, step, n, acc[step][n]);
+#endif
   }
 };
 
@@ -191,6 +236,32 @@ int64_t decode_plane_run(
         if (e2i < 0) e2i = 0;
         if (e2i > 63) e2i = 63;
         const double e1v = e1lut[e1i], e2v = e2lut[e2i];
+#if defined(MP3STEGO_PLANE_AVX512)
+        // elementwise, so lane-parallel is exact: sign is applied as a real
+        // multiply by ±1.0 (the scalar op), pow43 rides a vpgatherdpd
+        {
+          const __m512d ones = _mm512_set1_pd(1.0);
+          const __m512d negs = _mm512_set1_pd(-1.0);
+          const __m512d e1 = _mm512_set1_pd(e1v), e2 = _mm512_set1_pd(e2v);
+          const __m256i bound = _mm256_set1_epi32(8206);
+          const __m256i zero = _mm256_setzero_si256();
+          for (int s = sg.start; s < sg.end; s += 8) {
+            const __mmask8 m =
+                sg.end - s >= 8 ? __mmask8(0xFF)
+                                : __mmask8((1u << (sg.end - s)) - 1);
+            const __m256i v =
+                _mm256_maskz_loadu_epi32(m, (const int*)(rw + s));
+            const __m256i av = _mm256_min_epi32(_mm256_abs_epi32(v), bound);
+            const __m512d p = _mm512_mask_i32gather_pd(
+                _mm512_setzero_pd(), m, av, pow43, 8);
+            const __mmask8 neg = _mm256_cmplt_epi32_mask(v, zero);
+            const __m512d sign = _mm512_mask_blend_pd(neg, ones, negs);
+            const __m512d r = _mm512_mul_pd(
+                _mm512_mul_pd(_mm512_mul_pd(sign, p), e1), e2);
+            _mm512_mask_storeu_pd(xc + s, m, r);
+          }
+        }
+#else
         for (int s = sg.start; s < sg.end; ++s) {
           int32_t v = rw[s];
           int32_t av = v < 0 ? -v : v;
@@ -198,16 +269,29 @@ int64_t decode_plane_run(
           const double sign = v < 0 ? -1.0 : 1.0;
           xc[s] = ((sign * pow43[av]) * e1v) * e2v;
         }
+#endif
       }
     }
 
     // ---- MS stereo
     if (ms) {
+#if defined(MP3STEGO_PLANE_AVX512)
+      const __m512d rt2 = _mm512_set1_pd(kSqrt2);
+      for (int s = 0; s < 576; s += 8) {   // 576 % 8 == 0
+        const __m512d mid = _mm512_loadu_pd(x[0] + s);
+        const __m512d side = _mm512_loadu_pd(x[1] + s);
+        _mm512_storeu_pd(x[0] + s,
+                         _mm512_div_pd(_mm512_add_pd(mid, side), rt2));
+        _mm512_storeu_pd(x[1] + s,
+                         _mm512_div_pd(_mm512_sub_pd(mid, side), rt2));
+      }
+#else
       for (int s = 0; s < 576; ++s) {
         const double mid = x[0][s], side = x[1][s];
         x[0][s] = (mid + side) / kSqrt2;
         x[1][s] = (mid - side) / kSqrt2;
       }
+#endif
     }
     if (prof) { tp1 = prof_tsc(); c_deq += tp1 - tp0; tp0 = tp1; }
 
@@ -312,7 +396,37 @@ int64_t decode_plane_run(
 
       if (prof) { tp1 = prof_tsc(); c_imdct += tp1 - tp0; tp0 = tp1; }
 
-      // ---- overlap-add with the carried tail, then update the carry
+      // ---- overlap-add with the carried tail, then update the carry,
+      // with the frequency inversion folded in (negation = sign-bit xor,
+      // bit-exact vs the scalar unary minus)
+#if defined(MP3STEGO_PLANE_AVX512)
+      {
+        const __m512d odd_neg = _mm512_castsi512_pd(_mm512_set_epi64(
+            INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0,
+            INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0));
+        const __m512d none = _mm512_setzero_pd();
+        for (int band = 0; band < 32; ++band) {
+          const double* bb = blk[ch][band];
+          double* yb = y[ch][band];
+          double* tb = tail_c[ch][band];
+          const __m512d inv = (band & 1) ? odd_neg : none;
+          __m512d y0 =
+              _mm512_add_pd(_mm512_loadu_pd(bb), _mm512_loadu_pd(tb));
+          __m512d y1 =
+              _mm512_add_pd(_mm512_loadu_pd(bb + 8), _mm512_loadu_pd(tb + 8));
+          double y16 = bb[16] + tb[16], y17 = bb[17] + tb[17];
+          if (band & 1) y17 = -y17;
+          _mm512_storeu_pd(yb, _mm512_xor_pd(y0, inv));
+          _mm512_storeu_pd(yb + 8, _mm512_xor_pd(y1, inv));
+          yb[16] = y16;
+          yb[17] = y17;
+          _mm512_storeu_pd(tb, _mm512_loadu_pd(bb + 18));
+          _mm512_storeu_pd(tb + 8, _mm512_loadu_pd(bb + 26));
+          tb[16] = bb[34];
+          tb[17] = bb[35];
+        }
+      }
+#else
       for (int band = 0; band < 32; ++band) {
         for (int i = 0; i < 18; ++i) {
           y[ch][band][i] = blk[ch][band][i] + tail_c[ch][band][i];
@@ -323,6 +437,7 @@ int64_t decode_plane_run(
       // ---- frequency inversion
       for (int band = 1; band < 32; band += 2)
         for (int i = 1; i < 18; i += 2) y[ch][band][i] = -y[ch][band][i];
+#endif
       if (prof) { tp1 = prof_tsc(); c_ov += tp1 - tp0; tp0 = tp1; }
     }
 
@@ -408,8 +523,7 @@ int64_t decode_plane_run(
         }
       }
 #endif
-      for (int step = 0; step < 18; ++step)
-        for (int n = 0; n < 32; ++n) sink.write(ch, t, step, n, acc[step][n]);
+      sink.write_granule(ch, t, acc);
       // carry: last 15 V rows become the next granule's history
       std::memmove(&vlin[ch][0][0], &vlin[ch][18][0],
                    15 * 64 * sizeof(double));
