@@ -13,10 +13,31 @@
 // for ctypes — no pybind11 dependency.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 
 namespace {
+
+// MP3STEGO_TPU_PARSE_PROF=1: per-section cycle split to stderr (tuning aid)
+inline uint64_t pprof_tsc() {
+#if defined(__x86_64__)
+  return __rdtsc();
+#else
+  return 0;
+#endif
+}
+inline bool pprof_enabled() {
+  static const bool on = [] {
+    const char* e = std::getenv("MP3STEGO_TPU_PARSE_PROF");
+    return e && e[0] == '1';
+  }();
+  return on;
+}
 
 constexpr int kNumPrevFrames = 9;
 constexpr int kLutBits = 19;
@@ -26,26 +47,36 @@ constexpr int kLutBits = 19;
 struct BitReader {
   const uint8_t* data;
   int64_t nbits;
+  int64_t nbytes;
   int64_t pos = 0;
 
-  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+  BitReader(const uint8_t* d, int64_t nb) : data(d), nbits(nb * 8), nbytes(nb) {}
 
   // MSB-first read of n bits; bits past the end read as zero (the reference
-  // zero-pads, decoder/util.py:38-47 via _MainDataBits).
+  // zero-pads, decoder/util.py:38-47 via _MainDataBits). One unaligned
+  // 32-bit load in-bounds; the per-byte walk only near the buffer end.
   inline uint32_t get(int64_t p, int n) const {
-    uint32_t v = 0;
-    for (int i = 0; i < n; ++i) {
-      int64_t b = p + i;
-      uint32_t bit =
-          (b < nbits) ? ((data[b >> 3] >> (7 - (b & 7))) & 1u) : 0u;
-      v = (v << 1) | bit;
+    if (n == 0) return 0;
+    int64_t byte = p >> 3;
+    int off = int(p & 7);
+    uint32_t w;
+    if (byte + 4 <= nbytes) {
+      std::memcpy(&w, data + byte, 4);
+      w = __builtin_bswap32(w);
+    } else {
+      w = 0;
+      for (int i = 0; i < 4; ++i) {
+        uint32_t b = (byte + i >= 0 && byte + i < nbytes) ? data[byte + i] : 0;
+        w = (w << 8) | b;
+      }
     }
-    return v;
+    return (w << off) >> (32 - n);
   }
   // Truncated-value read: only the available bits contribute (the reference's
   // side-info reader iterates a short slice, FrameSideInformation semantics —
   // e.g. 2 remaining bits read as a 5-bit field give 0b11, not 0b11000).
   inline uint32_t get_truncated(int64_t p, int n) const {
+    if (p + n <= nbits) return get(p, n);  // fully in-bounds: same value
     int64_t end = p + n;
     if (end > nbits) end = nbits;
     uint32_t v = 0;
@@ -337,6 +368,10 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
     const int maxv = L.maxval[table_num];
     const int32_t* l1 = L.l1 + (int64_t(book) << 12);
     while (sample < end) {
+      // NOTE: a one-64-bit-window-per-symbol variant (single bswap64 load
+      // serving code+linbits+signs) measured ~20% SLOWER here — the
+      // successive variable shifts serialize the symbol's dependency
+      // chain, while independent 32-bit peeks overlap across fields.
       int32_t packed = l1[peek_fast(md, md_len, bit, 12)];
       if (packed < 0)
         packed = L.l2[(int64_t(-packed - 1) << 7)
@@ -346,25 +381,27 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
       bit += size;
       int values[2] = {packed >> 9, (packed >> 5) & 15};
       for (int i = 0; i < 2; ++i) {
-        int linbit = 0;
-        if (linbits != 0 && values[i] == maxv - 1) {
-          linbit = int(peek_fast(md, md_len, bit, linbits));
+        int v = values[i];
+        if (linbits != 0 && v == maxv - 1) {   // escape: rare, hoisted-gated
+          v += int(peek_fast(md, md_len, bit, linbits));
           bit += linbits;
         }
-        int sign = 1;
-        if (values[i] > 0) {
-          sign = peek_fast(md, md_len, bit, 1) ? -1 : 1;
-          bit += 1;
-        }
-        out[sample + i] = int32_t(sign * (values[i] + linbit));
+        // branchless sign: the bit is peeked unconditionally (pure) and
+        // consumed iff the value is nonzero — the data-dependent sign
+        // branch was ~50/50 and cost a mispredict per sample
+        const int take = values[i] > 0;
+        const int neg = take & int(peek_fast(md, md_len, bit, 1));
+        bit += take;
+        out[sample + i] = neg ? -v : v;
       }
       sample += 2;
     }
   }
 
+  const bool quad_b = si->count1table_select[gr][ch] == 1;  // hoisted
   while (bit < max_bit && sample + 4 < 576) {
     int values[4];
-    if (si->count1table_select[gr][ch] == 1) {
+    if (quad_b) {
       uint32_t bs = peek_fast(md, md_len, bit, 4);
       bit += 4;
       values[0] = (bs & 0x08) ? 0 : 1;
@@ -379,12 +416,13 @@ void unpack_samples(const uint8_t* md, int64_t md_len, const SideInfo* si,
       values[0] = (p >> 3) & 1; values[1] = (p >> 2) & 1;
       values[2] = (p >> 1) & 1; values[3] = p & 1;
     }
-    for (int i = 0; i < 4; ++i)
-      if (values[i] > 0) {
-        if (peek_fast(md, md_len, bit, 1) == 1) values[i] = -values[i];
-        bit += 1;
-      }
-    for (int i = 0; i < 4; ++i) out[sample + i] = values[i];
+    for (int i = 0; i < 4; ++i) {
+      // branchless sign consume, as in the pair loop
+      const int take = values[i] > 0;
+      const int neg = take & int(peek_fast(md, md_len, bit, 1));
+      bit += take;
+      out[sample + i] = neg ? -values[i] : values[i];
+    }
     sample += 4;
   }
 }
@@ -517,7 +555,11 @@ int64_t mp3_parse(
 
   int64_t cur = offset;
   int64_t fi = 0;
+  const bool pprof = pprof_enabled();
+  uint64_t c_hdr = 0, c_asm = 0, c_sf = 0, c_smp = 0, c_out = 0;
+  uint64_t pt0 = 0, pt1 = 0;
   while (n > cur + 4 && fi < max_frames) {
+    if (pprof) pt0 = pprof_tsc();
     if (!(data[cur] == 0xFF && data[cur + 1] >= 0xE0)) {
       dup = fi > 0 ? 1 : 0;
       break;
@@ -535,18 +577,24 @@ int64_t mp3_parse(
                     (cur + frame_size <= n ? frame_size : n - cur) - start_si,
                     h, &si);
 
+    if (pprof) { pt1 = pprof_tsc(); c_hdr += pt1 - pt0; pt0 = pt1; }
     int64_t md_len = assemble_main_data(data, n, cur, frame_size, prev_hist,
                                         si, h, md.data(), int64_t(md.size()));
+    if (pprof) { pt1 = pprof_tsc(); c_asm += pt1 - pt0; pt0 = pt1; }
     int64_t bit = 0;
     for (int gr = 0; gr < 2; ++gr)
       for (int ch = 0; ch < h.channels; ++ch) {
         int64_t max_bit = bit + si.part2_3_length[gr][ch];
+        if (pprof) pt0 = pprof_tsc();
         bit = unpack_scale_factors(md.data(), md_len, &si, gr, ch, bit);
+        if (pprof) { pt1 = pprof_tsc(); c_sf += pt1 - pt0; pt0 = pt1; }
         unpack_samples(md.data(), md_len, &si, h.sr_idx, gr, ch, bit, max_bit,
                        L, raw + ((fi * 2 + gr) * 2 + ch) * 576);
+        if (pprof) { pt1 = pprof_tsc(); c_smp += pt1 - pt0; pt0 = pt1; }
         bit = max_bit;
       }
 
+    if (pprof) pt0 = pprof_tsc();
     frame_sizes[fi] = frame_size;
     for (int gr = 0; gr < 2; ++gr)
       for (int ch = 0; ch < 2; ++ch) {
@@ -568,8 +616,17 @@ int64_t mp3_parse(
             scale_fac_s[(k * 3 + w) * 13 + s] = si.scale_fac_s[gr][ch][w][s];
       }
     ms_stereo[fi] = (h.channel_mode == 1 && h.mode_ext0) ? 1 : 0;
+    if (pprof) { pt1 = pprof_tsc(); c_out += pt1 - pt0; }
     cur += frame_size;
     ++fi;
+  }
+  if (pprof && fi > 0) {
+    std::fprintf(stderr,
+                 "[parse_prof] F=%lld cyc/frame: hdr+side=%.0f asm=%.0f "
+                 "scalefac=%.0f samples=%.0f out=%.0f total=%.0f\n",
+                 (long long)fi, double(c_hdr) / fi, double(c_asm) / fi,
+                 double(c_sf) / fi, double(c_smp) / fi, double(c_out) / fi,
+                 double(c_hdr + c_asm + c_sf + c_smp + c_out) / fi);
   }
 
   header_out[0] = first_h.sr_idx;
