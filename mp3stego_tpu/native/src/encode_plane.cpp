@@ -29,6 +29,10 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <x86intrin.h>
+#define MP3STEGO_ENC_AVX512 1
+#endif
 
 // pcm: (nch, 480 + tg*576) int16 front-padded streams (raw samples; the <<16
 // upshift of the reference's WAV read happens here). out: (nch, tg, 576).
@@ -103,6 +107,63 @@ extern "C" int64_t encode_analysis(
 
       // macc[l][b], accumulated lane-parallel over the 32 bands
       uint32_t macc[18][32];
+#if defined(MP3STEGO_ENC_AVX512)
+      // Register-block the 18x32 tile: 6 l-rows x 8 bands live in 6 zmm
+      // accumulators across all 36 m (the autovectorized form reloads and
+      // stores the tile every (m,l)). Integer sums are associative mod
+      // 2^32, and accumulating the >>32 products in 64-bit lanes keeps the
+      // low 32 bits identical to the uint32 scalar accumulation.
+      for (int bh = 0; bh < 32; bh += 8) {
+        for (int lb = 0; lb < 18; lb += 6) {
+          __m512i a0 = _mm512_setzero_si512(), a1 = a0, a2 = a0, a3 = a0,
+                  a4 = a0, a5 = a0;
+          const int32_t* cl = cos_l + lb * 36;
+          for (int m = 0; m < 36; ++m) {
+            const int32_t* row =
+                m < 18 ? (prv ? prv + m * 32 : nullptr) : cur + (m - 18) * 32;
+            if (!row) continue;  // first granule: prev half is zero
+            const __m512i r = _mm512_cvtepi32_epi64(
+                _mm256_loadu_si256((const __m256i*)(row + bh)));
+            // vpmuldq: int32 x int32 -> int64 per lane, then >>32
+            a0 = _mm512_add_epi64(
+                a0, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[m])), 32));
+            a1 = _mm512_add_epi64(
+                a1, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[36 + m])),
+                        32));
+            a2 = _mm512_add_epi64(
+                a2, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[72 + m])),
+                        32));
+            a3 = _mm512_add_epi64(
+                a3, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[108 + m])),
+                        32));
+            a4 = _mm512_add_epi64(
+                a4, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[144 + m])),
+                        32));
+            a5 = _mm512_add_epi64(
+                a5, _mm512_srai_epi64(
+                        _mm512_mul_epi32(r, _mm512_set1_epi64(cl[180 + m])),
+                        32));
+          }
+          _mm256_storeu_si256((__m256i*)&macc[lb + 0][bh],
+                              _mm512_cvtepi64_epi32(a0));
+          _mm256_storeu_si256((__m256i*)&macc[lb + 1][bh],
+                              _mm512_cvtepi64_epi32(a1));
+          _mm256_storeu_si256((__m256i*)&macc[lb + 2][bh],
+                              _mm512_cvtepi64_epi32(a2));
+          _mm256_storeu_si256((__m256i*)&macc[lb + 3][bh],
+                              _mm512_cvtepi64_epi32(a3));
+          _mm256_storeu_si256((__m256i*)&macc[lb + 4][bh],
+                              _mm512_cvtepi64_epi32(a4));
+          _mm256_storeu_si256((__m256i*)&macc[lb + 5][bh],
+                              _mm512_cvtepi64_epi32(a5));
+        }
+      }
+#else
       std::memset(macc, 0, sizeof(macc));
       for (int m = 0; m < 36; ++m) {
         const int32_t* row =
@@ -115,6 +176,7 @@ extern "C" int64_t encode_analysis(
             ml[b] += uint32_t((int64_t(row[b]) * c) >> 32);
         }
       }
+#endif
       for (int b = 0; b < 32; ++b)
         for (int l = 0; l < 18; ++l) og[b * 18 + l] = int32_t(macc[l][b]);
 
