@@ -72,10 +72,17 @@ class Probe:
     probed: bool
 
 
+# Bumped whenever an engine's throughput materially changes (e.g. the
+# AVX-512 plane/parse kernels), so hosts with an existing probe cache
+# re-measure instead of deciding on stale rates.
+_PROBE_VERSION = 2
+
+
 def _cache_path() -> str:
     from mp3stego_tpu.ops import _host_cache_tag
-    return os.path.join(os.path.expanduser("~"), ".cache",
-                        f"mp3stego_tpu_probe-{_host_cache_tag()}.json")
+    return os.path.join(
+        os.path.expanduser("~"), ".cache",
+        f"mp3stego_tpu_probe-v{_PROBE_VERSION}-{_host_cache_tag()}.json")
 
 
 _probe_cache = None
