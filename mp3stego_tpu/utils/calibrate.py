@@ -117,6 +117,29 @@ def get_probe() -> Probe:
     return _probe_cache
 
 
+def _backend_kind(timeout_s: float = 60.0):
+    """``jax.default_backend()``, but bounded. Backend init reaches out to
+    the device (a tunneled chip can hang indefinitely when unreachable), and
+    a hang cannot be caught by try/except — so the init runs on a daemon
+    thread and the probe falls back to host-only measurement (static
+    link/device defaults) on timeout. A host-only decode/encode must never
+    block on a dead device link just to calibrate."""
+    import threading
+    out = []
+
+    def run():
+        try:
+            import jax
+            out.append(jax.default_backend())
+        except Exception:
+            out.append(None)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return out[0] if out else None
+
+
 def measure_probe() -> Probe:
     """Measure link + host-engine rates (~a second warm; the first transfer
     on a fresh machine can stall tens of seconds — that cost is cached)."""
@@ -142,7 +165,7 @@ def measure_probe() -> Probe:
     try:
         import jax
         import jax.numpy as jnp
-        if jax.default_backend() != "cpu":
+        if _backend_kind() not in (None, "cpu"):
             from mp3stego_tpu.utils.transfer import fetch_pieces, put_pieces
 
             @jax.jit
