@@ -26,6 +26,29 @@ FIXTURE = "/root/reference/tests/test.mp3"
 N_FILES = 64
 ITERS = 5
 DETAIL = {}
+DEVICE_OK = True   # set by main(); gates every device-touching section
+
+
+def _device_available(timeout_s: float = 180.0) -> bool:
+    """Bounded device check. Backend init reaches out over the tunnel and
+    hangs indefinitely when the chip is unreachable (not catchable with
+    try/except) — probe it on a daemon thread so an unreachable chip
+    degrades the run to host-only rows instead of producing no artifact."""
+    import threading
+    out = []
+
+    def run():
+        try:
+            import jax
+            out.append(jax.default_backend() != "cpu"
+                       and len(jax.devices()) > 0)
+        except Exception:
+            out.append(False)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(out and out[0])
 
 
 def _fixture_path():
@@ -112,6 +135,10 @@ def bench_decode_fixture_batch():
     rt = audio / best_of(lambda: decode_files_batched(paths, out="int16"))
     _note("decode 64x fixture batch (end-to-end, auto engine)", rt,
           "x realtime")
+
+    if not DEVICE_OK:
+        DETAIL["device rows"] = {"status": "SKIPPED (device unreachable)"}
+        return rt
 
     # 2. forced device path (chunked pipeline)
     os.environ["MP3STEGO_TPU_BATCH_HOST_G"] = "0"
@@ -202,6 +229,8 @@ def bench_decode_long():
     _note("decode 120s single stream (end-to-end)", audio / best, "x realtime")
     assert pcm.shape[0] >= int(audio * 44100) - 1152
 
+    if not DEVICE_OK:
+        return
     best = None
     for rep in range(3):                  # rep0 warms compiles + d2h path
         t0 = time.time()
@@ -258,17 +287,18 @@ def bench_encode():
           30.0 / dt, "x realtime")
 
     # secondary: the device search plane (the sharded-batch engine), forced
-    os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
-    try:
-        for rep in range(2):
-            enc = MP3Encoder(read_wav(wav, 320))
-            t0 = time.time()
-            enc.encode(quiet=True)
-            dt = time.time() - t0
-        _note("encode 30s single stream (device plane)", 30.0 / dt,
-              "x realtime")
-    finally:
-        os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
+    if DEVICE_OK:
+        os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
+        try:
+            for rep in range(2):
+                enc = MP3Encoder(read_wav(wav, 320))
+                t0 = time.time()
+                enc.encode(quiet=True)
+                dt = time.time() - t0
+            _note("encode 30s single stream (device plane)", 30.0 / dt,
+                  "x realtime")
+        finally:
+            os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
 
     from mp3stego_tpu.parallel import encode_files_batched
     jobs = [(wav, f"/tmp/bench_enc_b{i}.mp3") for i in range(8)]
@@ -283,17 +313,18 @@ def bench_encode():
     # the sharded device group engine, forced (the flagship distributed
     # encode construct — on a mesh this shards over "files"; here it runs
     # on the one real chip so the row records its per-chip throughput)
-    os.environ["MP3STEGO_TPU_BATCH_ENC_HOST"] = "0"
-    try:
-        encode_files_batched(jobs, bitrate=320)   # warm compiles
-        t0 = time.time()
-        outs = encode_files_batched(jobs, bitrate=320)
-        dt = time.time() - t0
-        assert all(isinstance(o, str) for o in outs)
-        _note("encode 8x30s batch (device group engine forced)",
-              8 * 30.0 / dt, "x realtime")
-    finally:
-        os.environ.pop("MP3STEGO_TPU_BATCH_ENC_HOST", None)
+    if DEVICE_OK:
+        os.environ["MP3STEGO_TPU_BATCH_ENC_HOST"] = "0"
+        try:
+            encode_files_batched(jobs, bitrate=320)   # warm compiles
+            t0 = time.time()
+            outs = encode_files_batched(jobs, bitrate=320)
+            dt = time.time() - t0
+            assert all(isinstance(o, str) for o in outs)
+            _note("encode 8x30s batch (device group engine forced)",
+                  8 * 30.0 / dt, "x realtime")
+        finally:
+            os.environ.pop("MP3STEGO_TPU_BATCH_ENC_HOST", None)
     return rt
 
 
@@ -461,6 +492,8 @@ def bench_hide_roundtrip():
     # (models/encoder._encode_hide_parallel): the whole-file search runs on
     # device with pinned cursors, no sequential head. On a fast link / mesh
     # this is the scale-out hide path; the row proves it on-chip each round.
+    if not DEVICE_OK:
+        return
     os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
     try:
         for rep in range(2):
@@ -480,6 +513,12 @@ def bench_hide_roundtrip():
 
 def check_tpu_kernels():
     """Correctness records for the opt-in device kernels on the real chip."""
+    if not DEVICE_OK:
+        DETAIL["pallas synthesis FIR"] = {
+            "status": "SKIPPED (device unreachable)"}
+        DETAIL["device huffman decode"] = {
+            "status": "SKIPPED (device unreachable)"}
+        return
     import jax
 
     from mp3stego_tpu.bitstream import decoder_host as dh
@@ -564,6 +603,11 @@ def check_tpu_kernels():
 
 
 def main():
+    global DEVICE_OK
+    DEVICE_OK = _device_available()
+    if not DEVICE_OK:
+        print("# device unreachable within 180s: host-only rows this run",
+              file=sys.stderr)
     headline = bench_decode_fixture_batch()
     bench_decode_long()
     bench_decode_mixed()
