@@ -60,6 +60,20 @@ def _band_row_i32(sr_idx):
         T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32))
 
 
+def _init_rate_tables(lib) -> bool:
+    """Initialize a loaded rate-search library's table globals (also used
+    by tests on alternative builds, e.g. the forced-scalar .so)."""
+    st, sti, i2i = T.loop_tables()
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    rc = lib.rate_tables_init(
+        np.ascontiguousarray(st, np.float64), i32(sti), i32(i2i),
+        i32(T.HUFF_LEN), i32(T.HUFF_XLEN), i32(T.HUFF_LINBITS),
+        i32(T.HUFF_LINMAX), i32(Q._QLEN0), i32(Q._QLEN1),
+        i32(T.SCALE_FACT_BAND_INDEX), T.SCALE_FACT_BAND_INDEX.size,
+        i32(T.SUBDV_TABLE), i32(T.TRANSFORM_HUF))
+    return rc == 0
+
+
 @_ft.lru_cache(maxsize=1)
 def _native_rate_lib():
     """The native rate-search twin (native/src/rate_search.cpp) with its
@@ -70,15 +84,7 @@ def _native_rate_lib():
     lib = native.get_lib()
     if lib is None or not hasattr(lib, "rate_bin_search"):
         return None
-    st, sti, i2i = T.loop_tables()
-    i32 = lambda a: np.ascontiguousarray(a, np.int32)
-    rc = lib.rate_tables_init(
-        np.ascontiguousarray(st, np.float64), i32(sti), i32(i2i),
-        i32(T.HUFF_LEN), i32(T.HUFF_XLEN), i32(T.HUFF_LINBITS),
-        i32(T.HUFF_LINMAX), i32(Q._QLEN0), i32(Q._QLEN1),
-        i32(T.SCALE_FACT_BAND_INDEX), T.SCALE_FACT_BAND_INDEX.size,
-        i32(T.SUBDV_TABLE), i32(T.TRANSFORM_HUF))
-    return lib if rc == 0 else None
+    return lib if _init_rate_tables(lib) else None
 
 
 _EMPTY_HIDE = np.zeros(1, np.uint8)

@@ -85,98 +85,105 @@ def get_lib():
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        i64 = ctypes.c_int64
-        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.mp3_count_frames.restype = i64
-        lib.mp3_count_frames.argtypes = [p_u8, i64, i64, p_i32]
-
-        lib.mp3_parse.restype = i64
-        lib.mp3_parse.argtypes = [
-            p_u8, i64, i64,
-            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
-            i64,
-            p_i32, p_i64, p_i32,   # raw samples are integral (int32)
-            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
-            p_i32, p_i32, p_i32, p_i32, p_u8,
-        ]
-
-        i32 = ctypes.c_int32
-        p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
-        lib.mp3_format_frame.restype = i64
-        lib.mp3_format_frame.argtypes = [
-            p_u32, p_i32, p_u8, i64,
-            i32, i32, i32, i32, i32, i32, i32, i32,
-            i32, i32, i32, i32, i32, i32, i32,
-            p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
-            p_u32, p_u8, p_i32, p_i32,
-        ]
-        p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-        lib.pack_raw_plane.restype = i64
-        lib.pack_raw_plane.argtypes = [
-            p_i32, i64, p_i8, p_i32, p_i8, p_i16, p_i16, i64,
-        ]
-
-        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        _plane_args = [
-            i64,
-            p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,   # raw + 5 gr fields
-            p_i32, p_i32, p_i32, p_u8,                  # sbg, sfl, sfs, ms
-            p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
-            p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
-            p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
-        ]
-        lib.decode_plane_f64.restype = i64
-        lib.decode_plane_f64.argtypes = _plane_args + [p_f64]
-        lib.decode_plane_i16.restype = i64
-        lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64]
-
-        lib.rate_tables_init.restype = i64
-        lib.rate_tables_init.argtypes = [
-            p_f64, p_i32, p_i32,            # steptab, steptabi, int2idx
-            p_i32, p_i32, p_i32, p_i32,     # hlen, xlen, linbits, linmax
-            p_i32, p_i32,                   # qlen0, qlen1
-            p_i32, i64, p_i32, p_i32,       # band flat + size, subdv, transform
-        ]
-        # shared shape: (xr, xrabs, xrmax, <step|rate|bits>, sr_off,
-        #                hide, hide_len, hide_off, state[12], ix[576])
-        for fn in (lib.rate_exact_eval, lib.rate_bin_search,
-                   lib.rate_inner_loop):
-            fn.restype = i64
-            fn.argtypes = [p_i32, p_i32, i64, i64, i64,
-                           p_u8, i64, i64, p_i64, p_i32]
-
-        lib.rate_search_file.restype = i64
-        lib.rate_search_file.argtypes = [
-            p_i32, p_i32, i64, i64, i64, i64,
-            p_u8, i64, i64,
-            p_i64, p_i32, p_i32, p_i32,
-            p_i64, p_i32, i64,      # chain state/ix io + chain_in flag
-        ]
-
-        lib.rate_cost_step.restype = i64
-        lib.rate_cost_step.argtypes = [p_i32, i64, i64, i64, i64, p_i64]
-
-        lib.encode_analysis.restype = i64
-        lib.encode_analysis.argtypes = [
-            p_i16, i64, i64,
-            p_i64, p_i32, p_i32, p_i32, p_i32,
-            p_i32,
-        ]
-
-        lib.mp3_format_frames.restype = i64
-        lib.mp3_format_frames.argtypes = [
-            p_u32, p_i32, p_u8, i64,
-            i64,
-            i32, i32, i32, p_i32, i32, p_i32, i32, i32,
-            i32, i32, i32, i32, i32, i32, i32,
-            p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
-            p_u32, p_u8, p_i32, p_i32,
-        ]
+        _bind(lib)
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    """Attach restype/argtypes to a loaded libmp3stego_native. Split out
+    of get_lib so tests can bind alternative builds of the same sources
+    (e.g. the -DMP3STEGO_FORCE_SCALAR differential build)."""
+    i64 = ctypes.c_int64
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.mp3_count_frames.restype = i64
+    lib.mp3_count_frames.argtypes = [p_u8, i64, i64, p_i32]
+
+    lib.mp3_parse.restype = i64
+    lib.mp3_parse.argtypes = [
+        p_u8, i64, i64,
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+        i64,
+        p_i32, p_i64, p_i32,   # raw samples are integral (int32)
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+        p_i32, p_i32, p_i32, p_i32, p_u8,
+    ]
+
+    i32 = ctypes.c_int32
+    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.mp3_format_frame.restype = i64
+    lib.mp3_format_frame.argtypes = [
+        p_u32, p_i32, p_u8, i64,
+        i32, i32, i32, i32, i32, i32, i32, i32,
+        i32, i32, i32, i32, i32, i32, i32,
+        p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
+        p_u32, p_u8, p_i32, p_i32,
+    ]
+    p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.pack_raw_plane.restype = i64
+    lib.pack_raw_plane.argtypes = [
+        p_i32, i64, p_i8, p_i32, p_i8, p_i16, p_i16, i64,
+    ]
+
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    _plane_args = [
+        i64,
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,   # raw + 5 gr fields
+        p_i32, p_i32, p_i32, p_u8,                  # sbg, sfl, sfs, ms
+        p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
+        p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
+        p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
+    ]
+    lib.decode_plane_f64.restype = i64
+    lib.decode_plane_f64.argtypes = _plane_args + [p_f64]
+    lib.decode_plane_i16.restype = i64
+    lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64]
+
+    lib.rate_tables_init.restype = i64
+    lib.rate_tables_init.argtypes = [
+        p_f64, p_i32, p_i32,            # steptab, steptabi, int2idx
+        p_i32, p_i32, p_i32, p_i32,     # hlen, xlen, linbits, linmax
+        p_i32, p_i32,                   # qlen0, qlen1
+        p_i32, i64, p_i32, p_i32,       # band flat + size, subdv, transform
+    ]
+    # shared shape: (xr, xrabs, xrmax, <step|rate|bits>, sr_off,
+    #                hide, hide_len, hide_off, state[12], ix[576])
+    for fn in (lib.rate_exact_eval, lib.rate_bin_search,
+               lib.rate_inner_loop):
+        fn.restype = i64
+        fn.argtypes = [p_i32, p_i32, i64, i64, i64,
+                       p_u8, i64, i64, p_i64, p_i32]
+
+    lib.rate_search_file.restype = i64
+    lib.rate_search_file.argtypes = [
+        p_i32, p_i32, i64, i64, i64, i64,
+        p_u8, i64, i64,
+        p_i64, p_i32, p_i32, p_i32,
+        p_i64, p_i32, i64,      # chain state/ix io + chain_in flag
+    ]
+
+    lib.rate_cost_step.restype = i64
+    lib.rate_cost_step.argtypes = [p_i32, i64, i64, i64, i64, p_i64]
+
+    lib.encode_analysis.restype = i64
+    lib.encode_analysis.argtypes = [
+        p_i16, i64, i64,
+        p_i64, p_i32, p_i32, p_i32, p_i32,
+        p_i32,
+    ]
+
+    lib.mp3_format_frames.restype = i64
+    lib.mp3_format_frames.argtypes = [
+        p_u32, p_i32, p_u8, i64,
+        i64,
+        i32, i32, i32, p_i32, i32, p_i32, i32, i32,
+        i32, i32, i32, i32, i32, i32, i32,
+        p_i32, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32,
+        p_u32, p_u8, p_i32, p_i32,
+    ]
 
 
 def available() -> bool:

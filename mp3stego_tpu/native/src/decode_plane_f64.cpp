@@ -32,7 +32,11 @@
 // contracted), only *different outputs* ride the vector lanes. gcc's
 // autovectorizer produces the same semantics but spills the accumulators to
 // the stack every iteration; keeping them in zmm registers is ~2-3x here.
-#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512BW__)
+// -DMP3STEGO_FORCE_SCALAR builds the portable scalar paths even on an
+// AVX-512 host — tests/test_native_scalar.py differential-tests them so
+// the non-AVX fallback cannot bit-rot unnoticed.
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512BW__) \
+    && !defined(MP3STEGO_FORCE_SCALAR)
 #define MP3STEGO_PLANE_AVX512 1
 #endif
 

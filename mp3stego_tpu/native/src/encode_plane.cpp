@@ -29,7 +29,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
-#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#if defined(__AVX512F__) && defined(__AVX512DQ__) \
+    && !defined(MP3STEGO_FORCE_SCALAR)
 #include <x86intrin.h>
 #define MP3STEGO_ENC_AVX512 1
 #endif

@@ -30,7 +30,8 @@
 // so vectorization cannot change results. The rare float-fallback lanes of
 // quantize are redone with the EXACT scalar expression, preserving NumPy's
 // operation order (see quantize()).
-#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
+    && !defined(MP3STEGO_FORCE_SCALAR)
 #include <immintrin.h>
 #define MP3S_AVX512 1
 #endif
