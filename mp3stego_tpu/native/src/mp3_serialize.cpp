@@ -20,29 +20,41 @@ struct BitSink {
   uint8_t* out;
   int64_t cap;
   int64_t pos = 0;
-  uint32_t cache;
-  int cache_bits;
+  uint32_t cache;   // external io form: pending bits left-aligned, 32-bit
+  int cache_bits;   // external io form: 32 - pending
+  uint64_t acc = 0;  // working form: pending bits in the BOTTOM nacc bits
+  int nacc = 0;
 
+  // The byte stream (and the 32-bit cache io contract at the entry points)
+  // is what must match the reference — internally the pending bits ride a
+  // 64-bit accumulator so a put is two shifts and one predictable flush.
+  inline void init() {
+    nacc = 32 - cache_bits;
+    acc = nacc ? (cache >> cache_bits) : 0;
+  }
+  inline void fini() {
+    cache_bits = 32 - nacc;
+    cache = nacc ? (uint32_t)((acc << cache_bits) & 0xFFFFFFFFu) : 0;
+  }
   inline void put(uint32_t val, int n) {
-    if (cache_bits > n) {
-      cache_bits -= n;
-      cache |= (uint32_t)(((uint64_t)val << cache_bits) & 0xFFFFFFFFu);
-    } else {
-      n -= cache_bits;
-      cache |= (n >= 32) ? 0u : (val >> n);
+    const uint32_t mask =
+        (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1u);
+    acc = (acc << n) | (uint64_t)(val & mask);
+    nacc += n;
+    if (nacc >= 32) {   // at most once: nacc was <= 31, n <= 32
+      nacc -= 32;
+      const uint32_t w = (uint32_t)(acc >> nacc);
       if (pos + 4 <= cap) {
-        out[pos] = (uint8_t)(cache >> 24);
-        out[pos + 1] = (uint8_t)(cache >> 16);
-        out[pos + 2] = (uint8_t)(cache >> 8);
-        out[pos + 3] = (uint8_t)cache;
+        out[pos] = (uint8_t)(w >> 24);
+        out[pos + 1] = (uint8_t)(w >> 16);
+        out[pos + 2] = (uint8_t)(w >> 8);
+        out[pos + 3] = (uint8_t)w;
       }
       pos += 4;
-      cache_bits = 32 - n;
-      cache = (n != 0) ? (uint32_t)(((uint64_t)val << cache_bits) & 0xFFFFFFFFu)
-                       : 0u;
+      acc &= (nacc ? ((1ull << nacc) - 1) : 0);
     }
   }
-  inline int64_t bits_count() const { return pos * 8 + 32 - cache_bits; }
+  inline int64_t bits_count() const { return pos * 8 + nacc; }
 };
 
 // gi field order (must match models/encoder.py packing)
@@ -77,6 +89,7 @@ int64_t mp3_format_frame(
     const int32_t* huff_linbits,
     const int32_t* band) {         // scale_fact_band_index row, 23 entries
   BitSink bs{out, out_cap, 0, *cache, *cache_bits};
+  bs.init();
 
   auto gif = [&](int gr, int ch, int f) -> int64_t {
     return gi[(gr * 2 + ch) * F_NFIELDS + f];
@@ -218,6 +231,7 @@ int64_t mp3_format_frame(
       }
     }
 
+  bs.fini();
   *cache = bs.cache;
   *cache_bits = bs.cache_bits;
   return bs.pos <= out_cap ? bs.pos : -1;
