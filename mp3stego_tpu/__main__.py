@@ -47,12 +47,17 @@ def main(argv=None):
 
     h = sub.add_parser("hide", help="hide a message in an MP3")
     h.add_argument("input"), h.add_argument("output"), h.add_argument("message")
+    h.add_argument("--keep-id3", action="store_true",
+                   help="carry the input's ID3v2 tag to the output "
+                        "(the reference re-encode drops it)")
 
     r = sub.add_parser("reveal", help="reveal a hidden message")
     r.add_argument("input"), r.add_argument("txt")
 
     c = sub.add_parser("clear", help="strip hidden data (re-encode)")
     c.add_argument("input"), c.add_argument("output")
+    c.add_argument("--keep-id3", action="store_true",
+                   help="carry the input's ID3v2 tag to the output")
 
     b = sub.add_parser("decode-batch",
                        help="decode many MP3s in one batched device program")
@@ -100,6 +105,8 @@ def main(argv=None):
         print(f"encoded at {args.bitrate} kbps"
               f"{' average (VBR)' if args.vbr else ''} -> {args.output}")
     elif args.op == "hide":
+        if args.keep_id3:
+            s.keep_id3 = True
         too_long = s.hide_message(args.input, args.output, args.message)
         print("warning: message truncated (file too short)" if too_long
               else f"hidden -> {args.output}")
@@ -108,6 +115,8 @@ def main(argv=None):
         s.reveal_massage(args.input, args.txt)
         print(f"revealed -> {args.txt}")
     elif args.op == "clear":
+        if args.keep_id3:
+            s.keep_id3 = True
         s.clear_file(args.input, args.output)
         print(f"cleared -> {args.output}")
     elif args.op == "decode-batch":

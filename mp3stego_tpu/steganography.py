@@ -63,11 +63,20 @@ class Steganography:
     :param quiet: if False, prints information about the processes and the files.
     :param precision: decode numeric plane mode — "float64" (bit-exact parity,
         host) or "float32" (TPU; ≤1 LSB int16 deviation at ~1e-4 rate).
+    :param keep_id3: carry the input's leading ID3v2 tag over to the output
+        of ``hide_message``/``clear_file`` (the reference's re-encode drops
+        tags — reference decoder.py skips ID3 and its encoder writes bare
+        frames, so the default stays off for parity). Default from
+        ``MP3STEGO_TPU_KEEP_ID3``.
     """
 
-    def __init__(self, quiet: bool = True, precision: str = "float64"):
+    def __init__(self, quiet: bool = True, precision: str = "float64",
+                 keep_id3: bool = None):
         self.quiet = quiet
         self.precision = precision
+        if keep_id3 is None:
+            keep_id3 = os.environ.get("MP3STEGO_TPU_KEEP_ID3", "0") == "1"
+        self.keep_id3 = keep_id3
         self._last_bitrate = 0
         self._last_decoder = None
 
@@ -97,6 +106,39 @@ class Steganography:
         self._last_decoder.delete_wav_file()
         if not self.quiet:
             print("Wav file has been deleted.")
+
+    def _id3_block(self, path: str) -> bytes:
+        """The file's leading ID3v2 tag bytes (header + frames + footer),
+        or b"" when absent/invalid or ``keep_id3`` is off."""
+        if not self.keep_id3:
+            return b""
+        from mp3stego_tpu.bitstream.id3 import parse_id3
+        try:
+            with open(path, "rb") as f:
+                head = f.read(14)
+                if len(head) < 14 or head[:3] != b"ID3":
+                    return b""
+                f.seek(0)
+                # the tag's total extent is in the first 14 bytes; read just
+                # the block and re-validate through the real parser
+                from mp3stego_tpu.bitstream.id3 import syncsafe
+                total = syncsafe(head[6:10]) + (20 if head[5] & 0x10 else 10)
+                block = f.read(total)
+        except OSError:
+            return b""
+        tag = parse_id3(block)
+        return block if tag.is_valid and len(block) == tag.offset else b""
+
+    def _restore_id3(self, tag_block: bytes, output_file_path: str):
+        if not tag_block:
+            return
+        with open(output_file_path, "rb") as f:
+            body = f.read()
+        with open(output_file_path, "wb") as f:
+            f.write(tag_block)
+            f.write(body)
+        if not self.quiet:
+            print(f"ID3v2 tag ({len(tag_block)} bytes) carried over.")
 
     # ------------------------------------------------------------------- public
 
@@ -153,12 +195,14 @@ class Steganography:
         """
         with self._banner(f"Start Hiding {message} in {output_file_path}.",
                           "Hiding"):
+            tag = self._id3_block(input_file_path)
             wav_file_path = _mp3_to_wav_paths(input_file_path)
             self._decode(input_file_path, wav_file_path)
             _wav_to_mp3_paths(wav_file_path, output_file_path)
             too_long = self._encode(wav_file_path, output_file_path,
                                     bitrate=self._last_bitrate,
                                     hide_bits=_frame_message(message))
+            self._restore_id3(tag, output_file_path)
             self._drop_temp_wav()
         return too_long
 
@@ -170,9 +214,11 @@ class Steganography:
         """
         with self._banner(f"Start Cleaning {input_file_path} into "
                           f"{output_file_path}.", "Cleaning"):
+            tag = self._id3_block(input_file_path)
             wav_file_path = _mp3_to_wav_paths(input_file_path)
             self._decode(input_file_path, wav_file_path)
             _wav_to_mp3_paths(wav_file_path, output_file_path)
             self._encode(wav_file_path, output_file_path,
                          bitrate=self._last_bitrate)
+            self._restore_id3(tag, output_file_path)
             self._drop_temp_wav()
