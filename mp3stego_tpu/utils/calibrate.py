@@ -140,6 +140,25 @@ def _backend_kind(timeout_s: float = 60.0):
     return out[0] if out else None
 
 
+_device_usable = None
+
+
+def device_usable(timeout_s: float = 60.0) -> bool:
+    """Whether a jax backend can actually be brought up (bounded; cached per
+    process). Consulted lazily — only when a cost model is about to pick a
+    device engine — so the common all-host path never pays the check. A
+    probe cache can say "device is fast" on a host whose link later died;
+    without this, auto-selection would dispatch into a backend init that
+    hangs forever."""
+    env = os.environ.get("MP3STEGO_TPU_DEVICE_USABLE")
+    if env is not None:          # tests pin selection logic, not link health
+        return env == "1"
+    global _device_usable
+    if _device_usable is None:
+        _device_usable = _backend_kind(timeout_s) is not None
+    return _device_usable
+
+
 def measure_probe() -> Probe:
     """Measure link + host-engine rates (~a second warm; the first transfer
     on a fresh machine can stall tens of seconds — that cost is cached)."""
@@ -293,7 +312,9 @@ def batch_decode_engine(total_granules: int, probe: Probe = None) -> str:
                 + total_granules * H2D_BYTES_PER_GRANULE / (p.link_out_mbps * 1e6)
                 + total_granules / p.device_gps
                 + total_granules * D2H_BYTES_PER_GRANULE / (p.link_in_mbps * 1e6))
-    return "host" if host_s <= device_s else "device"
+    if host_s <= device_s:
+        return "host"
+    return "device" if device_usable() else "host"
 
 
 def batch_encode_engine(total_granules: int, probe: Probe = None) -> str:
@@ -314,7 +335,9 @@ def batch_encode_engine(total_granules: int, probe: Probe = None) -> str:
                 + total_granules * 1152 * 2 / (p.link_out_mbps * 1e6)
                 + total_granules / p.device_search_gps
                 + total_granules * 2400 / (p.link_in_mbps * 1e6))
-    return "host" if host_s <= device_s else "device"
+    if host_s <= device_s:
+        return "host"
+    return "device" if device_usable() else "host"
 
 
 def single_encode_engine(probe: Probe = None) -> str:

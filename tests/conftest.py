@@ -16,6 +16,10 @@ os.environ.setdefault("MP3STEGO_TPU_BATCH_BUCKET_G", "64")
 # calibration defaults reproduce the tunneled-host behavior the selection
 # tests pin (the probe itself is tested with synthetic Probe records)
 os.environ.setdefault("MP3STEGO_TPU_PROBE", "0")
+# selection tests pin the cost model, not link health — skip the bounded
+# device-reachability check (it can cost its full timeout when the machine's
+# device tunnel is down, and CI has no device either way)
+os.environ.setdefault("MP3STEGO_TPU_DEVICE_USABLE", "1")
 
 # jax may already be imported at interpreter start (TPU tunnel integration
 # pre-imports it), so env vars alone are too late — set the config directly
