@@ -178,7 +178,9 @@ int64_t decode_plane_run(
   std::memset(tail_c, 0, sizeof(tail_c));
   std::memset(vlin, 0, sizeof(vlin));
 
-  double x[2][576];          // per-granule working spectra (both channels)
+  double x[2][584];          // per-granule working spectra (both channels);
+                             // 8 doubles of tail padding absorb the dequant
+                             // kernel's unmasked 8-lane stores
   double blk[2][32][36];     // windowed IMDCT blocks
   double y[2][32][18];       // overlap-added, pre-inversion
 
@@ -228,6 +230,47 @@ int64_t decode_plane_run(
       const int32_t* sfs = scale_fac_s + g * 39;  // (3,13) flattened
       const int32_t* rw = raw + g * 576;
       double* xc = x[ch];
+#if defined(MP3STEGO_PLANE_AVX512)
+      // elementwise, so lane-parallel is exact: sign is applied as a real
+      // multiply by ±1.0 (the scalar op), pow43 rides a vpgatherdpd.
+      // Stores are UNMASKED into the padded row: a block overrunning its
+      // segment writes wrong exponents into the next segment's samples,
+      // which that segment then overwrites (ascending, non-overlapping).
+      const __m512d ones = _mm512_set1_pd(1.0);
+      const __m512d negs = _mm512_set1_pd(-1.0);
+      const __m256i bound = _mm256_set1_epi32(8206);
+      const __m256i zero = _mm256_setzero_si256();
+      for (int si = 0; si < nseg[mode]; ++si) {
+        const Seg& sg = segs[mode][si];
+        int e1i = gg - 210 - (sg.is_short ? 8 * sbg[sg.win] : 0) + 266;
+        if (e1i < 0) e1i = 0;
+        if (e1i > 511) e1i = 511;
+        const int sfb_c = sg.sfb < 21 ? sg.sfb : 21;
+        const int sf = sg.is_short ? sfs[sg.win * 13 + sg.sfb]
+                                   : sfl[sfb_c] + pre * pre_ext[sfb_c];
+        int e2i = mult2 * sf;
+        if (e2i < 0) e2i = 0;
+        if (e2i > 63) e2i = 63;
+        const __m512d e1 = _mm512_set1_pd(e1lut[e1i]);
+        const __m512d e2 = _mm512_set1_pd(e2lut[e2i]);
+        for (int s = sg.start; s < sg.end; s += 8) {
+          // the load stays masked: the final block of the final granule
+          // must not read past the caller's raw plane
+          const __mmask8 m =
+              sg.end - s >= 8 ? __mmask8(0xFF)
+                              : __mmask8((1u << (sg.end - s)) - 1);
+          const __m256i v =
+              _mm256_maskz_loadu_epi32(m, (const int*)(rw + s));
+          const __m256i av = _mm256_min_epi32(_mm256_abs_epi32(v), bound);
+          const __m512d p = _mm512_i32gather_pd(av, pow43, 8);
+          const __mmask8 neg = _mm256_cmplt_epi32_mask(v, zero);
+          const __m512d sign = _mm512_mask_blend_pd(neg, ones, negs);
+          const __m512d r = _mm512_mul_pd(
+              _mm512_mul_pd(_mm512_mul_pd(sign, p), e1), e2);
+          _mm512_storeu_pd(xc + s, r);
+        }
+      }
+#else
       for (int si = 0; si < nseg[mode]; ++si) {
         const Seg& sg = segs[mode][si];
         int e1i = gg - 210 - (sg.is_short ? 8 * sbg[sg.win] : 0) + 266;
@@ -240,32 +283,6 @@ int64_t decode_plane_run(
         if (e2i < 0) e2i = 0;
         if (e2i > 63) e2i = 63;
         const double e1v = e1lut[e1i], e2v = e2lut[e2i];
-#if defined(MP3STEGO_PLANE_AVX512)
-        // elementwise, so lane-parallel is exact: sign is applied as a real
-        // multiply by ±1.0 (the scalar op), pow43 rides a vpgatherdpd
-        {
-          const __m512d ones = _mm512_set1_pd(1.0);
-          const __m512d negs = _mm512_set1_pd(-1.0);
-          const __m512d e1 = _mm512_set1_pd(e1v), e2 = _mm512_set1_pd(e2v);
-          const __m256i bound = _mm256_set1_epi32(8206);
-          const __m256i zero = _mm256_setzero_si256();
-          for (int s = sg.start; s < sg.end; s += 8) {
-            const __mmask8 m =
-                sg.end - s >= 8 ? __mmask8(0xFF)
-                                : __mmask8((1u << (sg.end - s)) - 1);
-            const __m256i v =
-                _mm256_maskz_loadu_epi32(m, (const int*)(rw + s));
-            const __m256i av = _mm256_min_epi32(_mm256_abs_epi32(v), bound);
-            const __m512d p = _mm512_mask_i32gather_pd(
-                _mm512_setzero_pd(), m, av, pow43, 8);
-            const __mmask8 neg = _mm256_cmplt_epi32_mask(v, zero);
-            const __m512d sign = _mm512_mask_blend_pd(neg, ones, negs);
-            const __m512d r = _mm512_mul_pd(
-                _mm512_mul_pd(_mm512_mul_pd(sign, p), e1), e2);
-            _mm512_mask_storeu_pd(xc + s, m, r);
-          }
-        }
-#else
         for (int s = sg.start; s < sg.end; ++s) {
           int32_t v = rw[s];
           int32_t av = v < 0 ? -v : v;
@@ -273,8 +290,8 @@ int64_t decode_plane_run(
           const double sign = v < 0 ? -1.0 : 1.0;
           xc[s] = ((sign * pow43[av]) * e1v) * e2v;
         }
-#endif
       }
+#endif
     }
 
     // ---- MS stereo
