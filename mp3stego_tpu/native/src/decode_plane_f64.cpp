@@ -352,33 +352,66 @@ int64_t decode_plane_run(
       if (wr < 0) wr = 0;
       if (wr > 3) wr = 3;
       const double* win_l = sine + wr * 36;
+#if defined(MP3STEGO_PLANE_AVX512)
+      if (!short_blk) {
+        // TWO bands per pass: the ck row loads amortize over both, and 10
+        // independent accumulator chains hide the add latency (5 chains per
+        // band leave the FP ports half idle on the 18-step dependency).
+        // Each output still sums ascending k with separate mul/add.
+        for (int band = 0; band < 32; band += 2) {
+          const double* sA = w + band * 18;
+          const double* sB = sA + 18;
+          double* bA = blk[ch][band];
+          double* bB = blk[ch][band + 1];
+          __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+          __m512d b0 = a0, b1 = a0, b2 = a0, b3 = a0;
+          __m256d a4 = _mm256_setzero_pd(), b4 = a4;
+          for (int k = 0; k < 18; ++k) {
+            const double* ck = c_longT[k];
+            const __m512d c0 = _mm512_loadu_pd(ck);
+            const __m512d c1 = _mm512_loadu_pd(ck + 8);
+            const __m512d c2 = _mm512_loadu_pd(ck + 16);
+            const __m512d c3 = _mm512_loadu_pd(ck + 24);
+            const __m256d c4 = _mm256_loadu_pd(ck + 32);
+            const __m512d skA = _mm512_set1_pd(sA[k]);
+            const __m512d skB = _mm512_set1_pd(sB[k]);
+            a0 = _mm512_add_pd(a0, _mm512_mul_pd(skA, c0));
+            a1 = _mm512_add_pd(a1, _mm512_mul_pd(skA, c1));
+            a2 = _mm512_add_pd(a2, _mm512_mul_pd(skA, c2));
+            a3 = _mm512_add_pd(a3, _mm512_mul_pd(skA, c3));
+            a4 = _mm256_add_pd(a4, _mm256_mul_pd(_mm512_castpd512_pd256(skA),
+                                                 c4));
+            b0 = _mm512_add_pd(b0, _mm512_mul_pd(skB, c0));
+            b1 = _mm512_add_pd(b1, _mm512_mul_pd(skB, c1));
+            b2 = _mm512_add_pd(b2, _mm512_mul_pd(skB, c2));
+            b3 = _mm512_add_pd(b3, _mm512_mul_pd(skB, c3));
+            b4 = _mm256_add_pd(b4, _mm256_mul_pd(_mm512_castpd512_pd256(skB),
+                                                 c4));
+          }
+          const __m512d w0 = _mm512_loadu_pd(win_l);
+          const __m512d w1 = _mm512_loadu_pd(win_l + 8);
+          const __m512d w2 = _mm512_loadu_pd(win_l + 16);
+          const __m512d w3 = _mm512_loadu_pd(win_l + 24);
+          const __m256d w4 = _mm256_loadu_pd(win_l + 32);
+          _mm512_storeu_pd(bA, _mm512_mul_pd(a0, w0));
+          _mm512_storeu_pd(bA + 8, _mm512_mul_pd(a1, w1));
+          _mm512_storeu_pd(bA + 16, _mm512_mul_pd(a2, w2));
+          _mm512_storeu_pd(bA + 24, _mm512_mul_pd(a3, w3));
+          _mm256_storeu_pd(bA + 32, _mm256_mul_pd(a4, w4));
+          _mm512_storeu_pd(bB, _mm512_mul_pd(b0, w0));
+          _mm512_storeu_pd(bB + 8, _mm512_mul_pd(b1, w1));
+          _mm512_storeu_pd(bB + 16, _mm512_mul_pd(b2, w2));
+          _mm512_storeu_pd(bB + 24, _mm512_mul_pd(b3, w3));
+          _mm256_storeu_pd(bB + 32, _mm256_mul_pd(b4, w4));
+        }
+      }
+#endif
       for (int band = 0; band < 32; ++band) {
         const double* s18 = w + band * 18;
         double* b = blk[ch][band];
         if (!short_blk) {
 #if defined(MP3STEGO_PLANE_AVX512)
-          // acc[36] = 4 zmm + 1 ymm, register-resident across all 18 k
-          __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
-          __m256d a4 = _mm256_setzero_pd();
-          for (int k = 0; k < 18; ++k) {
-            const __m512d sk = _mm512_set1_pd(s18[k]);
-            const double* ck = c_longT[k];
-            a0 = _mm512_add_pd(a0, _mm512_mul_pd(sk, _mm512_loadu_pd(ck)));
-            a1 = _mm512_add_pd(a1, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 8)));
-            a2 = _mm512_add_pd(a2, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 16)));
-            a3 = _mm512_add_pd(a3, _mm512_mul_pd(sk, _mm512_loadu_pd(ck + 24)));
-            a4 = _mm256_add_pd(a4, _mm256_mul_pd(_mm512_castpd512_pd256(sk),
-                                                 _mm256_loadu_pd(ck + 32)));
-          }
-          _mm512_storeu_pd(b, _mm512_mul_pd(a0, _mm512_loadu_pd(win_l)));
-          _mm512_storeu_pd(b + 8,
-                           _mm512_mul_pd(a1, _mm512_loadu_pd(win_l + 8)));
-          _mm512_storeu_pd(b + 16,
-                           _mm512_mul_pd(a2, _mm512_loadu_pd(win_l + 16)));
-          _mm512_storeu_pd(b + 24,
-                           _mm512_mul_pd(a3, _mm512_loadu_pd(win_l + 24)));
-          _mm256_storeu_pd(b + 32,
-                           _mm256_mul_pd(a4, _mm256_loadu_pd(win_l + 32)));
+          continue;  // long blocks handled by the blocked kernel above
 #else
           double acc[36];
           for (int i = 0; i < 36; ++i) acc[i] = 0.0;
