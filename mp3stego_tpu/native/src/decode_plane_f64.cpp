@@ -546,24 +546,38 @@ int64_t decode_plane_run(
       if (prof) { tp1 = prof_tsc(); c_mat += tp1 - tp0; tp0 = tp1; }
       double acc[18][32];
 #if defined(MP3STEGO_PLANE_AVX512)
-      for (int step = 0; step < 18; ++step) {
+      // two steps per pass: the window-row loads are shared and eight
+      // independent chains hide the add latency (same per-output
+      // ascending-j order)
+      for (int step = 0; step < 18; step += 2) {
         __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+        __m512d e0 = a0, e1 = a0, e2 = a0, e3 = a0;
         for (int j = 0; j < 16; ++j) {
           const double* dw = d_win + j * 32;
-          const double* vj = &vlin[ch][15 + step - j][(j & 1) ? 32 : 0];
-          a0 = _mm512_add_pd(
-              a0, _mm512_mul_pd(_mm512_loadu_pd(vj), _mm512_loadu_pd(dw)));
-          a1 = _mm512_add_pd(a1, _mm512_mul_pd(_mm512_loadu_pd(vj + 8),
-                                               _mm512_loadu_pd(dw + 8)));
-          a2 = _mm512_add_pd(a2, _mm512_mul_pd(_mm512_loadu_pd(vj + 16),
-                                               _mm512_loadu_pd(dw + 16)));
-          a3 = _mm512_add_pd(a3, _mm512_mul_pd(_mm512_loadu_pd(vj + 24),
-                                               _mm512_loadu_pd(dw + 24)));
+          const int base = (j & 1) ? 32 : 0;
+          const double* vA = &vlin[ch][15 + step - j][base];
+          const double* vB = &vlin[ch][16 + step - j][base];
+          const __m512d d0 = _mm512_loadu_pd(dw);
+          const __m512d d1 = _mm512_loadu_pd(dw + 8);
+          const __m512d d2 = _mm512_loadu_pd(dw + 16);
+          const __m512d d3 = _mm512_loadu_pd(dw + 24);
+          a0 = _mm512_add_pd(a0, _mm512_mul_pd(_mm512_loadu_pd(vA), d0));
+          a1 = _mm512_add_pd(a1, _mm512_mul_pd(_mm512_loadu_pd(vA + 8), d1));
+          a2 = _mm512_add_pd(a2, _mm512_mul_pd(_mm512_loadu_pd(vA + 16), d2));
+          a3 = _mm512_add_pd(a3, _mm512_mul_pd(_mm512_loadu_pd(vA + 24), d3));
+          e0 = _mm512_add_pd(e0, _mm512_mul_pd(_mm512_loadu_pd(vB), d0));
+          e1 = _mm512_add_pd(e1, _mm512_mul_pd(_mm512_loadu_pd(vB + 8), d1));
+          e2 = _mm512_add_pd(e2, _mm512_mul_pd(_mm512_loadu_pd(vB + 16), d2));
+          e3 = _mm512_add_pd(e3, _mm512_mul_pd(_mm512_loadu_pd(vB + 24), d3));
         }
         _mm512_storeu_pd(acc[step], a0);
         _mm512_storeu_pd(acc[step] + 8, a1);
         _mm512_storeu_pd(acc[step] + 16, a2);
         _mm512_storeu_pd(acc[step] + 24, a3);
+        _mm512_storeu_pd(acc[step + 1], e0);
+        _mm512_storeu_pd(acc[step + 1] + 8, e1);
+        _mm512_storeu_pd(acc[step + 1] + 16, e2);
+        _mm512_storeu_pd(acc[step + 1] + 24, e3);
       }
 #else
       std::memset(acc, 0, sizeof(acc));
