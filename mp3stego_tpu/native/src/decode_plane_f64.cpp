@@ -393,16 +393,50 @@ int64_t decode_plane_run(
           const __m512d w2 = _mm512_loadu_pd(win_l + 16);
           const __m512d w3 = _mm512_loadu_pd(win_l + 24);
           const __m256d w4 = _mm256_loadu_pd(win_l + 32);
-          _mm512_storeu_pd(bA, _mm512_mul_pd(a0, w0));
-          _mm512_storeu_pd(bA + 8, _mm512_mul_pd(a1, w1));
-          _mm512_storeu_pd(bA + 16, _mm512_mul_pd(a2, w2));
-          _mm512_storeu_pd(bA + 24, _mm512_mul_pd(a3, w3));
-          _mm256_storeu_pd(bA + 32, _mm256_mul_pd(a4, w4));
-          _mm512_storeu_pd(bB, _mm512_mul_pd(b0, w0));
-          _mm512_storeu_pd(bB + 8, _mm512_mul_pd(b1, w1));
-          _mm512_storeu_pd(bB + 16, _mm512_mul_pd(b2, w2));
-          _mm512_storeu_pd(bB + 24, _mm512_mul_pd(b3, w3));
-          _mm256_storeu_pd(bB + 32, _mm256_mul_pd(b4, w4));
+          // overlap-add + frequency inversion fused with the windowed
+          // store: y = b[0..17] + carried tail (sign-bit xor inversion on
+          // odd bands), the carry becomes b[18..35] — this replaces the
+          // separate overlap pass over blk for long blocks
+          const __m512d odd_neg = _mm512_castsi512_pd(_mm512_set_epi64(
+              INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0,
+              INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000),
+              0));
+          const __m128d odd_neg2 = _mm_castsi128_pd(
+              _mm_set_epi64x(INT64_C(0x8000000000000000), 0));
+          const __m512d none = _mm512_setzero_pd();
+          const __m128d none2 = _mm_setzero_pd();
+          for (int half = 0; half < 2; ++half) {
+            const __m512d v0 = _mm512_mul_pd(half ? b0 : a0, w0);
+            const __m512d v1 = _mm512_mul_pd(half ? b1 : a1, w1);
+            const __m512d v2 = _mm512_mul_pd(half ? b2 : a2, w2);
+            const __m512d v3 = _mm512_mul_pd(half ? b3 : a3, w3);
+            const __m256d v4 = _mm256_mul_pd(half ? b4 : a4, w4);
+            const int bd = band + half;
+            double* yb = y[ch][bd];
+            double* tb = tail_c[ch][bd];
+            const __m512d inv = (bd & 1) ? odd_neg : none;
+            const __m128d inv2 = (bd & 1) ? odd_neg2 : none2;
+            const __m512d y0 =
+                _mm512_add_pd(v0, _mm512_loadu_pd(tb));
+            const __m512d y1 =
+                _mm512_add_pd(v1, _mm512_loadu_pd(tb + 8));
+            const __m128d y2 = _mm_add_pd(_mm512_castpd512_pd128(v2),
+                                          _mm_loadu_pd(tb + 16));
+            _mm512_storeu_pd(yb, _mm512_xor_pd(y0, inv));
+            _mm512_storeu_pd(yb + 8, _mm512_xor_pd(y1, inv));
+            _mm_storeu_pd(yb + 16, _mm_xor_pd(y2, inv2));
+            // carry = b[18..35]: realign the register tile (bit moves only)
+            const __m512i v2i = _mm512_castpd_si512(v2);
+            const __m512i v3i = _mm512_castpd_si512(v3);
+            const __m512i v4i = _mm512_castpd_si512(
+                _mm512_insertf64x4(_mm512_setzero_pd(), v4, 0));
+            _mm512_storeu_pd(
+                tb, _mm512_castsi512_pd(_mm512_alignr_epi64(v3i, v2i, 2)));
+            _mm512_storeu_pd(
+                tb + 8,
+                _mm512_castsi512_pd(_mm512_alignr_epi64(v4i, v3i, 2)));
+            _mm_storeu_pd(tb + 16, _mm256_extractf128_pd(v4, 1));
+          }
         }
       }
 #endif
@@ -452,9 +486,10 @@ int64_t decode_plane_run(
 
       // ---- overlap-add with the carried tail, then update the carry,
       // with the frequency inversion folded in (negation = sign-bit xor,
-      // bit-exact vs the scalar unary minus)
+      // bit-exact vs the scalar unary minus). Long blocks on AVX-512 fused
+      // this into the IMDCT store above.
 #if defined(MP3STEGO_PLANE_AVX512)
-      {
+      if (short_blk) {
         const __m512d odd_neg = _mm512_castsi512_pd(_mm512_set_epi64(
             INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0,
             INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0));
