@@ -54,6 +54,10 @@ def main(argv=None):
     r = sub.add_parser("reveal", help="reveal a hidden message")
     r.add_argument("input"), r.add_argument("txt")
 
+    cap = sub.add_parser("capacity",
+                         help="max hideable message length for an MP3")
+    cap.add_argument("input")
+
     c = sub.add_parser("clear", help="strip hidden data (re-encode)")
     c.add_argument("input"), c.add_argument("output")
     c.add_argument("--keep-id3", action="store_true",
@@ -111,6 +115,8 @@ def main(argv=None):
         print("warning: message truncated (file too short)" if too_long
               else f"hidden -> {args.output}")
         return 1 if too_long else 0
+    elif args.op == "capacity":
+        print(f"{s.message_capacity(args.input)} chars")
     elif args.op == "reveal":
         s.reveal_massage(args.input, args.txt)
         print(f"revealed -> {args.txt}")

@@ -158,6 +158,43 @@ class Steganography:
             _wav_to_mp3_paths(wav_file_path, output_file_path)
             self._encode(wav_file_path, output_file_path, bitrate, vbr=vbr)
 
+    def message_capacity(self, input_file_path: str) -> int:
+        """Largest message (chars) ``hide_message`` can embed in this file.
+
+        Beyond the reference, whose only capacity signal is the ``too_long``
+        bool after a full hide. The stego channel carries one bit per
+        nonzero Huffman table selection of the RE-ENCODE (reference
+        MP3_Encoder.py:808-809), and the pair transform neither zeroes nor
+        un-zeroes a table — so a clear re-encode's extractable bit count is
+        the channel capacity. The ``"{len}#{msg}"`` framing overhead (which
+        itself grows with the message length) is solved for, honouring the
+        reference's off-by-one (the final usable bit never embeds —
+        ``too_long`` tests ``offset < len-1``, encoder.py parity).
+        """
+        import tempfile
+        with self._banner(f"Start Measuring capacity of {input_file_path}.",
+                          "Measuring"):
+            wav_file_path = _mp3_to_wav_paths(input_file_path)
+            self._decode(input_file_path, wav_file_path)
+            tmp_mp3 = tempfile.NamedTemporaryFile(
+                suffix=".mp3", delete=False).name
+            try:
+                self._encode(wav_file_path, tmp_mp3,
+                             bitrate=self._last_bitrate)
+                from mp3stego_tpu.bitstream import decoder_host as dh
+                with open(tmp_mp3, "rb") as f:
+                    usable = len(dh.stego_bits(dh.parse_mp3(f.read(), 0)))
+            finally:
+                os.remove(tmp_mp3)
+                self._drop_temp_wav()
+        # largest c with bits("{c}#{'x'*c}") - 1 <= usable - 1, i.e.
+        # 8*(digits(c) + 1 + c) <= usable + 1 (off-by-one: the last framed
+        # bit need not land)
+        c = max(0, (usable + 1) // 8 - 1)
+        while c > 0 and 8 * (len(str(c)) + 1 + c) > usable + 1:
+            c -= 1
+        return c
+
     def decode_mp3_to_wav(self, input_file_path: str, wav_file_path: str = "") -> int:
         """Decode an mp3 file into a wav file; returns the bitrate in kbps.
 
