@@ -68,10 +68,106 @@ extern "C" int64_t encode_analysis(
 
   std::vector<int32_t> sb(size_t(ts) * 32);
 
+#if defined(MP3STEGO_ENC_AVX512)
+  // Window table split for 32-bit-lane exactness: with en = enhi*2^16 + enlo
+  // (enlo unsigned 16-bit) and |s| < 2^15,
+  //   (s*en) >> 16 == s*enhi + ((s*enlo) >> 16)
+  // exactly (s*enhi*2^16 is a multiple of 2^16; both partial products fit
+  // int32), so the whole window stage runs in 16-lane vpmulld instead of
+  // 8-lane 64-bit multiplies.
+  alignas(64) int32_t enhi[8][64], enlo[8][64];
+  for (int k = 0; k < 8; ++k)
+    for (int j = 0; j < 64; ++j) {
+      enhi[k][j] = enr[k][j] >> 16;
+      enlo[k][j] = enr[k][j] & 0xffff;
+    }
+#endif
+
   for (int64_t ch = 0; ch < nch; ++ch) {
     const int16_t* s = pcm + ch * stride;
 
     // ---- window + 32-band filter per 32-sample step
+#if defined(MP3STEGO_ENC_AVX512)
+    // Two t-steps per pass share the filter-table loads; the filter matvec
+    // keeps even/odd 32-bit lanes in separate 64-bit accumulators (vpmuldq
+    // multiplies the even dwords), interleaved back at the store. All sums
+    // are mod-2^32 associative, so lane order cannot change results; ts is
+    // always even (= 18 * tg).
+    for (int64_t t = 0; t < ts; t += 2) {
+      alignas(64) int32_t tarr[2][64];
+      for (int tt = 0; tt < 2; ++tt) {
+        const int16_t* st = s + 32 * (t + tt);
+        __m512i ta0 = _mm512_setzero_si512(), ta1 = ta0, ta2 = ta0, ta3 = ta0;
+        for (int k = 0; k < 8; ++k) {
+          const int16_t* base = st + 448 - 64 * k;  // ascending window
+#define MP3S_WIN_V(acc, v)                                                   \
+          {                                                                  \
+            const __m512i s32 = _mm512_cvtepi16_epi32(                       \
+                _mm256_loadu_si256((const __m256i*)(base + 16 * (v))));      \
+            const __m512i hi = _mm512_mullo_epi32(                           \
+                s32, _mm512_load_si512(enhi[k] + 16 * (v)));                 \
+            const __m512i lo = _mm512_srai_epi32(                            \
+                _mm512_mullo_epi32(                                          \
+                    s32, _mm512_load_si512(enlo[k] + 16 * (v))), 16);        \
+            acc = _mm512_add_epi32(acc, _mm512_add_epi32(hi, lo));           \
+          }
+          MP3S_WIN_V(ta0, 0)
+          MP3S_WIN_V(ta1, 1)
+          MP3S_WIN_V(ta2, 2)
+          MP3S_WIN_V(ta3, 3)
+#undef MP3S_WIN_V
+        }
+        _mm512_store_si512(tarr[tt] + 0, ta0);
+        _mm512_store_si512(tarr[tt] + 16, ta1);
+        _mm512_store_si512(tarr[tt] + 32, ta2);
+        _mm512_store_si512(tarr[tt] + 48, ta3);
+      }
+
+      // acc32[b] = sum_j hi32(flt[j][b] * tj) mod 2^32; 64-bit partial sums
+      // of the >>32 terms (|term| < 2^31, 64 terms — no int64 overflow) keep
+      // the low dword identical to the scalar uint32 accumulation.
+      __m512i ae00 = _mm512_setzero_si512(), ao00 = ae00, ae01 = ae00,
+              ao01 = ae00, ae10 = ae00, ao10 = ae00, ae11 = ae00, ao11 = ae00;
+      for (int j = 0; j < 64; ++j) {
+        const __m512i t0 = _mm512_set1_epi32(tarr[0][j]);
+        const __m512i t1 = _mm512_set1_epi32(tarr[1][j]);
+        const int32_t* fj = flt.data() + j * 32;
+        const __m512i f0 = _mm512_loadu_si512(fj);
+        const __m512i f1 = _mm512_loadu_si512(fj + 16);
+        const __m512i f0o = _mm512_srli_epi64(f0, 32);
+        const __m512i f1o = _mm512_srli_epi64(f1, 32);
+#define MP3S_FLT_ACC(acc, f, tb)                                             \
+        acc = _mm512_add_epi64(                                              \
+            acc, _mm512_srai_epi64(_mm512_mul_epi32(f, tb), 32));
+        MP3S_FLT_ACC(ae00, f0, t0)
+        MP3S_FLT_ACC(ao00, f0o, t0)
+        MP3S_FLT_ACC(ae01, f1, t0)
+        MP3S_FLT_ACC(ao01, f1o, t0)
+        MP3S_FLT_ACC(ae10, f0, t1)
+        MP3S_FLT_ACC(ao10, f0o, t1)
+        MP3S_FLT_ACC(ae11, f1, t1)
+        MP3S_FLT_ACC(ao11, f1o, t1)
+#undef MP3S_FLT_ACC
+      }
+
+      const __m512i* ae[2][2] = {{&ae00, &ae01}, {&ae10, &ae11}};
+      const __m512i* ao[2][2] = {{&ao00, &ao01}, {&ao10, &ao11}};
+      for (int tt = 0; tt < 2; ++tt) {
+        int32_t* sbt = sb.data() + (t + tt) * 32;
+        const bool odd_step = ((t + tt) % 18) & 1;
+        for (int h = 0; h < 2; ++h) {
+          // even b's ride the ae low dwords; odd b's are the ao low dwords
+          // shifted into the odd lanes
+          __m512i comb = _mm512_mask_blend_epi32(
+              0xAAAA, *ae[tt][h], _mm512_slli_epi64(*ao[tt][h], 32));
+          if (odd_step)  // odd bands negate (wraparound 0 - v)
+            comb = _mm512_mask_sub_epi32(comb, 0xAAAA,
+                                         _mm512_setzero_si512(), comb);
+          _mm512_storeu_si512(sbt + 16 * h, comb);
+        }
+      }
+    }
+#else
     for (int64_t t = 0; t < ts; ++t) {
       // taccr[j] holds the reference's tacc[63 - j]
       uint32_t taccr[64];
@@ -99,6 +195,7 @@ extern "C" int64_t encode_analysis(
         sbt[b] = v;
       }
     }
+#endif
 
     // ---- MDCT over [prev granule ; current granule] per band, then alias
     for (int64_t g = 0; g < tg; ++g) {
