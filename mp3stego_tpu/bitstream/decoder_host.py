@@ -476,10 +476,22 @@ def unpack_samples(md: _MainDataBits, si: SideInfo, h: FrameHeader, gr: int, ch:
                    bit: int, max_bit: int, out: np.ndarray):
     """Huffman-sample unpack (Frame.py:443-559) with O(1) LUT symbol decode."""
     out[:] = 0.0
-    long_win = T.SCALE_FACT_BAND_INDEX[h.sr_idx]  # rows 0-2 == BAND_INDEX_LONG
+    # MPEG-1 rows: reference table (== BAND_INDEX_LONG). LSF rows: the ISO/
+    # ecosystem table — third-party LSF streams (and this framework's
+    # compliant LSF writer) place the region boundaries by it, and at 16/24
+    # kHz the reference's copy deviates (see tables.BAND_INDEX_ISO).
+    long_win = (T.BAND_INDEX_ISO[h.sr_idx] if h.sr_idx >= 3
+                else T.SCALE_FACT_BAND_INDEX[h.sr_idx])
 
     if si.window_switching[gr][ch] and si.block_type[gr][ch] == 2:
-        region0, region1 = 36, 576
+        # Short-block big-values regions split after the first 3 short
+        # bands (3 windows each): 36 samples at every rate except 8 kHz,
+        # whose wide 8-sample bands put it at 72 — the LAME/mpg123
+        # ecosystem convention, pinned by the interop SNR tests (8 kHz
+        # decodes at ~5 dB with 36, ~81 dB with 72). Identical to the
+        # reference's constant 36 for all MPEG-1 rates.
+        region0 = int(3 * T.BAND_WIDTH_SHORT_ISO[h.sr_idx][:3].sum())
+        region1 = 576
     else:
         # clamped: corrupt side info can push the band index past 22 and
         # big_value*2 past 576 (the reference crashes on both; we stop cleanly)
@@ -574,7 +586,7 @@ class ParsedMP3:
     scale_fac_l: np.ndarray = None                # (F,2,2,22)
     scale_fac_s: np.ndarray = None                # (F,2,2,3,13)
     table_select: np.ndarray = None               # (F,2,2,3)
-    ms_stereo: np.ndarray = None                  # (F,) bool
+    ms_stereo: np.ndarray = None                  # (2F,) bool, per granule
     duplicate_last_pcm: bool = False
     # MPEG-2/2.5 (LSF): real single-granule frames are packed two-per-
     # virtual-frame into the (F,2,2,...) layout; lsf_granules = the real
@@ -681,7 +693,7 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
         setattr(p, name, a)
     p.num_frames = F
     p.header = parse_header(*file_data[offset:offset + 4])
-    p.ms_stereo = ms.astype(bool)
+    p.ms_stereo = np.repeat(ms.astype(bool), 2)
     # the fill loop exits on the frame-count cap before re-checking sync, so
     # the stale-PCM quirk flag comes from the counting pass
     p.duplicate_last_pcm = bool(dup[0])
@@ -771,7 +783,7 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
     p.scale_fac_l = z(F, 2, 2, 22)
     p.scale_fac_s = z(F, 2, 2, 3, 13)
     p.table_select = z(F, 2, 2, 3)
-    p.ms_stereo = np.zeros(F, dtype=bool)
+    p.ms_stereo = np.zeros(2 * F, dtype=bool)
 
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
         start_si = 6 if h.crc == 0 else 4
@@ -801,7 +813,8 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
         p.scale_fac_l[fi] = si.scale_fac_l
         p.scale_fac_s[fi] = si.scale_fac_s
         p.table_select[fi] = si.table_select
-        p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
+        p.ms_stereo[2 * fi:2 * fi + 2] = (
+            h.channel_mode == 1) and bool(h.mode_ext[0])
 
     return p
 
@@ -814,10 +827,10 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     the C++ f64 plane, the NumPy oracle, the batched device plane, the
     streaming decoder — consumes LSF streams unchanged. Time order is
     preserved (granule flatten order is frame-major, gr-within-frame).
-    LSF short blocks would need the ISO 13818-3 LSF short-window band
-    tables, which have no reference counterpart to verify against — they
-    are rejected explicitly (neither this encoder nor the reference's ever
-    emits them)."""
+    Long, short, start and stop blocks all decode (ISO band tables,
+    validated against libmpg123 on LAME streams — tests/test_interop.py);
+    only LSF MIXED blocks are rejected (no third-party encoder emits them,
+    so a decode could not be validated)."""
     F = len(frames)
     stream_len = len(file_data) - frames[0][0]
     if p.duplicate_last_pcm and F <= 2 and stream_len > 4 * frames[0][2]:
@@ -846,7 +859,7 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     p.scale_fac_l = z(fv, 2, 2, 22)
     p.scale_fac_s = z(fv, 2, 2, 3, 13)
     p.table_select = z(fv, 2, 2, 3)
-    p.ms_stereo = np.zeros(fv, dtype=bool)
+    p.ms_stereo = np.zeros(2 * fv, dtype=bool)
 
     raw = np.zeros(576, dtype=np.float64)
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
@@ -854,11 +867,12 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
         si_bytes = file_data[foff + start_si:foff + fsize]
         si_bits = np.unpackbits(np.frombuffer(si_bytes, dtype=np.uint8))
         si = parse_side_info_lsf(si_bits, h)
-        if int(si.block_type[0].max()) == 2:
+        if int((si.block_type[0] == 2).max()) and int(
+                si.mixed_block_flag[0].max()):
             raise ValueError(
-                "LSF short blocks are not supported (no verified "
-                "ISO 13818-3 LSF short-window band tables; neither this "
-                "encoder nor the reference emits them)")
+                "LSF mixed blocks are not supported (no third-party "
+                "encoder emits them, so the decode could not be validated; "
+                "pure short/long/start/stop LSF blocks all decode)")
         md = _MainDataBits(
             assemble_main_data(file_data, foff, fsize, prev_sizes, si, h))
         vf, gr = fi // 2, fi & 1
@@ -882,11 +896,9 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
         p.scale_fac_l[vf, gr] = si.scale_fac_l[0]
         p.scale_fac_s[vf, gr] = si.scale_fac_s[0]
         p.table_select[vf, gr] = si.table_select[0]
-        ms = (h.channel_mode == 1) and bool(h.mode_ext[0])
-        if fi & 1 and bool(p.ms_stereo[vf]) != ms:
-            raise ValueError("LSF stream switches MS stereo mid-virtual-"
-                             "frame pair (unsupported)")
-        p.ms_stereo[vf] = ms
+        # MS stereo is per REAL frame (= per granule of the virtual-frame
+        # layout); real LSF encoders (LAME) freely alternate MS/LR per frame
+        p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
     return p
 
 
@@ -945,7 +957,7 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
     p.scale_fac_l = z(F, 2, 2, 22)
     p.scale_fac_s = z(F, 2, 2, 3, 13)
     p.table_select = z(F, 2, 2, 3)
-    p.ms_stereo = np.zeros(F, dtype=bool)
+    p.ms_stereo = np.zeros(2 * F, dtype=bool)
 
     descriptors = []
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
@@ -991,7 +1003,8 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
         p.scale_fac_l[fi] = si.scale_fac_l
         p.scale_fac_s[fi] = si.scale_fac_s
         p.table_select[fi] = si.table_select
-        p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
+        p.ms_stereo[2 * fi:2 * fi + 2] = (
+            h.channel_mode == 1) and bool(h.mode_ext[0])
     return p, descriptors
 
 

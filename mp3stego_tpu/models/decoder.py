@@ -137,8 +137,8 @@ class Decoder:
                         # NumPy parity oracle when the toolchain is absent
                         pcm_i16 = dp.decode_pcm_i16_host(parsed)
                         if pcm_i16 is None:
-                            pcm_i16 = (dp.decode_pcm(parsed, "float64")
-                                       * 32767).astype(np.int16)
+                            pcm_i16 = dp.pcm_to_i16(
+                                dp.decode_pcm(parsed, "float64"))
                     else:
                         # fused device plane + int16 conversion (half fetch)
                         pcm_i16 = dp.decode_pcm_i16(parsed)

@@ -55,9 +55,8 @@ def _slen2_i32():
 
 
 @_ft.lru_cache(maxsize=None)
-def _band_row_i32(sr_idx):
-    return np.ascontiguousarray(
-        T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32))
+def _band_row_i32(band_row):
+    return np.ascontiguousarray(T.BAND_ALL[band_row].astype(np.int32))
 
 
 def _init_rate_tables(lib) -> bool:
@@ -69,7 +68,7 @@ def _init_rate_tables(lib) -> bool:
         np.ascontiguousarray(st, np.float64), i32(sti), i32(i2i),
         i32(T.HUFF_LEN), i32(T.HUFF_XLEN), i32(T.HUFF_LINBITS),
         i32(T.HUFF_LINMAX), i32(Q._QLEN0), i32(Q._QLEN1),
-        i32(T.SCALE_FACT_BAND_INDEX), T.SCALE_FACT_BAND_INDEX.size,
+        i32(T.BAND_ALL), T.BAND_ALL.size,
         i32(T.SUBDV_TABLE), i32(T.TRANSFORM_HUF))
     return rc == 0
 
@@ -223,11 +222,34 @@ class MP3Encoder:
         self.version = _find_mpeg_version(self.samplerate_index)
         self.bitrate_index = _find_bitrate_index(self.bitrate, self.version)
         self.granules_per_frame = 2 if self.version == 3 else 1
+        # Band-table row for every engine (tables.BAND_ALL): the compliant
+        # LSF writer uses the ISO/ecosystem rows (+9) so third-party decoders
+        # map its serialized region counts back to the same sample
+        # boundaries (the reference rows deviate at 16/24 kHz); the
+        # reference-layout writer keeps the reference rows byte-for-byte.
+        self.band_row = self.samplerate_index + (
+            9 if (self.version != 3 and self.lsf_compliant) else 0)
 
-        avg_slots_per_frame = (self.granules_per_frame * 576.0 / w.samplerate) * (
-            1000.0 * self.bitrate / self.bits_per_slot)
-        self.whole_slots_per_frame = int(avg_slots_per_frame)
-        self.frac_slots_per_frame = avg_slots_per_frame - self.whole_slots_per_frame
+        if self.version != 3 and self.lsf_compliant:
+            # Exact rational slot arithmetic for the spec-valid LSF writer.
+            # The reference's float formula loses the last ulp on exact-
+            # integer slot counts (576/16000*6000 = 215.999...97), flipping
+            # the padding chain so the header promises one more byte than
+            # the frame carries — every decoder loses sync at frame 1. The
+            # same float bug is behind the reference's documented 32k/192
+            # MPEG-1 self-desync quirk, which the default layout reproduces
+            # byte-for-byte (tests/test_multirate.py).
+            num = self.granules_per_frame * 576 * 1000 * self.bitrate
+            den = self.bits_per_slot * w.samplerate
+            self.whole_slots_per_frame = num // den
+            self.frac_slots_per_frame = (num % den) / den
+        else:
+            avg_slots_per_frame = (
+                self.granules_per_frame * 576.0 / w.samplerate) * (
+                1000.0 * self.bitrate / self.bits_per_slot)
+            self.whole_slots_per_frame = int(avg_slots_per_frame)
+            self.frac_slots_per_frame = (avg_slots_per_frame
+                                         - self.whole_slots_per_frame)
         self.slot_lag = -self.frac_slots_per_frame
         self.padding = 0
 
@@ -365,7 +387,7 @@ class MP3Encoder:
                 from mp3stego_tpu.ops import quant_batch as QB
                 with timer.stage("step-cost grid (device)"):
                     self._cost = QB.cost_all_steps(
-                        mdct_all.reshape(-1, 576), self.samplerate_index,
+                        mdct_all.reshape(-1, 576), self.band_row,
                         with_hide=bool(self.hide_str))
                     self._tg = tg
             if self.vbr:
@@ -414,12 +436,12 @@ class MP3Encoder:
         max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
 
         with timer.stage("rate search (device)"):
-            res = SP.search_all(xr_dev, max_bits_lanes, self.samplerate_index)
+            res = SP.search_all(xr_dev, max_bits_lanes, self.band_row)
         en_tot_raw = en_raw = None
         if self.version == 3:
             with timer.stage("scfsi sums (device)"):
                 en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
-                                                   self.samplerate_index)
+                                                   self.band_row)
         with timer.stage("verify+redo (host)"):
             self._plane_redo(res, xr_dev, max_bits_lanes, tg)
         with timer.stage("assemble+serialize (host)"):
@@ -462,7 +484,7 @@ class MP3Encoder:
             en21 = np.zeros((lanes, 21), np.int32)
             lib.rate_search_file(
                 xr, max_bits_lanes, nch, tg, gpf,
-                self.samplerate_index * 23,
+                self.band_row * 23,
                 self._hide_u8, len(self.hide_str), self.hide_str_offset,
                 raw, ix, en_tot, en21,
                 np.zeros(2 * 2 * 12, np.int64),
@@ -540,7 +562,7 @@ class MP3Encoder:
         tg = num_frames * gpf
         lanes_n = nch * tg
         big = np.int64(1) << 20
-        sr_off = self.samplerate_index * 23
+        sr_off = self.band_row * 23
 
         xr_np = None
         lib = _native_rate_lib()
@@ -561,7 +583,7 @@ class MP3Encoder:
             if not grid:
                 from mp3stego_tpu.ops import quant_batch as QB
                 grid.append(QB.cost_all_steps(np.ascontiguousarray(
-                    np.asarray(xr).reshape(-1, 576)), self.samplerate_index))
+                    np.asarray(xr).reshape(-1, 576)), self.band_row))
             c = grid[0]
             return np.where(
                 c["bail"][:, s] | (c["ixmax"][:, s] > Q.MAX_QUANTIZE_STEP),
@@ -701,10 +723,10 @@ class MP3Encoder:
             row_idx = np.searchsorted(lanes, cell_lane)
             if hide_ctx is None:
                 hbits, hbvs = quant_np.verify_cells(rows[row_idx], steps,
-                                                    self.samplerate_index)
+                                                    self.band_row)
             else:
                 hbits, hbvs = quant_np.verify_cells_hide(
-                    rows[row_idx], steps, self.samplerate_index,
+                    rows[row_idx], steps, self.band_row,
                     hide_ctx[0], hide_ctx[1][cell_lane])
             bad = (hbits != dbits) | (hbvs <= 0)
             if bad.any():
@@ -728,7 +750,7 @@ class MP3Encoder:
                             (hide_ctx[0], int(hide_ctx[1][g]))
                         r = quant_np.oracle_search(
                             rowmap[g], int(max_bits_lanes[g]), addr,
-                            self.samplerate_index, hide=hide)
+                            self.band_row, hide=hide)
                         for k in ("step", "bits", "bv", "c1", "a1", "a2",
                                   "a3", "r0c", "r1c", "cts"):
                             res[k][g] = r[k]
@@ -956,7 +978,7 @@ class MP3Encoder:
             _slen1_i32(), _slen2_i32(),
             np.ascontiguousarray(l3.reshape(-1)),
             _huff_code_u32(), _huff_len_u8(), _linbits_i32(),
-            _band_row_i32(self.samplerate_index))
+            _band_row_i32(self.band_row))
         if written < 0:
             raise RuntimeError("native serializer buffer overflow")
         self.out_buffer += out[:written].tobytes()
@@ -1022,7 +1044,7 @@ class MP3Encoder:
 
         with timer.stage("hide pass A (device, no transform)"):
             resA = SP.search_all(xr_dev, max_bits_lanes,
-                                 self.samplerate_index)
+                                 self.band_row)
         cursors = pin(counts_of(resA))
 
         res = None
@@ -1031,7 +1053,7 @@ class MP3Encoder:
         for _ in range(8):
             with timer.stage("hide pass B (device, pinned cursors)"):
                 res = SP.search_all(xr_dev, max_bits_lanes,
-                                    self.samplerate_index,
+                                    self.band_row,
                                     hide_bits=self._hide_u8,
                                     hide_cur=cursors)
             with timer.stage("verify+redo (host)"):
@@ -1049,7 +1071,7 @@ class MP3Encoder:
         if self.version == 3:
             with timer.stage("scfsi sums (device)"):
                 en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
-                                                   self.samplerate_index)
+                                                   self.band_row)
         with timer.stage("assemble+serialize (host)"):
             self._plane_finish(res, en_tot_raw, en_raw, num_frames, paddings,
                                mean_bits_f, tg)
@@ -1124,12 +1146,12 @@ class MP3Encoder:
 
         with timer.stage("rate search (device)"):
             res = SP.search_all(xr_tail, max_bits_lanes,
-                                self.samplerate_index)
+                                self.band_row)
         en_tot_raw = en_raw = None
         if self.version == 3:
             with timer.stage("scfsi sums (device)"):
                 en_tot_raw, en_raw = SP.scfsi_sums(xr_tail,
-                                                   self.samplerate_index)
+                                                   self.band_row)
         with timer.stage("verify+redo (host)"):
             self._plane_redo(res, xr_tail, max_bits_lanes, tg_t,
                              addr_seed=addr_seed)
@@ -1209,7 +1231,7 @@ class MP3Encoder:
         terms = xrsq >> 10
         self.xrmaxl[gr] = xrmax
 
-        band = T.SCALE_FACT_BAND_INDEX[self.samplerate_index]
+        band = T.BAND_ALL[self.band_row]
         with np.errstate(all="ignore"):
             temp = int(terms.sum(dtype=np.int32))
             if temp:
@@ -1264,7 +1286,7 @@ class MP3Encoder:
         transform) -> big-values bits; the shared body of both search loops."""
         Q.calc_run_len(ix, cod_info)
         bits = Q.count1_bit_count(ix, cod_info)
-        Q.subdivide(cod_info, self.samplerate_index)
+        Q.subdivide(cod_info, self.band_row)
         self._big_v_tab_select(ix, cod_info)
         bits += Q.big_v_bit_count(ix, cod_info)
         return bits
@@ -1370,7 +1392,7 @@ class MP3Encoder:
         r = getattr(lib, fn_name)(
             np.ascontiguousarray(xr, np.int32),
             np.ascontiguousarray(xrabs, np.int32),
-            xrmax, arg, self.samplerate_index * 23,
+            xrmax, arg, self.band_row * 23,
             self._hide_u8, len(self.hide_str), self.hide_str_offset,
             state, self.l3_enc[ch][gr])
         _state_back(state, cod_info)
@@ -1591,7 +1613,7 @@ class MP3Encoder:
             _slen1_i32(), _slen2_i32(),
             np.ascontiguousarray(self.l3_enc.reshape(-1)),
             _huff_code_u32(), _huff_len_u8(), _linbits_i32(),
-            _band_row_i32(self.samplerate_index))
+            _band_row_i32(self.band_row))
         if written < 0:
             raise RuntimeError("native serializer buffer overflow")
         self.out_buffer += self._nat_out[:written].tobytes()
@@ -1671,7 +1693,7 @@ class MP3Encoder:
         """MP3_Encoder.py:1394-1446, incl. the all-ones stuffing padding."""
         bw = self.bw
         gi = self.gr_info[gr][ch]
-        scale_fac = T.SCALE_FACT_BAND_INDEX[self.samplerate_index]
+        scale_fac = T.BAND_ALL[self.band_row]
         bits_before = bw.bits_count()
 
         big_values = int(gi.big_values) << 1

@@ -98,7 +98,7 @@ def decode_file_streaming(file_path: str, wav_path: str,
             assert got == f1 - w0, (got, f1 - w0)
             pcm = dp.decode_pcm_i16_host(p)
             if pcm is None:   # no native toolchain: NumPy parity oracle
-                pcm = (dp.decode_pcm(p, "float64") * 32767).astype(np.int16)
+                pcm = dp.pcm_to_i16(dp.decode_pcm(p, "float64"))
             # drop warm-up PCM; the duplication tail only applies on the
             # final window (decode_pcm_i16_host already appended it there).
             # Any window that starts at frame 0 of a tagged stream re-parses

@@ -140,7 +140,7 @@ def _bind(lib) -> None:
     lib.decode_plane_f64.restype = i64
     lib.decode_plane_f64.argtypes = _plane_args + [p_f64]
     lib.decode_plane_i16.restype = i64
-    lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64]
+    lib.decode_plane_i16.argtypes = _plane_args + [p_i16, i64, i64]
 
     lib.rate_tables_init.restype = i64
     lib.rate_tables_init.argtypes = [

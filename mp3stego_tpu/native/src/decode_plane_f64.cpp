@@ -78,33 +78,49 @@ struct OutF64 {
 struct OutI16 {
   int16_t* out;
   int nch;
+  // wrap=true reproduces numpy's (pcm*32767).astype(int16) truncate +
+  // mod-2^16 wrap (the reference's conversion; MP3STEGO_TPU_REF_PCM_WRAP=1).
+  // wrap=false (default) SATURATES clipping peaks to [-32768, 32767] like
+  // every production decoder — the wrap turns overshooting transients into
+  // full-scale sign flips.
+  bool wrap;
+  inline double clampd(double x) const {
+    if (wrap) return x;
+    return x > 32767.0 ? 32767.0 : (x < -32768.0 ? -32768.0 : x);
+  }
   inline void write(int ch, int64_t t, int step, int n, double v) const {
     if (ch >= nch) return;
     out[(t * 576 + step * 32 + n) * nch + ch] =
-        int16_t(int32_t(v * 32767.0));
+        int16_t(int32_t(clampd(v * 32767.0)));
   }
   inline void write_granule(int ch, int64_t t, const double (*acc)[32]) const {
 #if defined(MP3STEGO_PLANE_AVX512)
     // vector cvttpd matches the scalar int32_t(v*32767.0) truncation lane
     // for lane (including the 0x80000000 overflow sentinel, which both
-    // wrap to 0 as int16)
+    // wrap to 0 as int16 in wrap mode); saturation clamps in the double
+    // domain, matching numpy's clip-then-truncate exactly
     static thread_local int16_t stage[576];  // ch0 parked until ch1 lands
     const __m512d scale = _mm512_set1_pd(32767.0);
+    const __m512d hi = _mm512_set1_pd(32767.0);
+    const __m512d lo = _mm512_set1_pd(-32768.0);
+    const bool wr = wrap;
+    auto cvt = [&](const double* src) -> __m256i {
+      __m512d x = _mm512_mul_pd(_mm512_loadu_pd(src), scale);
+      if (!wr) x = _mm512_max_pd(lo, _mm512_min_pd(hi, x));
+      return _mm512_cvttpd_epi32(x);
+    };
     const double* a = &acc[0][0];
     if (nch == 1) {
       if (ch > 0) return;
       int16_t* dst = out + t * 576;
       for (int s = 0; s < 576; s += 8)
-        _mm_storeu_si128((__m128i*)(dst + s),
-                         _mm256_cvtepi32_epi16(_mm512_cvttpd_epi32(
-                             _mm512_mul_pd(_mm512_loadu_pd(a + s), scale))));
+        _mm_storeu_si128((__m128i*)(dst + s), _mm256_cvtepi32_epi16(cvt(a + s)));
       return;
     }
     if (ch == 0) {
       for (int s = 0; s < 576; s += 8)
         _mm_storeu_si128((__m128i*)(stage + s),
-                         _mm256_cvtepi32_epi16(_mm512_cvttpd_epi32(
-                             _mm512_mul_pd(_mm512_loadu_pd(a + s), scale))));
+                         _mm256_cvtepi32_epi16(cvt(a + s)));
       return;
     }
     int16_t* dst = out + t * 1152;   // interleave parked L with this R
@@ -112,8 +128,7 @@ struct OutI16 {
     for (int s = 0; s < 576; s += 8) {
       const __m256i l = _mm256_cvtepi16_epi32(
           _mm_loadu_si128((const __m128i*)(stage + s)));
-      const __m256i r = _mm512_cvttpd_epi32(
-          _mm512_mul_pd(_mm512_loadu_pd(a + s), scale));
+      const __m256i r = cvt(a + s);
       const __m256i comb = _mm256_or_si256(_mm256_and_si256(l, lo16),
                                            _mm256_slli_epi32(r, 16));
       _mm256_storeu_si256((__m256i*)(dst + 2 * s), comb);
@@ -138,7 +153,7 @@ int64_t decode_plane_run(
     const int32_t* sub_block_gain,   // (F,2,2,3)
     const int32_t* scale_fac_l,      // (F,2,2,22)
     const int32_t* scale_fac_s,      // (F,2,2,3,13)
-    const uint8_t* ms_stereo,        // (F,)
+    const uint8_t* ms_stereo,        // (2F,) per granule
     // static walk / permutation tables (samplerate-specific, from python)
     const int32_t* walk_is_short,    // (3,576) rows: 0 long, 1 short, 2 mixed
     const int32_t* walk_sfb,         // (3,576)
@@ -213,7 +228,7 @@ int64_t decode_plane_run(
   for (int64_t t = 0; t < T; ++t) {
     const int64_t f = t >> 1;
     const int gr = int(t & 1);
-    const bool ms = ms_stereo[f] != 0;
+    const bool ms = ms_stereo[t] != 0;
     if (prof) tp0 = prof_tsc();
 
     // ---- requantize (exact multiply order: ((sign*a)*b)*c )
@@ -675,6 +690,6 @@ extern "C" int64_t decode_plane_f64(DECODE_PLANE_ARGS, double* out) {
 // FIR accumulators — skips the (2,T,576) float64 materialization + the numpy
 // transpose/scale/cast passes (the host is page-fault-bandwidth-bound).
 extern "C" int64_t decode_plane_i16(DECODE_PLANE_ARGS, int16_t* out,
-                                    int64_t nch) {
-  return decode_plane_run(DECODE_PLANE_PASS, OutI16{out, int(nch)});
+                                    int64_t nch, int64_t wrap) {
+  return decode_plane_run(DECODE_PLANE_PASS, OutI16{out, int(nch), wrap != 0});
 }

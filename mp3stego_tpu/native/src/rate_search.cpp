@@ -51,7 +51,9 @@ int32_t g_xlen[34];
 int32_t g_linbits[34];
 int32_t g_linmax[34];
 int32_t g_qlen0[16], g_qlen1[16];
-int32_t g_band[9 * 23];
+// 18 rows: 0-8 the reference's tables (byte-identity), 9-17 the ISO/
+// ecosystem rows used by the compliant LSF writer (tables.BAND_ALL).
+int32_t g_band[18 * 23];
 int64_t g_nband = 0;
 int32_t g_subdv[23 * 2];
 int32_t g_transform[32 * 2];

@@ -46,15 +46,24 @@ _EXP2X2_MAX = 64
 
 
 @functools.lru_cache(maxsize=None)
-def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
+def _requant_walk(sr_idx: int, bt2: bool, mixed: bool, iso: bool = True):
     """Replicates the sfb/window walk of re_quantize (Frame.py:176-208) for a
-    whole granule, returning static per-sample maps (is_short, sfb, window)."""
-    long_win = T.SCALE_FACT_BAND_INDEX[sr_idx]  # rows 0-2 == BAND_INDEX_LONG
-    # LSF rows (3..8) have no verified short-window tables; LSF short blocks
-    # are rejected at parse (decoder_host._parse_frames_lsf), so the short
-    # walk is never consulted there — zeros keep the map construction total.
-    short_win = (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
-                 else np.zeros(12, np.int32))
+    whole granule, returning static per-sample maps (is_short, sfb, window).
+
+    ``iso=True`` (default) uses the spec-correct band tables
+    (T.BAND_INDEX_ISO / T.BAND_WIDTH_SHORT_ISO, 13 short bands covering all
+    576 samples — cross-verified against libmpg123). ``iso=False``
+    reproduces the reference's walk: 12-band short tables whose sfb counter
+    runs past the table end for the top of the spectrum
+    (MP3STEGO_TPU_REF_SHORT_BANDS=1; only meaningful for MPEG-1 rows —
+    LSF rows are always ISO since the reference cannot decode LSF)."""
+    if iso:
+        long_win = T.BAND_INDEX_ISO[sr_idx]
+        short_win = T.BAND_WIDTH_SHORT_ISO[sr_idx]      # 13 bands, sum 192
+    else:
+        long_win = T.SCALE_FACT_BAND_INDEX[sr_idx]
+        short_win = (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
+                     else np.zeros(12, np.int32))
     is_short = np.zeros(576, dtype=bool)
     sfb_map = np.zeros(576, dtype=np.int32)
     win_map = np.zeros(576, dtype=np.int32)
@@ -72,7 +81,14 @@ def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
                 else:
                     window += 1
             is_short[sample] = True
-            sfb_map[sample] = sfb
+            # non-ISO walk: the reference's sfb counter runs past the 12-band
+            # table for the top of the spectrum and its njit requantize reads
+            # scale_fac_s out of bounds there — those samples are then
+            # DROPPED by its 12-band reorder, so the net output is a zero
+            # tail regardless of the garbage exponent. Clamp to keep the
+            # gather in bounds; the 12-band reorder_perm still zero-fills,
+            # so the net output matches the reference exactly.
+            sfb_map[sample] = min(sfb, 12)
             win_map[sample] = window
         else:
             if sample == long_win[sfb + 1]:
@@ -83,16 +99,20 @@ def _requant_walk(sr_idx: int, bt2: bool, mixed: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _reorder_perm(sr_idx: int):
-    """Static permutation for short-block reorder (Frame.py:574-602). Output
-    positions never written stay 0 (the reference's zero-filled tail).
-    LSF rows: no short blocks ever reach the plane (rejected at parse), so
-    the permutation is the all-unwritten map."""
-    short_win = (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
-                 else np.zeros(12, np.int32))
+def _reorder_perm(sr_idx: int, iso: bool = True):
+    """Static permutation for short-block reorder (Frame.py:574-602).
+
+    ``iso=True`` (default) walks all 13 short bands — every one of the 576
+    outputs is written (ISO behavior, matches libmpg123). ``iso=False``
+    reproduces the reference's 12-band walk: outputs past the 12-band
+    coverage are never written and stay 0 (the top short band of the
+    spectrum is silently dropped)."""
+    short_win = (T.BAND_WIDTH_SHORT_ISO[sr_idx] if iso
+                 else (T.BAND_WIDTH_SHORT[sr_idx] if sr_idx < 3
+                       else np.zeros(12, np.int32)))
     perm = np.full(576, -1, dtype=np.int32)
     total = start = block = 0
-    for sb in range(12):
+    for sb in range(len(short_win)):
         w = int(short_win[sb])
         for ss in range(w):
             perm[start + block + 0] = total + ss + w * 0
@@ -128,13 +148,20 @@ def _freq_inv_mask():
 
 
 @functools.lru_cache(maxsize=None)
-def _walk_maps(sr_idx: int):
+def _walk_maps(sr_idx: int, iso: bool = True):
     """(3,576) per-mode walk tables (0 long, 1 short, 2 mixed) + pre_tab."""
-    maps = [np.stack([_requant_walk(sr_idx, m == 1, m == 2)[k]
+    maps = [np.stack([_requant_walk(sr_idx, m == 1, m == 2, iso)[k]
                       for m in range(3)]) for k in range(3)]
     pre_ext = np.concatenate([T.PRE_TAB, [0]]).astype(np.int32)
     return (maps[0].astype(np.int32), maps[1].astype(np.int32),
             maps[2].astype(np.int32), pre_ext)
+
+
+def _iso_bands(sr_idx: int) -> bool:
+    """Band-table mode for a decode: LSF rows are always ISO; MPEG-1 rows
+    are ISO unless MP3STEGO_TPU_REF_SHORT_BANDS=1 restores the reference's
+    12-band short walk/reorder."""
+    return sr_idx >= 3 or not T.ref_short_bands()
 
 
 def _pack_raw_native(raw_samples: np.ndarray, F: int):
@@ -196,7 +223,7 @@ def host_prepare(p, native_pack: bool = True) -> dict:
 
     # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
     mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int8)
-    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr)
+    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
 
     return dict(
         raw_i8=raw_i8,
@@ -213,10 +240,10 @@ def host_prepare(p, native_pack: bool = True) -> dict:
         sfs=np.ascontiguousarray(
             to_ct(p.scale_fac_s).reshape(2, G, 39)).astype(np.int8),
         reorder_mask=((bt == 2) | mixed),            # (2,T)
-        ms_mask=np.repeat(p.ms_stereo, 2),           # (T,)
+        ms_mask=np.asarray(p.ms_stereo, bool),       # (T,) per granule
         win_row=bt.astype(np.int8),                  # sine_block row per granule
         is_short_blk=(bt == 2),
-        reorder_perm=_reorder_perm(sr),
+        reorder_perm=_reorder_perm(sr, _iso_bands(sr)),
         walk_is_short=walk_is_short,                 # (3,576)
         walk_sfb=walk_sfb,
         walk_win=walk_win,
@@ -550,10 +577,15 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     return pcm_steps.reshape(nch, tt, 576)
 
 
-@functools.lru_cache(maxsize=1)
 def _f64_tables():
-    """C-contiguous float64 constant tables for the native f64 plane (the
-    exact arrays decode_granules_np computes from; cached across calls)."""
+    """C-contiguous float64 constant tables for the native f64 plane, keyed
+    on the start-window mode so tests can flip
+    MP3STEGO_TPU_REF_START_WINDOW without stale tables."""
+    return _f64_tables_impl(T.ref_start_window())
+
+
+@functools.lru_cache(maxsize=2)
+def _f64_tables_impl(ref_start_window: bool):
     pow43 = np.array([float(i) ** (4.0 / 3.0) for i in range(8207)])
     e1lut = np.array([2.0 ** ((i - _EXP1_OFF) / 4.0) for i in range(512)])
     e2lut = np.array([2.0 ** (-(i / 2.0)) for i in range(_EXP2X2_MAX)])
@@ -573,7 +605,7 @@ def _native_plane_args(p):
     if lib is None or not hasattr(lib, "decode_plane_f64"):
         return None
     sr = p.header.sr_idx
-    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr)
+    walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
     c32 = lambda a: np.ascontiguousarray(a, np.int32)
     return lib, (
         p.num_frames,
@@ -582,7 +614,7 @@ def _native_plane_args(p):
         c32(p.sub_block_gain), c32(p.scale_fac_l), c32(p.scale_fac_s),
         np.ascontiguousarray(p.ms_stereo, np.uint8),
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
-        c32(_reorder_perm(sr)),
+        c32(_reorder_perm(sr, _iso_bands(sr))),
         *_f64_tables())
 
 
@@ -632,7 +664,7 @@ def decode_pcm_i16_host(p) -> "np.ndarray | None":
     lib, args = la
     ch = p.header.channels
     out = np.empty((2 * p.num_frames * 576, ch), np.int16)
-    lib.decode_plane_i16(*args, out, ch)
+    lib.decode_plane_i16(*args, out, ch, 1 if T.ref_pcm_wrap() else 0)
     return _finish_inter(p, out)
 
 
@@ -683,7 +715,7 @@ def _decode_call(prep, dtype, to_i16=False):
         prep = _pad_prep_granules(prep, t_pad)
     args = {k: put_pieces(prep[k]) for k in ALL_KEYS}
     if to_i16:
-        out = _decode_granules_i16(args)
+        out = _decode_granules_i16(args, wrap=T.ref_pcm_wrap())
     else:
         out = decode_granules(args, dtype_name=dtype)
     ch = out.shape[0]
@@ -691,13 +723,26 @@ def _decode_call(prep, dtype, to_i16=False):
     return flat.reshape(ch, t_pad, 576)[:, :t]
 
 
-@jax.jit
-def _decode_granules_i16(args):
+@functools.partial(jax.jit, static_argnames=("wrap",))
+def _decode_granules_i16(args, wrap=False):
     """float32 plane + the WAV int16 conversion ON DEVICE (halves the fetch).
-    The two-step f32->i32->i16 cast reproduces numpy's
-    ``(pcm * 32767).astype(int16)`` (truncate toward zero, wrap mod 2^16)."""
+    Default saturates clipping peaks (tables.ref_pcm_wrap); ``wrap=True``
+    reproduces numpy's ``(pcm * 32767).astype(int16)`` (truncate toward
+    zero, wrap mod 2^16 — the reference's conversion)."""
     pcm = decode_granules_impl(args, dtype_name="float32")
-    return (pcm * jnp.float32(32767)).astype(jnp.int32).astype(jnp.int16)
+    x = pcm * jnp.float32(32767)
+    if not wrap:
+        x = jnp.clip(x, jnp.float32(-32768), jnp.float32(32767))
+    return x.astype(jnp.int32).astype(jnp.int16)
+
+
+def pcm_to_i16(pcm: np.ndarray) -> np.ndarray:
+    """float PCM -> int16 WAV samples on host: saturating by default,
+    or the reference's truncate+wrap when MP3STEGO_TPU_REF_PCM_WRAP=1."""
+    x = pcm * 32767.0
+    if not T.ref_pcm_wrap():
+        x = np.clip(x, -32768.0, 32767.0)
+    return x.astype(np.int16)
 
 
 def decode_pcm_i16(p) -> np.ndarray:

@@ -315,7 +315,7 @@ def decode_pcm_i16_device(file_data: bytes, offset: int = 0):
     args = {k: jnp.asarray(prep[k]) for k in dp.ALL_KEYS
             if k not in ("raw_i8",) + dp.EXC_KEYS}
     args["raw_dense"] = raw_dev
-    out = dp._decode_granules_i16(args)
+    out = dp._decode_granules_i16(args, wrap=T.ref_pcm_wrap())
     pcm = fetch_pieces([out.reshape(2 * t_pad, 576)])[0] \
         .reshape(2, t_pad, 576)[:, :t]
     ch = parsed.header.channels

@@ -147,7 +147,7 @@ def subdivide(cod_info: GrInfo, sr_idx: int):
         cod_info.region1_count = 0
         # address1..3 intentionally left stale (reference behaviour)
         return
-    band = T.SCALE_FACT_BAND_INDEX.reshape(-1)[sr_idx * T.SCALE_FACT_BAND_INDEX.shape[1]:]
+    band = T.BAND_ALL.reshape(-1)[sr_idx * T.BAND_ALL.shape[1]:]
     big_values_region = 2 * cod_info.big_values
 
     scfb_anz = 0

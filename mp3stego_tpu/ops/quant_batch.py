@@ -225,7 +225,7 @@ _HIDE_R3 = ("choice", "rc13", "rc15", "rc16", "rc24", "rnesc")
 
 
 def _cost_pack(xr, sr_idx, with_hide):
-    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
+    band = T.BAND_ALL[sr_idx].astype(np.int32)
     out, out_hide = _cost_all_steps(xr, band, _consts())
     if with_hide:
         out.update(out_hide)

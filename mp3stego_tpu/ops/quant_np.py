@@ -140,7 +140,7 @@ def _cost_batch(ix: np.ndarray, sr_idx: int):
                     np.where(mo, qo1, 0).sum(axis=1))
 
     # subdivide (addresses 0 when big_values == 0, matching addr_in == 0)
-    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int64)      # (23,)
+    band = T.BAND_ALL[sr_idx].astype(np.int64)      # (23,)
     subdv = T.SUBDV_TABLE.astype(np.int64)
     scfb_anz = (band[None, :] < bvr[:, None]).sum(axis=1)
     kmax = (band[None, :] <= bvr[:, None]).sum(axis=1) - 1

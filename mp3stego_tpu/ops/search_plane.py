@@ -324,7 +324,7 @@ def _search_body(xr, max_bits, sr_idx, hide_bits=None, hide_cur=None,
     models/encoder.py pins cursors by prefix-summing region counts."""
     c = _sconsts()
     hide = None if hide_bits is None else (hide_bits, hide_cur, hide_len)
-    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
+    band = T.BAND_ALL[sr_idx].astype(np.int32)
     n = xr.shape[0]
     labs64 = jnp.abs(xr.astype(jnp.int64))
     xrabs32 = jnp.abs(xr)
@@ -551,7 +551,7 @@ def _scfsi_sums(xr, sr_idx):
     sums of mulsr(xr,xr)>>10 over each long scalefactor band + the total.
     int32 wraparound is modular, so band sums via cumulative-sum differences
     equal the reference's in-order wrapped partial sums exactly."""
-    band = T.SCALE_FACT_BAND_INDEX[sr_idx].astype(np.int32)
+    band = T.BAND_ALL[sr_idx].astype(np.int32)
     xr64 = xr.astype(jnp.int64)
     terms = (((xr64 * xr64) + 1073741824) >> 31).astype(jnp.int32) >> 10
     total = jnp.sum(terms, axis=1, dtype=jnp.int32)

@@ -71,13 +71,16 @@ def _decode_batch(args, dtype_name="float32"):
     return jax.vmap(fn)(args)
 
 
-@jax.jit
-def _decode_batch_i16(args):
+@functools.partial(jax.jit, static_argnames=("wrap",))
+def _decode_batch_i16(args, wrap=False):
     """float32 plane + the WAV int16 conversion ON DEVICE (halves the batch
     fetch) — the stacked twin of decode_plane._decode_granules_i16."""
     pcm = jax.vmap(functools.partial(dp.decode_granules_impl,
                                      dtype_name="float32"))(args)
-    return (pcm * jnp.float32(32767)).astype(jnp.int32).astype(jnp.int16)
+    x = pcm * jnp.float32(32767)
+    if not wrap:
+        x = jnp.clip(x, jnp.float32(-32768), jnp.float32(32767))
+    return x.astype(jnp.int32).astype(jnp.int16)
 
 
 def decode_batch_device(batch: dict, mesh: Mesh = None,
@@ -92,7 +95,7 @@ def decode_batch_device(batch: dict, mesh: Mesh = None,
         put = put_pieces
     args = {k: put(batch[k]) for k in dp.ALL_KEYS}
     if to_i16:
-        out = _decode_batch_i16(args)
+        out = _decode_batch_i16(args, wrap=T.ref_pcm_wrap())
     else:
         out = _decode_batch(args, dtype_name=dtype)
     return out[:batch["num_files"]]

@@ -218,7 +218,7 @@ def test_native_f64_plane_matches_numpy(parsed, original_fixture_mp3):
         p.block_type = rng.integers(0, 4, (F, 2, 2)).astype(p.block_type.dtype)
         p.mixed_block_flag = (rng.random((F, 2, 2)) < 0.3).astype(
             p.mixed_block_flag.dtype)
-        p.ms_stereo = (rng.random(F) < 0.5).astype(p.ms_stereo.dtype)
+        p.ms_stereo = (rng.random(2 * F) < 0.5).astype(p.ms_stereo.dtype)
         p.sub_block_gain = rng.integers(0, 8, (F, 2, 2, 3)).astype(
             p.sub_block_gain.dtype)
         p.scale_fac_s = rng.integers(0, 8, (F, 2, 2, 3, 13)).astype(
@@ -239,7 +239,7 @@ def test_native_i16_plane_matches_f64(parsed, original_fixture_mp3):
     from mp3stego_tpu.ops import decode_plane as dp
     if not native.available():
         pytest.skip("native library unavailable")
-    ref = (dp.decode_pcm(parsed, "float64") * 32767).astype(np.int16)
+    ref = dp.pcm_to_i16(dp.decode_pcm(parsed, "float64"))
     out = dp.decode_pcm_i16_host(parsed)
     assert out.shape == ref.shape
     np.testing.assert_array_equal(ref, out)

@@ -105,10 +105,65 @@ def pack_bands():
     )
 
 
+# ISO 11172-3 Table B.8 / 13818-3 Table B.2 scalefactor bands, all 9 rates
+# (rows: 44.1k, 48k, 32k, 22.05k, 24k, 16k, 11.025k, 12k, 8k — the MPEG-2.5
+# rows follow the de-facto standard shared by LAME/mpg123/libmad). These are
+# the SPEC-CORRECT tables used by the decode walk and the compliant LSF
+# writer; `scale_fact_band_index` above stays byte-for-byte the reference's
+# copy (its 16 kHz row has two typos — 45 for 54 and 248 for 284 — kept only
+# for reference-layout encode byte-identity). Cross-verified against the
+# tables embedded in the system libmpg123 binary by
+# tools/verify_bands_mpg123.py (and tests/test_interop.py when present).
+_ISO_LONG_16K = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+                 168, 200, 238, 284, 336, 396, 464, 522, 576]
+# 24 kHz: the reference (like dist10) has 330 at index 18 where the
+# production ecosystem (LAME, mpg123, libmad) uses 332 — third-party
+# interop requires 332.
+_ISO_LONG_24K = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+                 162, 194, 232, 278, 332, 394, 464, 540, 576]
+
+_ISO_SHORT_WIDTHS = [
+    [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56],     # 44.1 kHz
+    [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66],     # 48 kHz
+    [4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12],     # 32 kHz
+    [4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18],     # 22.05 kHz
+    [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12],    # 24 kHz
+    [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18],    # 16 kHz
+    [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18],    # 11.025 kHz
+    [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18],    # 12 kHz
+    [8, 8, 8, 12, 16, 20, 24, 28, 36, 2, 2, 2, 26],     # 8 kHz
+]
+
+
+def pack_iso_bands(ref_sfbi):
+    """Spec-correct band tables for all 9 rates, cross-verified against the
+    reference's rows (identical except the documented 16 kHz typos) and the
+    MPEG-1 decoder-side short tables."""
+    iso_long = np.array(ref_sfbi, dtype=np.int32)
+    assert iso_long.shape == (9, 23)
+    iso_long[4] = _ISO_LONG_24K
+    iso_long[5] = _ISO_LONG_16K
+    # exactly the three documented positions may differ from the reference
+    diff = np.argwhere(iso_long != ref_sfbi)
+    assert diff.tolist() == [[4, 18], [5, 8], [5, 17]], diff
+    for r in range(9):
+        assert iso_long[r, 0] == 0 and iso_long[r, 22] == 576
+        assert (np.diff(iso_long[r]) > 0).all(), r
+
+    short = np.array(_ISO_SHORT_WIDTHS, dtype=np.int32)
+    assert (short.sum(axis=1) == 192).all()
+    # MPEG-1 rows must extend the decoder-side 12-band tables
+    bw = dt.band_width_table
+    for r, row in enumerate((bw.short_44, bw.short_48, bw.short_32)):
+        assert short[r, :12].tolist() == list(row), r
+    return dict(band_index_iso=iso_long, band_width_short_iso=short)
+
+
 def main():
     pack = {}
     pack.update(pack_huffman())
     pack.update(pack_bands())
+    pack.update(pack_iso_bands(pack["scale_fact_band_index"]))
     pack.update(
         slen=np.array(dt.slen, dtype=np.int32),
         pre_tab=np.array(dt.pre_tab, dtype=np.int32),
