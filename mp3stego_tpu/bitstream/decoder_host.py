@@ -45,6 +45,8 @@ class FrameHeader:
     # header-object parity with the reference
     emphasis: int = 0              # 0 none, 1 50/15us, 2 reserved, 3 CCITT
     info: tuple = (False, False, False)  # (private, copyright, original)
+    free_format: bool = False      # bitrate index 0 ("free"); size from sync
+    #                                spacing (walk_frames), not the rate table
 
     @property
     def frame_samples(self) -> int:
@@ -89,6 +91,7 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
     # clamp the bitrate index like the native parser: nibble 0xF is out of
     # the 14-entry table (the reference crashes); -1 wraps like python's [-1]
     idx = ((b2 >> 4) & 0x0F) - 1
+    h.free_format = idx < 0 and h.layer == 3
     idx = 13 if (idx < 0 or idx > 13) else idx
     if h.mpeg_version == 1:
         if h.layer == 1:
@@ -108,13 +111,49 @@ def parse_header(b0: int, b1: int, b2: int, b3: int) -> FrameHeader:
     return h
 
 
-def frame_size_of(h: FrameHeader) -> int:
+def frame_size_of(h: FrameHeader, free_base: int = 0) -> int:
     if h.sampling_rate == 0:   # reserved samplerate bits: stop cleanly
         return 0               # (the reference divides by zero here)
+    if h.free_format and free_base > 0:
+        # free-format frames share one constant slot count discovered from
+        # the sync spacing (ISO 11172-3: "free" bitrate index); only the
+        # padding slot varies per frame. Active only when the stream's FIRST
+        # frame is free-format (walk_frames measured a stride) — an isolated
+        # corrupt nibble mid-stream keeps the reference's table-wrap size,
+        # matching the C++ twin (differential fuzz contract).
+        return free_base + (1 if h.padding else 0)
     size = int(((h.frame_samples / 8) * h.bit_rate) / h.sampling_rate)
     if h.padding:
         size += 1
     return size
+
+
+def _free_format_base(file_data: bytes, offset: int, h: FrameHeader) -> int:
+    """Constant free-format frame size (without the padding slot), measured
+    from the spacing of the first sync words: scan for the next header with
+    the same version/layer/samplerate bits and confirm a third sync at the
+    implied stride. 0 when no consistent spacing is found.
+
+    DELIBERATE DEVIATION: the reference wraps the 'free' bitrate nibble to
+    the 320 kbps table row (FrameHeader.py's rates[index-1]) and desyncs
+    immediately; free-format streams (e.g. LAME --freeformat) are decoded
+    here and validated against libmpg123 (tests/test_interop.py)."""
+    n = len(file_data)
+    b1, b2 = file_data[offset + 1], file_data[offset + 2]
+    for i in range(offset + 4, min(offset + 8192, n - 4)):
+        if (file_data[i] == 0xFF and file_data[i + 1] == b1
+                and (file_data[i + 2] & 0x0C) == (b2 & 0x0C)
+                and ((file_data[i + 2] >> 4) & 0x0F) == 0):
+            base = (i - offset) - (1 if h.padding else 0)
+            if base <= 0:
+                return 0
+            # confirm the stride with a third frame (or EOF inside frame 2)
+            h2 = parse_header(*file_data[i:i + 4])
+            j = i + base + (1 if h2.padding else 0)
+            if j + 1 >= n or (file_data[j] == 0xFF
+                              and file_data[j + 1] == b1):
+                return base
+    return 0
 
 
 def walk_frames(file_data: bytes, offset: int):
@@ -129,20 +168,32 @@ def walk_frames(file_data: bytes, offset: int):
             or file_data[offset + 1] < 0xE0):
         return [], offset, None, False
     first_h = parse_header(*file_data[offset:offset + 4])
+    free_base = 0
+    if first_h.free_format:
+        free_base = _free_format_base(file_data, offset, first_h)
+        if free_base <= 0:
+            return [], offset, first_h, False
+        # derived rate, rounded to the nearest standard rate so the facade's
+        # hide/clear re-encode gets a valid target
+        bps = free_base * 8.0 * first_h.sampling_rate / first_h.frame_samples
+        rates = _L3_RATES if first_h.mpeg_version == 1 else _L2LO_RATES
+        first_h.bit_rate = min(rates, key=lambda r: abs(r * 1000 - bps)) * 1000
     frames = []
     # pre-loop set_frame_size (MP3_Parser.py:42) seeds the history with fs0
     # twice
     prev_hist = [0.0] * NUM_PREV_FRAMES
-    frame_size = frame_size_of(first_h)
+    frame_size = frame_size_of(first_h, free_base)
     cur = offset
     dup = False
     while n > cur + HEADER_SIZE:
         if file_data[cur] == 0xFF and file_data[cur + 1] >= 0xE0:
             h = parse_header(*file_data[cur:cur + 4])
             prev_hist = [frame_size] + prev_hist[:-1]
-            frame_size = frame_size_of(h)
+            frame_size = frame_size_of(h, free_base)
             if frame_size <= 0:    # malformed header: stop (matches native)
                 break
+            if h.free_format:
+                h.bit_rate = first_h.bit_rate
             frames.append((cur, h, frame_size, list(prev_hist)))
             cur += frame_size
         else:
@@ -735,8 +786,8 @@ def _parse_mp3_engine(file_data: bytes, offset: int, backend,
         if (offset + HEADER_SIZE <= len(file_data)
                 and file_data[offset] == 0xFF
                 and file_data[offset + 1] >= 0xE0
-                and parse_header(
-                    *file_data[offset:offset + 4]).mpeg_version != 1):
+                and (lambda _h: _h.mpeg_version != 1 or _h.free_format)(
+                    parse_header(*file_data[offset:offset + 4]))):
             return _parse_mp3_python(file_data, offset,
                                      progress_cb=progress_cb)
         p = parse_mp3_native(file_data, offset)

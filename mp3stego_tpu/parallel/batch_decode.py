@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mp3stego_tpu.bitstream import decoder_host as dh
+from mp3stego_tpu import tables as T
 from mp3stego_tpu.ops import decode_plane as dp
 
 

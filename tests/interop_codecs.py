@@ -45,7 +45,7 @@ def have_mpg123() -> bool:
 
 def lame_encode(pcm: np.ndarray, samplerate: int, bitrate: int,
                 force_short: bool = False, mode: int = None,
-                quality: int = 5) -> bytes:
+                quality: int = 5, free_format: bool = False) -> bytes:
     """Encode int16 PCM (n, ch) with libmp3lame at a constant bitrate.
 
     The VBR/Xing tag frame is disabled so the stream is plain CBR frames
@@ -72,6 +72,8 @@ def lame_encode(pcm: np.ndarray, samplerate: int, bitrate: int,
             l.lame_set_mode(g, mode)               # 0 stereo, 1 jstereo, 3 mono
         if force_short:
             l.lame_set_force_short_blocks(g, 1)
+        if free_format:
+            l.lame_set_free_format(g, 1)
         if l.lame_init_params(g) < 0:
             raise RuntimeError("lame_init_params failed")
         out = np.empty(int(1.25 * n * ch + 7200 + 16384), np.uint8)

@@ -105,6 +105,29 @@ def test_lsf_transient_stereo(sr, br, tmp_path):
     _check(lame_encode(pcm, sr, br, force_short=True), tmp_path)
 
 
+def test_free_format_stream(tmp_path):
+    """Free-format streams (bitrate index 0; LAME --freeformat) decode via
+    sync-spacing frame-size discovery — the reference wraps the nibble to
+    the 320 kbps row and desyncs immediately. The facade's returned bitrate
+    rounds to the nearest standard rate so hide/clear re-encode works."""
+    import wave
+
+    from mp3stego_tpu.models.decoder import Decoder
+    mp3 = lame_encode(_transient(44100)[:, None], 44100, 150, mode=3,
+                      free_format=True)
+    ref, _ = mpg123_decode(mp3)
+    mp3_p = str(tmp_path / "ff.mp3")
+    with open(mp3_p, "wb") as f:
+        f.write(mp3)
+    br = Decoder(mp3_p, str(tmp_path / "ff.wav")).decode(quiet=True)
+    assert br == 160  # nearest standard rate to the free 150 kbps
+    w = wave.open(str(tmp_path / "ff.wav"))
+    ours = np.frombuffer(w.readframes(w.getnframes()),
+                         np.int16).reshape(-1, 1)
+    n = min(len(ref), len(ours))
+    assert snr_db(ref[:n].ravel(), ours[:n].ravel()) > 70
+
+
 @pytest.mark.parametrize("sr,br", [(11025, 48), (12000, 48), (8000, 32)])
 def test_mpeg25_transient(sr, br, tmp_path):
     """MPEG-2.5 decode, incl. the 8 kHz short-block region0=72 ecosystem

@@ -53,9 +53,10 @@ def test_scalar_decode_plane_i16_identical(scalar_lib, parsed):
     ch = parsed.header.channels
     a = np.empty((2 * parsed.num_frames * 576, ch), np.int16)
     b = np.empty_like(a)
-    lib.decode_plane_i16(*args, a, ch)
-    scalar_lib.decode_plane_i16(*args, b, ch)
-    assert np.array_equal(a, b)
+    for wrap in (0, 1):   # saturating default AND the reference wrap mode
+        lib.decode_plane_i16(*args, a, ch, wrap)
+        scalar_lib.decode_plane_i16(*args, b, ch, wrap)
+        assert np.array_equal(a, b), f"wrap={wrap}"
 
 
 def test_scalar_decode_plane_f64_identical(scalar_lib, parsed):

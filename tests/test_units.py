@@ -250,6 +250,7 @@ def test_native_rate_search_matches_numpy(monkeypatch):
 
         def __init__(self, use_native):
             self.samplerate_index = 0
+            self.band_row = 0
             self.hide_str = hide_str
             self.hide_str_offset = 3
             self._hide_u8 = hide
