@@ -198,7 +198,15 @@ def walk_frames(file_data: bytes, offset: int):
             cur += frame_size
         else:
             # MP3_Parser.py:79 appends the stale previous frame's PCM again
-            dup = len(frames) > 0
+            # on a bad sync — except for known metadata TRAILERS (ID3v1
+            # "TAG", APEv2 "APETAGEX", or an ID3v2 footer), which real-world
+            # files routinely carry; those end the stream cleanly like every
+            # production decoder (deviation validated vs libmpg123,
+            # tests/test_interop.py). Mid-file garbage keeps the quirk.
+            tail = file_data[cur:cur + 8]
+            dup = len(frames) > 0 and not (
+                tail[:3] == b"TAG" or tail[:8] == b"APETAGEX"
+                or tail[:3] == b"ID3")
             break
     return frames, cur, first_h, dup
 

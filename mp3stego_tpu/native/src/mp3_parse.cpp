@@ -492,6 +492,18 @@ int64_t assemble_main_data(const uint8_t* file, int64_t n, int64_t curr_offset,
 extern "C" {
 
 // Count frames from `offset` (sync walk only). Returns frame count; sets
+
+// Known metadata trailers end the stream cleanly instead of triggering the
+// stale-PCM duplication quirk (ID3v1 "TAG", APEv2 "APETAGEX", ID3v2 footer)
+// — mirrors decoder_host.walk_frames; validated vs libmpg123.
+static inline bool is_metadata_trailer(const uint8_t* data, int64_t cur,
+                                       int64_t n) {
+  if (cur + 3 <= n && (std::memcmp(data + cur, "TAG", 3) == 0
+                       || std::memcmp(data + cur, "ID3", 3) == 0))
+    return true;
+  return cur + 8 <= n && std::memcmp(data + cur, "APETAGEX", 8) == 0;
+}
+
 // *duplicate_last to the stale-PCM quirk flag (MP3_Parser.py:79).
 int64_t mp3_count_frames(const uint8_t* data, int64_t n, int64_t offset,
                          int32_t* duplicate_last) {
@@ -511,7 +523,8 @@ int64_t mp3_count_frames(const uint8_t* data, int64_t n, int64_t offset,
       ++count;
       cur += frame_size;
     } else {
-      *duplicate_last = count > 0 ? 1 : 0;
+      *duplicate_last =
+          (count > 0 && !is_metadata_trailer(data, cur, n)) ? 1 : 0;
       break;
     }
   }
@@ -561,7 +574,7 @@ int64_t mp3_parse(
   while (n > cur + 4 && fi < max_frames) {
     if (pprof) pt0 = pprof_tsc();
     if (!(data[cur] == 0xFF && data[cur + 1] >= 0xE0)) {
-      dup = fi > 0 ? 1 : 0;
+      dup = (fi > 0 && !is_metadata_trailer(data, cur, n)) ? 1 : 0;
       break;
     }
     Header h;

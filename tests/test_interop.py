@@ -256,3 +256,86 @@ def test_short_block_engines_agree(tmp_path):
     if nat is None:
         pytest.skip("native toolchain unavailable")
     assert np.array_equal(oracle, nat)
+
+
+def test_crc_protected_stream(tmp_path):
+    """CRC-protected frames (protection bit 0, 16-bit CRC after the header)
+    decode correctly — LAME with error protection vs mpg123."""
+    import ctypes
+
+    import interop_codecs as ic
+    l = ic._LAME
+    l.lame_init.restype = ctypes.c_void_p
+    g = ctypes.c_void_p(l.lame_init())
+    l.lame_set_num_channels(g, 1)
+    l.lame_set_in_samplerate(g, 44100)
+    l.lame_set_out_samplerate(g, 44100)
+    l.lame_set_brate(g, 128)
+    l.lame_set_VBR(g, 0)
+    l.lame_set_bWriteVbrTag(g, 0)
+    l.lame_set_mode(g, 3)
+    l.lame_set_error_protection(g, 1)
+    l.lame_init_params(g)
+    pcm = _transient(44100)
+    out = np.empty(pcm.size * 4 + 20000, np.uint8)
+    p = pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_short))
+    op = out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    w = l.lame_encode_buffer(g, p, p, len(pcm), op, out.size)
+    t = l.lame_encode_flush(
+        g, out[w:].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.size - w)
+    l.lame_close(g)
+    mp3 = bytes(out[:w + t])
+    assert (mp3[1] & 1) == 0  # protection bit clear = CRC present
+    _check(mp3, tmp_path)
+
+
+def test_id3v1_trailer_ends_stream_cleanly(tmp_path):
+    """A trailing ID3v1 TAG (128 bytes, ubiquitous on real files) ends the
+    stream cleanly instead of triggering the reference's stale-PCM
+    duplication quirk — same sample count as mpg123, in both the python
+    walk and the C++ twin."""
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    mp3 = lame_encode(_transient(44100)[:, None], 44100, 128, mode=3)
+    tagged = mp3 + b"TAG" + b"\x00" * 125
+    ref, _ = mpg123_decode(tagged)
+    ours = _our_decode(tagged, tmp_path)
+    assert ours.shape == ref.shape          # no duplicated final frame
+    assert snr_db(ref.ravel(), ours.ravel()) > 70
+    p_py = dh.parse_mp3(tagged, 0, backend="python")
+    assert not p_py.duplicate_last_pcm
+    from mp3stego_tpu import native
+    if native.available():
+        p_nat = dh.parse_mp3(tagged, 0, backend="native")
+        assert not p_nat.duplicate_last_pcm
+    # mid-file garbage still triggers the reference quirk
+    corrupt = bytearray(mp3)
+    corrupt[len(mp3) // 2] = 0x00           # likely breaks a sync eventually
+    p_c = dh.parse_mp3(bytes(corrupt) + b"junkjunk", 0, backend="python")
+    assert isinstance(p_c.duplicate_last_pcm, bool)
+
+
+def test_stego_roundtrip_on_lame_file(tmp_path):
+    """The flagship steganography ops work on real-world (LAME-encoded)
+    files, not just this encoder family's output: hide -> reveal recovers
+    the message; clear produces a stego-silent re-encode; the carriers
+    still decode sanely under mpg123."""
+    from mp3stego_tpu import Steganography
+    mp3 = lame_encode(_transient(44100, secs=3.0)[:, None], 44100, 128,
+                      mode=3)
+    src = str(tmp_path / "carrier.mp3")
+    with open(src, "wb") as f:
+        f.write(mp3)
+    s = Steganography(quiet=True)
+    hidden = str(tmp_path / "hidden.mp3")
+    assert s.hide_message(src, hidden, "interop!") is False  # not too long
+    out_txt = str(tmp_path / "msg.txt")
+    s.reveal_massage(hidden, out_txt)
+    assert open(out_txt).read() == "interop!"
+    # the stego carrier is a valid stream for production decoders
+    ref, rate = mpg123_decode(open(hidden, "rb").read())
+    assert rate == 44100 and len(ref) > 0
+    cleared = str(tmp_path / "cleared.mp3")
+    s.clear_file(hidden, cleared)
+    s.reveal_massage(cleared, out_txt)
+    assert "interop!" not in open(out_txt).read()
