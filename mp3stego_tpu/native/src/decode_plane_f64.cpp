@@ -189,7 +189,12 @@ int64_t decode_plane_run(
   // per-channel sequential carries: previous granule's window tail and the
   // last 15 synthesis V rows (zero history before stream start)
   double tail_c[2][32][18];
-  double vlin[2][33][64];  // rows 0..14: history; 15..32: this granule's V
+  // rows 0..14: history; 15..32: this granule's V. Rows padded 64 -> 72
+  // doubles (576 B, an odd number of cache lines): the FIR slides a
+  // 16-row window over these, and a 512 B stride lands every row in the
+  // same few L1 sets (measured ~5x the isolated kernel's cycles); the
+  // padding spreads the sets. Layout only — values and order unchanged.
+  double vlin[2][33][72];
   std::memset(tail_c, 0, sizeof(tail_c));
   std::memset(vlin, 0, sizeof(vlin));
 
@@ -223,6 +228,7 @@ int64_t decode_plane_run(
 
   const bool prof = prof_enabled();
   uint64_t c_deq = 0, c_pre = 0, c_imdct = 0, c_ov = 0, c_mat = 0, c_fir = 0;
+  uint64_t c_sink = 0;
   uint64_t tp0 = 0, tp1 = 0;
 
   for (int64_t t = 0; t < T; ++t) {
@@ -571,7 +577,7 @@ int64_t decode_plane_run(
           a6 = _mm512_add_pd(a6, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 48)));
           a7 = _mm512_add_pd(a7, _mm512_mul_pd(ys, _mm512_loadu_pd(nj + 56)));
         }
-        double* v = vg + step * 64;
+        double* v = vg + step * 72;
         _mm512_storeu_pd(v, a0);
         _mm512_storeu_pd(v + 8, a1);
         _mm512_storeu_pd(v + 16, a2);
@@ -582,12 +588,12 @@ int64_t decode_plane_run(
         _mm512_storeu_pd(v + 56, a7);
       }
 #else
-      std::memset(vg, 0, 18 * 64 * sizeof(double));
+      std::memset(vg, 0, 18 * 72 * sizeof(double));
       for (int j = 0; j < 32; ++j) {
         const double* yj = y[ch][j];           // 18 steps, contiguous
         const double* nj = n_matT[j];
         for (int step = 0; step < 18; ++step) {
-          double* v = vg + step * 64;
+          double* v = vg + step * 72;
           const double ys = yj[step];
           for (int i = 0; i < 64; ++i) v[i] += ys * nj[i];
         }
@@ -641,22 +647,24 @@ int64_t decode_plane_run(
         }
       }
 #endif
+      if (prof) { tp1 = prof_tsc(); c_fir += tp1 - tp0; tp0 = tp1; }
       sink.write_granule(ch, t, acc);
       // carry: last 15 V rows become the next granule's history
       std::memmove(&vlin[ch][0][0], &vlin[ch][18][0],
-                   15 * 64 * sizeof(double));
-      if (prof) { tp1 = prof_tsc(); c_fir += tp1 - tp0; tp0 = tp1; }
+                   15 * 72 * sizeof(double));
+      if (prof) { tp1 = prof_tsc(); c_sink += tp1 - tp0; tp0 = tp1; }
     }
   }
   if (prof && T > 0) {
     std::fprintf(stderr,
                  "[plane_prof] T=%lld cyc/granule: dequant+ms=%.0f "
                  "reorder/alias=%.0f imdct=%.0f overlap/inv=%.0f "
-                 "synth_mat=%.0f fir+sink=%.0f total=%.0f\n",
+                 "synth_mat=%.0f fir=%.0f sink+move=%.0f total=%.0f\n",
                  (long long)T, double(c_deq) / T, double(c_pre) / T,
                  double(c_imdct) / T, double(c_ov) / T, double(c_mat) / T,
-                 double(c_fir) / T,
-                 double(c_deq + c_pre + c_imdct + c_ov + c_mat + c_fir) / T);
+                 double(c_fir) / T, double(c_sink) / T,
+                 double(c_deq + c_pre + c_imdct + c_ov + c_mat + c_fir
+                        + c_sink) / T);
   }
   return 0;
 }
