@@ -217,7 +217,7 @@ def bench_decode_long():
         data = f.read()
 
     best = None
-    for rep in range(3):
+    for rep in range(6):
         t0 = time.time()
         parsed = dh.parse_mp3(data, 0)
         pcm = dp.decode_pcm_i16_host(parsed)
@@ -266,7 +266,7 @@ def bench_encode():
 
     wav = _synth_wav("/tmp/bench_enc30.wav", 30.0, 44100, 2)
     dt = None
-    for rep in range(4):                  # rep0 warms compiles + .so build
+    for rep in range(8):                  # rep0 warms compiles + .so build
         enc = MP3Encoder(read_wav(wav, 320))
         t0 = time.time()
         enc.encode(quiet=True)
@@ -281,7 +281,7 @@ def bench_encode():
     # chosen engine runs at the per-frame budgets — recorded since round 3
     # as the beyond-reference encode mode
     dt = None
-    for rep in range(4):                  # best-of past the warm rep: this
+    for rep in range(8):                  # best-of past the warm rep: this
         enc = MP3Encoder(read_wav(wav, 128), vbr=True)   # host's single-shot
         t0 = time.time()                                 # noise is +-40%
         enc.encode(quiet=True)
@@ -308,7 +308,7 @@ def bench_encode():
     jobs = [(wav, f"/tmp/bench_enc_b{i}.mp3") for i in range(8)]
     encode_files_batched(jobs, bitrate=320)     # warm
     dt = None
-    for _ in range(3):                          # best-of: this host's timing
+    for _ in range(5):                          # best-of: this host's timing
         t0 = time.time()                        # noise is +-20% single-shot
         outs = encode_files_batched(jobs, bitrate=320)
         d = time.time() - t0
@@ -449,14 +449,14 @@ def bench_hide_roundtrip():
     s = Steganography(quiet=True)
     msg = "the quick brown fox jumps over the lazy dog"
     dt = None
-    for rep in range(3):                  # rep0 warms compiles; then best-of
+    for rep in range(6):                  # rep0 warms compiles; then best-of
         t0 = time.time()
         too_long = s.hide_message(mp3, "/tmp/bench_hide10_out.mp3", msg)
         d = time.time() - t0
         dt = d if (dt is None or rep == 1) else min(dt, d)
     assert too_long is False
     dt_r = None
-    for rep in range(3):
+    for rep in range(6):
         t0 = time.time()
         s.reveal_massage("/tmp/bench_hide10_out.mp3", "/tmp/bench_hide10.txt")
         d = time.time() - t0
@@ -467,7 +467,7 @@ def bench_hide_roundtrip():
           "x realtime")
     _note("reveal 10s (decode + bit extraction)", 10.0 / dt_r, "x realtime")
     dt_c = None
-    for rep in range(3):
+    for rep in range(6):
         t0 = time.time()
         s.clear_file("/tmp/bench_hide10_out.mp3", "/tmp/bench_clear10.mp3")
         d = time.time() - t0
@@ -491,7 +491,7 @@ def bench_hide_roundtrip():
     n_chars = int(0.95 * cap_bits / 8) - 6    # "<len>#<msg>" framing overhead
     msg_cap = "x" * n_chars
     dt = None
-    for rep in range(3):
+    for rep in range(6):
         t0 = time.time()
         too_long = s.hide_message(mp330, "/tmp/bench_hide30_out.mp3", msg_cap)
         d = time.time() - t0
