@@ -646,6 +646,8 @@ class ParsedMP3:
     scale_fac_s: np.ndarray = None                # (F,2,2,3,13)
     table_select: np.ndarray = None               # (F,2,2,3)
     ms_stereo: np.ndarray = None                  # (2F,) bool, per granule
+    is_stereo: np.ndarray = None                  # (2F,) bool, per granule
+    #   (joint stereo with the intensity mode_ext bit; reference ignores it)
     duplicate_last_pcm: bool = False
     # MPEG-2/2.5 (LSF): real single-granule frames are packed two-per-
     # virtual-frame into the (F,2,2,...) layout; lsf_granules = the real
@@ -752,7 +754,8 @@ def parse_mp3_native(file_data: bytes, offset: int = 0):
         setattr(p, name, a)
     p.num_frames = F
     p.header = parse_header(*file_data[offset:offset + 4])
-    p.ms_stereo = np.repeat(ms.astype(bool), 2)
+    p.ms_stereo = np.repeat((ms & 1).astype(bool), 2)
+    p.is_stereo = np.repeat((ms & 2).astype(bool), 2)
     # the fill loop exits on the frame-count cap before re-checking sync, so
     # the stale-PCM quirk flag comes from the counting pass
     p.duplicate_last_pcm = bool(dup[0])
@@ -843,6 +846,7 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
     p.scale_fac_s = z(F, 2, 2, 3, 13)
     p.table_select = z(F, 2, 2, 3)
     p.ms_stereo = np.zeros(2 * F, dtype=bool)
+    p.is_stereo = np.zeros(2 * F, dtype=bool)
 
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
         start_si = 6 if h.crc == 0 else 4
@@ -874,6 +878,8 @@ def _parse_mp3_python(file_data: bytes, offset: int = 0,
         p.table_select[fi] = si.table_select
         p.ms_stereo[2 * fi:2 * fi + 2] = (
             h.channel_mode == 1) and bool(h.mode_ext[0])
+        p.is_stereo[2 * fi:2 * fi + 2] = (
+            h.channel_mode == 1) and bool(h.mode_ext[1])
 
     return p
 
@@ -919,6 +925,7 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     p.scale_fac_s = z(fv, 2, 2, 3, 13)
     p.table_select = z(fv, 2, 2, 3)
     p.ms_stereo = np.zeros(2 * fv, dtype=bool)
+    p.is_stereo = np.zeros(2 * fv, dtype=bool)
 
     raw = np.zeros(576, dtype=np.float64)
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
@@ -958,6 +965,10 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
         # MS stereo is per REAL frame (= per granule of the virtual-frame
         # layout); real LSF encoders (LAME) freely alternate MS/LR per frame
         p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
+        # LSF intensity uses different coefficient tables (ISO 13818-3);
+        # not implemented — flagged granules decode with MS/LR only (the
+        # reference ignores intensity entirely on every stream)
+        p.is_stereo[fi] = False
     return p
 
 
@@ -1017,6 +1028,7 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
     p.scale_fac_s = z(F, 2, 2, 3, 13)
     p.table_select = z(F, 2, 2, 3)
     p.ms_stereo = np.zeros(2 * F, dtype=bool)
+    p.is_stereo = np.zeros(2 * F, dtype=bool)
 
     descriptors = []
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
@@ -1064,6 +1076,8 @@ def parse_mp3_light(file_data: bytes, offset: int = 0):
         p.table_select[fi] = si.table_select
         p.ms_stereo[2 * fi:2 * fi + 2] = (
             h.channel_mode == 1) and bool(h.mode_ext[0])
+        p.is_stereo[2 * fi:2 * fi + 2] = (
+            h.channel_mode == 1) and bool(h.mode_ext[1])
     return p, descriptors
 
 

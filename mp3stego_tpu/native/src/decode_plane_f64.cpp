@@ -154,6 +154,9 @@ int64_t decode_plane_run(
     const int32_t* scale_fac_l,      // (F,2,2,22)
     const int32_t* scale_fac_s,      // (F,2,2,3,13)
     const uint8_t* ms_stereo,        // (2F,) per granule
+    const uint8_t* is_stereo,        // (2F,) per granule: intensity flag
+    const int8_t* is_pos,            // (2F,3,22) intensity positions, -1=off
+    const double* is_ab,             // (2,2,8) [ms][A|B][pos] coefficients
     // static walk / permutation tables (samplerate-specific, from python)
     const int32_t* walk_is_short,    // (3,576) rows: 0 long, 1 short, 2 mixed
     const int32_t* walk_sfb,         // (3,576)
@@ -334,6 +337,31 @@ int64_t decode_plane_run(
         x[1][s] = (mid - side) / kSqrt2;
       }
 #endif
+    }
+
+    // ---- intensity stereo overlay (beyond-reference; validated vs mpg123
+    // on crafted streams — tests/test_intensity.py). Flagged (win, band)
+    // pairs replace BOTH channels from the post-MS left: L'=v*A, R'=v*B;
+    // plain element-wise f64 multiplies, identical to the NumPy oracle.
+    if (is_stereo[t] != 0) {
+      const int64_t g1 = (f * 2 + gr) * 2 + 1;   // right channel drives
+      const int bt1 = block_type[g1];
+      const int mode1 = bt1 == 2 ? 1 : (mixed_block_flag[g1] ? 2 : 0);
+      const int8_t* ip = is_pos + t * 3 * 22;
+      const double* tabA = is_ab + (ms ? 16 : 0);
+      const double* tabB = tabA + 8;
+      for (int si = 0; si < nseg[mode1]; ++si) {
+        const Seg& sg = segs[mode1][si];
+        const int sfb_c = sg.sfb < 21 ? sg.sfb : 21;
+        const int pos = ip[sg.win * 22 + sfb_c];
+        if (pos < 0 || pos == 7) continue;
+        const double a = tabA[pos], b = tabB[pos];
+        for (int s = sg.start; s < sg.end; ++s) {
+          const double v = x[0][s];
+          x[0][s] = v * a;
+          x[1][s] = v * b;
+        }
+      }
     }
     if (prof) { tp1 = prof_tsc(); c_deq += tp1 - tp0; tp0 = tp1; }
 
@@ -677,7 +705,9 @@ int64_t decode_plane_run(
       const int32_t* scale_fac_scale, const int32_t* pre_flag,              \
       const int32_t* sub_block_gain, const int32_t* scale_fac_l,            \
       const int32_t* scale_fac_s, const uint8_t* ms_stereo,                 \
-      const int32_t* walk_is_short, const int32_t* walk_sfb,                \
+      const uint8_t* is_stereo, const int8_t* is_pos,                       \
+      const double* is_ab, const int32_t* walk_is_short,                    \
+      const int32_t* walk_sfb,                                              \
       const int32_t* walk_win, const int32_t* pre_ext,                      \
       const int32_t* reorder_perm, const double* pow43, const double* e1lut,\
       const double* e2lut, const double* alias_cs, const double* alias_ca,  \
@@ -687,7 +717,8 @@ int64_t decode_plane_run(
 #define DECODE_PLANE_PASS                                                   \
   F, raw, block_type, mixed_block_flag, global_gain, scale_fac_scale,       \
       pre_flag, sub_block_gain, scale_fac_l, scale_fac_s, ms_stereo,        \
-      walk_is_short, walk_sfb, walk_win, pre_ext, reorder_perm, pow43,      \
+      is_stereo, is_pos, is_ab, walk_is_short, walk_sfb, walk_win,          \
+      pre_ext, reorder_perm, pow43,                                         \
       e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win
 
 extern "C" int64_t decode_plane_f64(DECODE_PLANE_ARGS, double* out) {

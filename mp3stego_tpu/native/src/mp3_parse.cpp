@@ -124,6 +124,7 @@ struct Header {
   int channel_mode = 0;
   int channels = 2;
   int mode_ext0 = 0;
+  int mode_ext1 = 0;
   int sr_idx = 0;
   double mpeg_version = 1.0;
 };
@@ -157,6 +158,7 @@ bool parse_header(const uint8_t* b, Header* h) {
   h->channel_mode = (b[3] >> 6) & 0x03;
   h->channels = h->channel_mode == 3 ? 1 : 2;
   h->mode_ext0 = (h->layer == 3) ? (b[3] & 0x20) : 0;
+  h->mode_ext1 = (h->layer == 3) ? (b[3] & 0x10) : 0;
   h->padding = (b[2] & 0x02) ? 1 : 0;
   int idx = ((b[2] >> 4) & 0x0F) - 1;
   if (idx < 0) idx = 13;   // python's rates[-1] wraps to the last entry
@@ -551,7 +553,7 @@ int64_t mp3_parse(
     int32_t* scale_fac_l,      // [F,2,2,22]
     int32_t* scale_fac_s,      // [F,2,2,3,13]
     int32_t* table_select,     // [F,2,2,3]
-    uint8_t* ms_stereo) {      // [F]
+    uint8_t* ms_stereo) {      // [F]: bit0 = MS, bit1 = intensity
   int32_t dup = 0;
   if (offset + 1 >= n || data[offset] != 0xFF || data[offset + 1] < 0xE0)
     return 0;
@@ -628,7 +630,8 @@ int64_t mp3_parse(
           for (int s = 0; s < 13; ++s)
             scale_fac_s[(k * 3 + w) * 13 + s] = si.scale_fac_s[gr][ch][w][s];
       }
-    ms_stereo[fi] = (h.channel_mode == 1 && h.mode_ext0) ? 1 : 0;
+    ms_stereo[fi] = uint8_t(((h.channel_mode == 1 && h.mode_ext0) ? 1 : 0)
+                            | ((h.channel_mode == 1 && h.mode_ext1) ? 2 : 0));
     if (pprof) { pt1 = pprof_tsc(); c_out += pt1 - pt0; }
     cur += frame_size;
     ++fi;

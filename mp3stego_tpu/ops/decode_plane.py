@@ -164,6 +164,91 @@ def _iso_bands(sr_idx: int) -> bool:
     return sr_idx >= 3 or not T.ref_short_bands()
 
 
+@functools.lru_cache(maxsize=1)
+def _is_coef():
+    """(2,2,8) float64 intensity-stereo coefficients, [ms][A/B][is_pos]:
+    L' = x*A[p], R' = x*B[p] with ratio tan(p*pi/12) (ISO 11172-3
+    2.4.3.4.9.3), applied to the post-MS left channel; when the granule is
+    ALSO MS (mode_ext = 3) the pair is scaled by sqrt(2) — mpg123's tan*_2
+    tables, fitted exactly on crafted streams (tests/test_intensity.py).
+    p=6 is the +90-degree edge (A=1, B=0); slot 7 is the 'illegal position'
+    sentinel (band stays on the MS/LR path)."""
+    a = np.zeros(8)
+    b = np.zeros(8)
+    for p in range(7):
+        if p == 6:
+            a[p], b[p] = 1.0, 0.0
+        else:
+            t = math.tan(p * math.pi / 12.0)
+            a[p] = t / (1.0 + t)
+            b[p] = 1.0 / (1.0 + t)
+    plain = np.stack([a, b])
+    return np.stack([plain, math.sqrt(2.0) * plain])
+
+
+def _intensity_positions(p, bt_ct, mixed_ct):
+    """(T,3,22) int8 intensity positions for IS-flagged granules (-1 = band
+    not intensity-processed) + the (T,) flag mask.
+
+    MPEG-1 semantics: intensity applies to the scalefactor bands at and
+    above the RIGHT channel's zero part (the bands from the band holding
+    the last nonzero right-channel sample upward are NOT processed — only
+    fully-zero bands are); the intensity position is the right channel's
+    scalefactor for that band; the top band (21 long / 12 short), which has
+    no transmitted scalefactor, reuses the previous band's position. Bound
+    and edge rules validated against libmpg123 on hand-crafted streams
+    (tests/test_intensity.py)."""
+    Tn = 2 * p.num_frames
+    isg = np.zeros(Tn, bool) if p.is_stereo is None \
+        else np.asarray(p.is_stereo, bool).copy()
+    out = np.full((Tn, 3, 22), -1, np.int8)
+    if not isg.any():
+        return out, isg
+    sr = p.header.sr_idx
+    long_win = T.BAND_INDEX_ISO[sr]
+    width_s = T.BAND_WIDTH_SHORT_ISO[sr]
+    sfl = p.scale_fac_l      # (F,2,2,22)
+    sfs = p.scale_fac_s      # (F,2,2,3,13)
+    for t in np.flatnonzero(isg):
+        f, gr = divmod(int(t), 2)
+        right = p.raw_samples[f, gr, 1]
+        short = bt_ct[1, t] == 2
+        if short and mixed_ct[1, t]:
+            # mixed blocks: no third-party encoder emits IS+mixed to
+            # validate against — leave the granule on the MS/LR path
+            isg[t] = False
+            continue
+        if short:
+            pos = 0
+            for sfb in range(13):
+                w = int(width_s[sfb])
+                for win in range(3):
+                    seg = right[pos + win * w: pos + (win + 1) * w]
+                    if not seg.any():
+                        ip = int(sfs[f, gr, 1, win, sfb]) if sfb < 12 \
+                            else int(sfs[f, gr, 1, win, 11])
+                        out[t, win, sfb] = ip
+                pos += 3 * w
+            # a window's IS region must be a contiguous tail: clear zero
+            # bands that sit below a nonzero band (inner zero bands stay
+            # untouched, matching mpg123's bound semantics)
+            for win in range(3):
+                blocked = False
+                for sfb in range(12, -1, -1):
+                    if out[t, win, sfb] < 0:
+                        blocked = True
+                    elif blocked:
+                        out[t, win, sfb] = -1
+        else:
+            nz = np.flatnonzero(right)
+            rz = int(nz[-1]) + 1 if len(nz) else 0
+            for sfb in range(22):
+                if int(long_win[sfb]) >= rz:
+                    out[t, :, sfb] = (int(sfl[f, gr, 1, sfb]) if sfb < 21
+                                      else int(sfl[f, gr, 1, 20]))
+    return out, isg
+
+
 def _pack_raw_native(raw_samples: np.ndarray, F: int):
     """C++ int8 sample-plane pack (native/src/raw_pack.cpp); None -> NumPy."""
     from mp3stego_tpu import native
@@ -224,8 +309,11 @@ def host_prepare(p, native_pack: bool = True) -> dict:
     # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
     mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int8)
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
+    is_pos, is_mask = _intensity_positions(p, bt, mixed)
 
     return dict(
+        is_pos=is_pos,                               # (T,3,22) int8
+        is_mask=is_mask,                             # (T,) bool
         raw_i8=raw_i8,
         exc_t=exc_t.astype(np.int32),
         exc_ch=exc_ch.astype(np.int8),
@@ -297,7 +385,7 @@ def _imdct_mats(dtype):
 # input pytree key groups (used by batching/sharding layers)
 T_AXIS1_KEYS = ("raw_i8", "mode", "gg", "sfscale", "pre", "sbg", "sfl", "sfs",
                 "reorder_mask", "win_row", "is_short_blk")
-T_AXIS0_KEYS = ("ms_mask",)
+T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos")
 # sparse int16 escape values for the rare |sample| > 127 (linbits) entries;
 # padded entries use an out-of-bounds index and are dropped by the scatter
 EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
@@ -359,6 +447,23 @@ def granule_blocks(prep, dtype):
     r = (mid - side) / dtype.type(SQRT2)
     ms = prep["ms_mask"][None, :, None]
     x = jnp.where(ms, jnp.stack([l, r]), x)
+
+    # ---- intensity stereo overlay (beyond-reference; validated vs mpg123).
+    # Flagged bands replace BOTH channels from the left spectrum:
+    # L' = L*A[pos], R' = L*B[pos]; other samples keep the MS/LR result, so
+    # streams without the intensity mode_ext bit are bit-for-bit unchanged.
+    sfb_r = prep["walk_sfb"][prep["mode"].astype(jnp.int32)[1]]      # (T,576)
+    win_r = prep["walk_win"][prep["mode"].astype(jnp.int32)[1]]
+    tix = jnp.arange(sfb_r.shape[0])[:, None]
+    pos = prep["is_pos"].astype(jnp.int32)[tix, win_r, sfb_r]        # (T,576)
+    active = (pos >= 0) & (pos != 7) & prep["is_mask"][:, None]
+    coef = jnp.asarray(_is_coef(), dtype)
+    msr = prep["ms_mask"].astype(jnp.int32)[:, None]      # (T,1) table row
+    pc = jnp.clip(pos, 0, 7)
+    cl = coef[msr, 0, pc]
+    cr = coef[msr, 1, pc]
+    left0 = x[0]
+    x = jnp.where(active[None], jnp.stack([left0 * cl, left0 * cr]), x)
 
     # ---- reorder (short) / alias reduction (long)
     perm = prep["reorder_perm"]
@@ -511,6 +616,23 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     ms = prep["ms_mask"][None, :, None]
     x = np.where(ms, np.stack([l, r]), x)
 
+    # intensity stereo overlay (beyond-reference; validated vs mpg123):
+    # flagged bands replace both channels from the left spectrum; other
+    # samples keep the MS/LR result bit-for-bit
+    if prep["is_mask"].any():
+        sfb_r = prep["walk_sfb"][prep["mode"].astype(np.int32)[1]]   # (T,576)
+        win_r = prep["walk_win"][prep["mode"].astype(np.int32)[1]]
+        tix = np.arange(sfb_r.shape[0])[:, None]
+        pos = prep["is_pos"].astype(np.int32)[tix, win_r, sfb_r]
+        active = (pos >= 0) & (pos != 7) & prep["is_mask"][:, None]
+        coef = _is_coef()
+        msr = prep["ms_mask"].astype(np.int32)[:, None]   # (T,1) table row
+        pc = np.clip(pos, 0, 7)
+        cl = coef[msr, 0, pc]
+        cr = coef[msr, 1, pc]
+        left0 = x[0]
+        x = np.where(active[None], np.stack([left0 * cl, left0 * cr]), x)
+
     # reorder / alias
     perm = prep["reorder_perm"]
     reord = np.where(perm[None, None, :] >= 0,
@@ -606,6 +728,9 @@ def _native_plane_args(p):
         return None
     sr = p.header.sr_idx
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
+    bt_ct = np.moveaxis(p.block_type, 2, 0).reshape(2, -1)
+    mixed_ct = np.moveaxis(p.mixed_block_flag, 2, 0).reshape(2, -1) != 0
+    is_pos, is_mask = _intensity_positions(p, bt_ct, mixed_ct)
     c32 = lambda a: np.ascontiguousarray(a, np.int32)
     return lib, (
         p.num_frames,
@@ -613,6 +738,9 @@ def _native_plane_args(p):
         c32(p.global_gain), c32(p.scale_fac_scale), c32(p.pre_flag),
         c32(p.sub_block_gain), c32(p.scale_fac_l), c32(p.scale_fac_s),
         np.ascontiguousarray(p.ms_stereo, np.uint8),
+        np.ascontiguousarray(is_mask, np.uint8),
+        np.ascontiguousarray(is_pos, np.int8),
+        np.ascontiguousarray(_is_coef().reshape(-1), np.float64),
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
         c32(_reorder_perm(sr, _iso_bands(sr))),
         *_f64_tables())
