@@ -80,7 +80,27 @@ class BitWriter:
     def take_frame(self) -> bytes:
         """Return bytes written so far and reset the position (per-frame chunking,
         mirrors __encode_buffer_internal's written/data handoff). The cache
-        carries over to the next frame exactly like the reference."""
+        carries over to the next frame exactly like the reference — bits not
+        yet flushed to a whole 32-bit word are NOT included (use take_all
+        for a byte-exact snapshot)."""
         out = bytes(self.data[:self.data_position])
         self.data_position = 0
+        return out
+
+    def take_all(self) -> bytes:
+        """Flush the cache to the byte boundary and return every byte written.
+
+        For standalone builders (tests/craft_mp3.py) that need the full
+        bit-accurate output of one writer: bits_count() must be a multiple
+        of 8 (put a 0-pad first). take_frame's word-granular carry semantics
+        are the production-encoder contract and drop up to 3 trailing bytes
+        per take — exactly the bug that silently truncated the crafted LSF
+        streams' 21-byte header block."""
+        n_bits = 32 - self.cache_bits
+        assert (self.data_position * 8 + n_bits) % 8 == 0, "pad to byte first"
+        tail = self.cache.to_bytes(4, "big")[:n_bits // 8]
+        out = bytes(self.data[:self.data_position]) + tail
+        self.data_position = 0
+        self.cache = 0
+        self.cache_bits = 32
         return out

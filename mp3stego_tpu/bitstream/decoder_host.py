@@ -350,6 +350,14 @@ def parse_side_info_lsf(bits: np.ndarray, h: FrameHeader) -> SideInfo:
 _LSF_NR_LONG = ((6, 5, 5, 5), (6, 5, 7, 3), (11, 10, 0, 0))
 _LSF_NR_SHORT = ((9, 9, 9, 9), (9, 9, 12, 6), (18, 18, 0, 0))
 _LSF_NR_MIXED = ((6, 9, 9, 9), (6, 9, 12, 6), (15, 18, 0, 0))
+# ... and the intensity-stereo variants (ISO 13818-3 "intensity_stereo"
+# scalefactor classes): the RIGHT channel of an IS-flagged LSF granule uses
+# scalefac_compress>>1 to pick slen (the LSB is intensity_scale) and these
+# band partitions. Validated against BOTH libmpg123 and libavcodec on
+# crafted streams (tests/test_intensity.py).
+_LSF_NR_LONG_IS = ((7, 7, 7, 0), (6, 6, 6, 3), (8, 8, 5, 0))
+_LSF_NR_SHORT_IS = ((12, 12, 12, 0), (12, 9, 9, 6), (15, 12, 9, 0))
+_LSF_NR_MIXED_IS = ((6, 15, 12, 0), (6, 12, 9, 6), (6, 18, 9, 0))
 
 
 def _lsf_slen(sfc: int):
@@ -364,19 +372,71 @@ def _lsf_slen(sfc: int):
     return (s // 3, s % 3, 0, 0), 2, 1
 
 
+def _lsf_slen_is(sfc: int):
+    """scalefac_compress (9 bits) -> (slen[4], class) for the intensity
+    channel: int_sfc = sfc >> 1 picks one of three layouts (ISO 13818-3;
+    intensity_scale = sfc & 1 is consumed by the coefficient tables)."""
+    s = sfc >> 1
+    if s < 180:
+        return (s // 36, (s % 36) // 6, s % 6, 0), 0
+    if s < 244:
+        s -= 180
+        return ((s >> 4) & 3, (s >> 2) & 3, s & 3, 0), 1
+    s -= 244
+    return (s // 3, s % 3, 0, 0), 2
+
+
 def unpack_scale_factors_lsf(md: "_MainDataBits", si: SideInfo, ch: int,
-                             bit: int) -> int:
+                             bit: int, i_stereo: bool = False):
     """LSF scalefactor unpack for one channel (gr 0). Sets scale_fac_l /
-    scale_fac_s and the derived pre_flag. Intensity-stereo scalefactor
-    classes are not implemented (neither encoder ever emits them)."""
+    scale_fac_s and the derived pre_flag; returns (bit, illegal) where
+    illegal is None, or — for the intensity channel (``i_stereo=True``,
+    the right channel of an IS-flagged granule) — a (3,22) int8 array of
+    per-band illegal-position sentinels ((1<<slen)-1 for the band's slen
+    group; a transmitted position equal to it turns intensity off for the
+    band)."""
     gr = 0
     sfc = int(si.scale_fac_compress[gr][ch])
-    slen, cls, pre = _lsf_slen(sfc)
+    if i_stereo:
+        slen, cls = _lsf_slen_is(sfc)
+        pre = 0
+    else:
+        slen, cls, pre = _lsf_slen(sfc)
     si.pre_flag[gr][ch] = pre
     short = si.window_switching[gr][ch] and si.block_type[gr][ch] == 2
     mixed = short and si.mixed_block_flag[gr][ch]
+    illegal = None
+    if i_stereo:
+        illegal = np.full((3, 22), -1, np.int8)
+        ill_of = [(1 << s) - 1 for s in slen]
+        if short:
+            nr = _LSF_NR_MIXED_IS[cls] if mixed else _LSF_NR_SHORT_IS[cls]
+            # group of each (sfb, window) fill slot; long prefix if mixed
+            k = 0
+            bounds = np.cumsum(nr)
+            n_long = 6 if mixed else 0
+            for sfb in range(n_long):
+                illegal[:, sfb] = ill_of[int(np.searchsorted(
+                    bounds, k, side="right"))]
+                k += 1
+            for sfb in range(3 if mixed else 0, 12):
+                for win in range(3):
+                    illegal[win, sfb] = ill_of[int(np.searchsorted(
+                        bounds, k, side="right"))]
+                    k += 1
+            illegal[:, 12] = illegal[:, 11]   # inherits band 11's position
+        else:
+            nr = _LSF_NR_LONG_IS[cls]
+            bounds = np.cumsum(nr)
+            for sfb in range(21):
+                illegal[:, sfb] = ill_of[int(np.searchsorted(
+                    bounds, sfb, side="right"))]
+            illegal[:, 21] = illegal[:, 20]   # inherits band 20's position
     if short:
-        nr = _LSF_NR_MIXED[cls] if mixed else _LSF_NR_SHORT[cls]
+        if i_stereo:
+            nr = _LSF_NR_MIXED_IS[cls] if mixed else _LSF_NR_SHORT_IS[cls]
+        else:
+            nr = _LSF_NR_MIXED[cls] if mixed else _LSF_NR_SHORT[cls]
         # fill order: [long sfbs if mixed] then short (sfb, window)-major
         vals = []
         for g_i in range(4):
@@ -398,14 +458,14 @@ def unpack_scale_factors_lsf(md: "_MainDataBits", si: SideInfo, ch: int,
                 k += 1
             sfb += 1
     else:
-        nr = _LSF_NR_LONG[cls]
+        nr = _LSF_NR_LONG_IS[cls] if i_stereo else _LSF_NR_LONG[cls]
         sfb = 0
         for g_i in range(4):
             for _ in range(nr[g_i]):
                 si.scale_fac_l[gr][ch][sfb] = md.get(bit, slen[g_i])
                 bit += slen[g_i]
                 sfb += 1
-    return bit
+    return bit, illegal
 
 
 # ------------------------------------------------------- main data / reservoir
@@ -654,6 +714,12 @@ class ParsedMP3:
     # frame count (0 = MPEG-1 stream). PCM consumers trim to
     # lsf_granules*576 samples and the duplication quirk appends 576.
     lsf_granules: int = 0
+    # LSF intensity stereo (ISO 13818-3): per-REAL-FRAME illegal-position
+    # sentinels (2F,3,22) int8 and intensity_scale = scalefac_compress & 1
+    # (2F,) int8 (-1 where the granule is not IS-flagged); None on MPEG-1
+    # streams (whose illegal position is the constant 7).
+    lsf_is_illegal: np.ndarray = None
+    lsf_is_scale: np.ndarray = None
     side_infos: list = field(default_factory=list)
     # Xing/Info/VBRI tag frame (bitstream/vbr.py): the tag's stream stats,
     # and whether PCM consumers should drop frame 0's silence (default when
@@ -926,6 +992,8 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     p.table_select = z(fv, 2, 2, 3)
     p.ms_stereo = np.zeros(2 * fv, dtype=bool)
     p.is_stereo = np.zeros(2 * fv, dtype=bool)
+    p.lsf_is_illegal = np.full((2 * fv, 3, 22), -1, dtype=np.int8)
+    p.lsf_is_scale = np.full(2 * fv, -1, dtype=np.int8)
 
     raw = np.zeros(576, dtype=np.float64)
     for fi, (foff, h, fsize, prev_sizes) in enumerate(frames):
@@ -939,13 +1007,18 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
                 "LSF mixed blocks are not supported (no third-party "
                 "encoder emits them, so the decode could not be validated; "
                 "pure short/long/start/stop LSF blocks all decode)")
+        is_gr = (h.channel_mode == 1) and bool(h.mode_ext[1])
         md = _MainDataBits(
             assemble_main_data(file_data, foff, fsize, prev_sizes, si, h))
         vf, gr = fi // 2, fi & 1
         bit = 0
         for ch in range(h.channels):
             max_bit = int(bit + si.part2_3_length[0][ch])
-            bit = unpack_scale_factors_lsf(md, si, ch, bit)
+            bit, illegal = unpack_scale_factors_lsf(
+                md, si, ch, bit, i_stereo=is_gr and ch == 1)
+            if illegal is not None:
+                p.lsf_is_illegal[fi] = illegal
+                p.lsf_is_scale[fi] = si.scale_fac_compress[0][ch] & 1
             unpack_samples(md, si, h, 0, ch, bit, max_bit, raw)
             p.raw_samples[vf, gr, ch] = raw.astype(np.int32)
             bit = max_bit
@@ -965,10 +1038,7 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
         # MS stereo is per REAL frame (= per granule of the virtual-frame
         # layout); real LSF encoders (LAME) freely alternate MS/LR per frame
         p.ms_stereo[fi] = (h.channel_mode == 1) and bool(h.mode_ext[0])
-        # LSF intensity uses different coefficient tables (ISO 13818-3);
-        # not implemented — flagged granules decode with MS/LR only (the
-        # reference ignores intensity entirely on every stream)
-        p.is_stereo[fi] = False
+        p.is_stereo[fi] = is_gr
     return p
 
 

@@ -133,7 +133,7 @@ def _bind(lib) -> None:
         i64,
         p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,   # raw + 5 gr fields
         p_i32, p_i32, p_i32, p_u8,                  # sbg, sfl, sfs, ms
-        p_u8, p_i8, p_f64,                          # is flag, is_pos, is_ab
+        p_u8, p_i8, p_i8, p_f64,                    # is flag/pos/tab/coef
         p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
         p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
         p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d

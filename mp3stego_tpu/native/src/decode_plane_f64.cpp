@@ -156,7 +156,8 @@ int64_t decode_plane_run(
     const uint8_t* ms_stereo,        // (2F,) per granule
     const uint8_t* is_stereo,        // (2F,) per granule: intensity flag
     const int8_t* is_pos,            // (2F,3,22) intensity positions, -1=off
-    const double* is_ab,             // (2,2,8) [ms][A|B][pos] coefficients
+    const int8_t* is_tab,            // (2F,) coefficient-table row
+    const double* is_ab,             // (6,2,16) [row][A|B][pos] coefficients
     // static walk / permutation tables (samplerate-specific, from python)
     const int32_t* walk_is_short,    // (3,576) rows: 0 long, 1 short, 2 mixed
     const int32_t* walk_sfb,         // (3,576)
@@ -348,13 +349,13 @@ int64_t decode_plane_run(
       const int bt1 = block_type[g1];
       const int mode1 = bt1 == 2 ? 1 : (mixed_block_flag[g1] ? 2 : 0);
       const int8_t* ip = is_pos + t * 3 * 22;
-      const double* tabA = is_ab + (ms ? 16 : 0);
-      const double* tabB = tabA + 8;
+      const double* tabA = is_ab + int(is_tab[t]) * 32;
+      const double* tabB = tabA + 16;
       for (int si = 0; si < nseg[mode1]; ++si) {
         const Seg& sg = segs[mode1][si];
         const int sfb_c = sg.sfb < 21 ? sg.sfb : 21;
         const int pos = ip[sg.win * 22 + sfb_c];
-        if (pos < 0 || pos == 7) continue;
+        if (pos < 0) continue;   // off / illegal (host pre-marks both)
         const double a = tabA[pos], b = tabB[pos];
         for (int s = sg.start; s < sg.end; ++s) {
           const double v = x[0][s];
@@ -706,7 +707,8 @@ int64_t decode_plane_run(
       const int32_t* sub_block_gain, const int32_t* scale_fac_l,            \
       const int32_t* scale_fac_s, const uint8_t* ms_stereo,                 \
       const uint8_t* is_stereo, const int8_t* is_pos,                       \
-      const double* is_ab, const int32_t* walk_is_short,                    \
+      const int8_t* is_tab, const double* is_ab,                            \
+      const int32_t* walk_is_short,                                         \
       const int32_t* walk_sfb,                                              \
       const int32_t* walk_win, const int32_t* pre_ext,                      \
       const int32_t* reorder_perm, const double* pow43, const double* e1lut,\
@@ -717,7 +719,7 @@ int64_t decode_plane_run(
 #define DECODE_PLANE_PASS                                                   \
   F, raw, block_type, mixed_block_flag, global_gain, scale_fac_scale,       \
       pre_flag, sub_block_gain, scale_fac_l, scale_fac_s, ms_stereo,        \
-      is_stereo, is_pos, is_ab, walk_is_short, walk_sfb, walk_win,          \
+      is_stereo, is_pos, is_tab, is_ab, walk_is_short, walk_sfb, walk_win,  \
       pre_ext, reorder_perm, pow43,                                         \
       e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win
 

@@ -166,76 +166,126 @@ def _iso_bands(sr_idx: int) -> bool:
 
 @functools.lru_cache(maxsize=1)
 def _is_coef():
-    """(2,2,8) float64 intensity-stereo coefficients, [ms][A/B][is_pos]:
-    L' = x*A[p], R' = x*B[p] with ratio tan(p*pi/12) (ISO 11172-3
-    2.4.3.4.9.3), applied to the post-MS left channel; when the granule is
-    ALSO MS (mode_ext = 3) the pair is scaled by sqrt(2) — mpg123's tan*_2
-    tables, fitted exactly on crafted streams (tests/test_intensity.py).
-    p=6 is the +90-degree edge (A=1, B=0); slot 7 is the 'illegal position'
-    sentinel (band stays on the MS/LR path)."""
-    a = np.zeros(8)
-    b = np.zeros(8)
+    """(6,2,16) float64 intensity-stereo coefficient tables, [row][A/B][pos]:
+    L' = x*A[p], R' = x*B[p] applied to the post-MS left channel. Rows
+    (mpg123's tabs[lsf + (sfc & lsf)][ms_stereo] layout, fitted exactly on
+    crafted streams — tests/test_intensity.py):
+
+      0  MPEG-1 (ISO 11172-3 2.4.3.4.9.3): ratio tan(p*pi/12), p=0..6
+         (p=6 is the +90-degree edge, A=1/B=0; p=7 is the illegal-position
+         sentinel, pre-marked -1 by _intensity_positions)
+      1  MPEG-1 when the granule is also MS (mode_ext=3): row 0 * sqrt(2)
+      2  LSF (ISO 13818-3), intensity_scale=0: base=2^-1/4; p odd ->
+         A=base^((p+1)/2), B=1; p even -> A=1, B=base^(p/2); p=0 -> A=B=1
+      3  row 2 * sqrt(2) (LSF + MS)
+      4  LSF, intensity_scale=1: base=2^-1/2
+      5  row 4 * sqrt(2)
+    """
+    out = np.zeros((6, 2, 16))
     for p in range(7):
         if p == 6:
-            a[p], b[p] = 1.0, 0.0
+            out[0, 0, p], out[0, 1, p] = 1.0, 0.0
         else:
             t = math.tan(p * math.pi / 12.0)
-            a[p] = t / (1.0 + t)
-            b[p] = 1.0 / (1.0 + t)
-    plain = np.stack([a, b])
-    return np.stack([plain, math.sqrt(2.0) * plain])
+            out[0, 0, p] = t / (1.0 + t)
+            out[0, 1, p] = 1.0 / (1.0 + t)
+    for j in range(2):
+        base = 2.0 ** (-0.25 * (j + 1.0))
+        for p in range(16):
+            a = b = 1.0
+            if p > 0:
+                if p & 1:
+                    a = base ** ((p + 1.0) * 0.5)
+                else:
+                    b = base ** (p * 0.5)
+            out[2 + 2 * j, 0, p] = a
+            out[2 + 2 * j, 1, p] = b
+    out[1] = math.sqrt(2.0) * out[0]
+    out[3] = math.sqrt(2.0) * out[2]
+    out[5] = math.sqrt(2.0) * out[4]
+    return out
 
 
 def _intensity_positions(p, bt_ct, mixed_ct):
     """(T,3,22) int8 intensity positions for IS-flagged granules (-1 = band
-    not intensity-processed) + the (T,) flag mask.
+    not intensity-processed), the (T,) flag mask, and the (T,) int8
+    coefficient-table row (_is_coef first axis) per granule.
 
-    MPEG-1 semantics: intensity applies to the scalefactor bands at and
-    above the RIGHT channel's zero part (the bands from the band holding
+    Semantics (validated against libmpg123 on hand-crafted streams,
+    tests/test_intensity.py): intensity applies to the scalefactor bands at
+    and above the RIGHT channel's zero part (the bands from the band holding
     the last nonzero right-channel sample upward are NOT processed — only
     fully-zero bands are); the intensity position is the right channel's
     scalefactor for that band; the top band (21 long / 12 short), which has
-    no transmitted scalefactor, reuses the previous band's position. Bound
-    and edge rules validated against libmpg123 on hand-crafted streams
-    (tests/test_intensity.py)."""
+    no transmitted scalefactor, reuses the previous band's position. A
+    position equal to the illegal sentinel — 7 for MPEG-1, and for LSF the
+    MP3STEGO_TPU_LSF_IS_ILLEGAL convention (iso: (1<<slen)-1 per band group
+    via ParsedMP3.lsf_is_illegal; mpg123: constant 7; ffmpeg: never — see
+    tables.lsf_is_illegal_mode) — leaves the band on the MS/LR path;
+    illegal bands are pre-marked -1 here so the planes apply coefficients
+    unconditionally wherever pos >= 0 (but they do NOT bound the IS region:
+    only bands with content do)."""
     Tn = 2 * p.num_frames
     isg = np.zeros(Tn, bool) if p.is_stereo is None \
         else np.asarray(p.is_stereo, bool).copy()
     out = np.full((Tn, 3, 22), -1, np.int8)
+    tab = np.zeros(Tn, np.int8)
     if not isg.any():
-        return out, isg
+        return out, isg, tab
+    lsf = bool(p.lsf_granules) and p.lsf_is_scale is not None
+    ms = np.asarray(p.ms_stereo, bool).astype(np.int8)
+    if lsf:
+        tab = np.where(isg, 2 + 2 * np.maximum(p.lsf_is_scale, 0) + ms,
+                       0).astype(np.int8)
+    else:
+        tab = np.where(isg, ms, 0).astype(np.int8)
     sr = p.header.sr_idx
     long_win = T.BAND_INDEX_ISO[sr]
     width_s = T.BAND_WIDTH_SHORT_ISO[sr]
     sfl = p.scale_fac_l      # (F,2,2,22)
     sfs = p.scale_fac_s      # (F,2,2,3,13)
+    ill_mode = T.lsf_is_illegal_mode() if lsf else "iso"
     for t in np.flatnonzero(isg):
         f, gr = divmod(int(t), 2)
         right = p.raw_samples[f, gr, 1]
         short = bt_ct[1, t] == 2
+        if not lsf:
+            illegal = np.full((3, 22), 7, np.int8)
+        elif ill_mode == "iso":
+            illegal = p.lsf_is_illegal[t]
+        elif ill_mode == "mpg123":
+            illegal = np.full((3, 22), 7, np.int8)
+        else:                       # ffmpeg: nothing illegal
+            illegal = np.full((3, 22), -2, np.int8)
         if short and mixed_ct[1, t]:
             # mixed blocks: no third-party encoder emits IS+mixed to
             # validate against — leave the granule on the MS/LR path
             isg[t] = False
+            tab[t] = 0
             continue
         if short:
+            zero = np.zeros((3, 13), bool)
             pos = 0
             for sfb in range(13):
                 w = int(width_s[sfb])
                 for win in range(3):
-                    seg = right[pos + win * w: pos + (win + 1) * w]
-                    if not seg.any():
+                    zero[win, sfb] = not right[
+                        pos + win * w: pos + (win + 1) * w].any()
+                pos += 3 * w
+            for win in range(3):
+                for sfb in range(13):
+                    if zero[win, sfb]:
                         ip = int(sfs[f, gr, 1, win, sfb]) if sfb < 12 \
                             else int(sfs[f, gr, 1, win, 11])
-                        out[t, win, sfb] = ip
-                pos += 3 * w
-            # a window's IS region must be a contiguous tail: clear zero
-            # bands that sit below a nonzero band (inner zero bands stay
-            # untouched, matching mpg123's bound semantics)
+                        if ip != int(illegal[win, sfb]):
+                            out[t, win, sfb] = ip
+            # a window's IS region must be a contiguous tail: zero bands
+            # that sit below a band with content stay on the MS/LR path
+            # (illegal-position bands above the bound don't re-block it)
             for win in range(3):
                 blocked = False
                 for sfb in range(12, -1, -1):
-                    if out[t, win, sfb] < 0:
+                    if not zero[win, sfb]:
                         blocked = True
                     elif blocked:
                         out[t, win, sfb] = -1
@@ -244,9 +294,11 @@ def _intensity_positions(p, bt_ct, mixed_ct):
             rz = int(nz[-1]) + 1 if len(nz) else 0
             for sfb in range(22):
                 if int(long_win[sfb]) >= rz:
-                    out[t, :, sfb] = (int(sfl[f, gr, 1, sfb]) if sfb < 21
-                                      else int(sfl[f, gr, 1, 20]))
-    return out, isg
+                    ip = (int(sfl[f, gr, 1, sfb]) if sfb < 21
+                          else int(sfl[f, gr, 1, 20]))
+                    if ip != int(illegal[0, sfb]):
+                        out[t, :, sfb] = ip
+    return out, isg, tab
 
 
 def _pack_raw_native(raw_samples: np.ndarray, F: int):
@@ -309,11 +361,12 @@ def host_prepare(p, native_pack: bool = True) -> dict:
     # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
     mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int8)
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
-    is_pos, is_mask = _intensity_positions(p, bt, mixed)
+    is_pos, is_mask, is_tab = _intensity_positions(p, bt, mixed)
 
     return dict(
         is_pos=is_pos,                               # (T,3,22) int8
         is_mask=is_mask,                             # (T,) bool
+        is_tab=is_tab,                               # (T,) int8 coef row
         raw_i8=raw_i8,
         exc_t=exc_t.astype(np.int32),
         exc_ch=exc_ch.astype(np.int8),
@@ -385,7 +438,7 @@ def _imdct_mats(dtype):
 # input pytree key groups (used by batching/sharding layers)
 T_AXIS1_KEYS = ("raw_i8", "mode", "gg", "sfscale", "pre", "sbg", "sfl", "sfs",
                 "reorder_mask", "win_row", "is_short_blk")
-T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos")
+T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos", "is_tab")
 # sparse int16 escape values for the rare |sample| > 127 (linbits) entries;
 # padded entries use an out-of-bounds index and are dropped by the scatter
 EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
@@ -456,10 +509,10 @@ def granule_blocks(prep, dtype):
     win_r = prep["walk_win"][prep["mode"].astype(jnp.int32)[1]]
     tix = jnp.arange(sfb_r.shape[0])[:, None]
     pos = prep["is_pos"].astype(jnp.int32)[tix, win_r, sfb_r]        # (T,576)
-    active = (pos >= 0) & (pos != 7) & prep["is_mask"][:, None]
+    active = (pos >= 0) & prep["is_mask"][:, None]
     coef = jnp.asarray(_is_coef(), dtype)
-    msr = prep["ms_mask"].astype(jnp.int32)[:, None]      # (T,1) table row
-    pc = jnp.clip(pos, 0, 7)
+    msr = prep["is_tab"].astype(jnp.int32)[:, None]       # (T,1) table row
+    pc = jnp.clip(pos, 0, 15)
     cl = coef[msr, 0, pc]
     cr = coef[msr, 1, pc]
     left0 = x[0]
@@ -624,10 +677,10 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
         win_r = prep["walk_win"][prep["mode"].astype(np.int32)[1]]
         tix = np.arange(sfb_r.shape[0])[:, None]
         pos = prep["is_pos"].astype(np.int32)[tix, win_r, sfb_r]
-        active = (pos >= 0) & (pos != 7) & prep["is_mask"][:, None]
+        active = (pos >= 0) & prep["is_mask"][:, None]
         coef = _is_coef()
-        msr = prep["ms_mask"].astype(np.int32)[:, None]   # (T,1) table row
-        pc = np.clip(pos, 0, 7)
+        msr = prep["is_tab"].astype(np.int32)[:, None]    # (T,1) table row
+        pc = np.clip(pos, 0, 15)
         cl = coef[msr, 0, pc]
         cr = coef[msr, 1, pc]
         left0 = x[0]
@@ -730,7 +783,7 @@ def _native_plane_args(p):
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
     bt_ct = np.moveaxis(p.block_type, 2, 0).reshape(2, -1)
     mixed_ct = np.moveaxis(p.mixed_block_flag, 2, 0).reshape(2, -1) != 0
-    is_pos, is_mask = _intensity_positions(p, bt_ct, mixed_ct)
+    is_pos, is_mask, is_tab = _intensity_positions(p, bt_ct, mixed_ct)
     c32 = lambda a: np.ascontiguousarray(a, np.int32)
     return lib, (
         p.num_frames,
@@ -740,6 +793,7 @@ def _native_plane_args(p):
         np.ascontiguousarray(p.ms_stereo, np.uint8),
         np.ascontiguousarray(is_mask, np.uint8),
         np.ascontiguousarray(is_pos, np.int8),
+        np.ascontiguousarray(is_tab, np.int8),
         np.ascontiguousarray(_is_coef().reshape(-1), np.float64),
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
         c32(_reorder_perm(sr, _iso_bands(sr))),

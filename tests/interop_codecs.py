@@ -159,6 +159,66 @@ def mpg123_decode(mp3: bytes) -> tuple:
         m.mpg123_delete(h)
 
 
+# ---------------------------------------------------------------- libavcodec
+
+_AV_BIN = None
+_AV_TRIED = False
+
+
+def _av_binary():
+    """Lazily build tests/av_decode.c against the system libavcodec.
+
+    A third decoder oracle, independent of both libmpg123 and this
+    framework — float32 output (no int16 saturation), so comparisons are
+    honest even on content that would clip: the int16 oracles silently
+    agree on the rails wherever both decoders saturate, which once masked a
+    builder bug in this very suite. None when the toolchain or library is
+    absent (tests skip)."""
+    global _AV_BIN, _AV_TRIED
+    if _AV_TRIED:
+        return _AV_BIN
+    _AV_TRIED = True
+    import os
+    import subprocess
+    import tempfile
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "av_decode.c")
+    out = os.path.join(tempfile.gettempdir(), "mp3stego_av_decode")
+    try:
+        if (not os.path.exists(out)
+                or os.path.getmtime(out) < os.path.getmtime(src)):
+            r = subprocess.run(["gcc", "-O2", src, "-o", out + ".tmp",
+                                "-lavcodec", "-lavutil"],
+                               capture_output=True, timeout=120)
+            if r.returncode != 0:
+                return None
+            os.replace(out + ".tmp", out)
+        _AV_BIN = out
+    except Exception:
+        _AV_BIN = None
+    return _AV_BIN
+
+
+def have_avcodec() -> bool:
+    return _av_binary() is not None
+
+
+def avcodec_decode(mp3: bytes) -> tuple:
+    """Decode an MP3 byte stream with libavcodec (mp3float) ->
+    (pcm float32 (n, ch) UNCLIPPED, rate). Raw per-frame PCM from frame 0,
+    no gapless trimming — same framing convention as mpg123_decode."""
+    import struct
+    import subprocess
+    binary = _av_binary()
+    assert binary is not None
+    r = subprocess.run([binary], input=mp3, capture_output=True, timeout=300)
+    if r.stdout[:4] != b"AVPC":
+        raise RuntimeError(f"av_decode failed: {r.stderr[-300:]!r}")
+    rate, ch = struct.unpack("<ii", r.stdout[4:12])
+    pcm = np.frombuffer(r.stdout[12:], np.float32).reshape(-1, ch)
+    return pcm, rate
+
+
 # ---------------------------------------------------------------- metrics
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
