@@ -958,10 +958,10 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
     the C++ f64 plane, the NumPy oracle, the batched device plane, the
     streaming decoder — consumes LSF streams unchanged. Time order is
     preserved (granule flatten order is frame-major, gr-within-frame).
-    Long, short, start and stop blocks all decode (ISO band tables,
-    validated against libmpg123 on LAME streams — tests/test_interop.py);
-    only LSF MIXED blocks are rejected (no third-party encoder emits them,
-    so a decode could not be validated)."""
+    Long, short, start, stop AND mixed blocks all decode (ISO band
+    tables, validated against libmpg123 on LAME streams —
+    tests/test_interop.py — and against libmpg123/libavcodec on crafted
+    mixed-block streams, tests/test_mixed_blocks.py)."""
     F = len(frames)
     stream_len = len(file_data) - frames[0][0]
     if p.duplicate_last_pcm and F <= 2 and stream_len > 4 * frames[0][2]:
@@ -1001,12 +1001,6 @@ def _parse_frames_lsf(p: ParsedMP3, file_data: bytes, frames: list,
         si_bytes = file_data[foff + start_si:foff + fsize]
         si_bits = np.unpackbits(np.frombuffer(si_bytes, dtype=np.uint8))
         si = parse_side_info_lsf(si_bits, h)
-        if int((si.block_type[0] == 2).max()) and int(
-                si.mixed_block_flag[0].max()):
-            raise ValueError(
-                "LSF mixed blocks are not supported (no third-party "
-                "encoder emits them, so the decode could not be validated; "
-                "pure short/long/start/stop LSF blocks all decode)")
         is_gr = (h.channel_mode == 1) and bool(h.mode_ext[1])
         md = _MainDataBits(
             assemble_main_data(file_data, foff, fsize, prev_sizes, si, h))

@@ -137,6 +137,7 @@ def _bind(lib) -> None:
         p_i32, p_i32, p_i32, p_i32, p_i32,          # walk tables + perm
         p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
         p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
+        i64,                                        # mix_nlong (0 = ref mixed)
     ]
     lib.decode_plane_f64.restype = i64
     lib.decode_plane_f64.argtypes = _plane_args + [p_f64]

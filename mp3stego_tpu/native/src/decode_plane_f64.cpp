@@ -159,9 +159,10 @@ int64_t decode_plane_run(
     const int8_t* is_tab,            // (2F,) coefficient-table row
     const double* is_ab,             // (6,2,16) [row][A|B][pos] coefficients
     // static walk / permutation tables (samplerate-specific, from python)
-    const int32_t* walk_is_short,    // (3,576) rows: 0 long, 1 short, 2 mixed
-    const int32_t* walk_sfb,         // (3,576)
-    const int32_t* walk_win,         // (3,576)
+    const int32_t* walk_is_short,    // (4,576) rows: 0 long, 1 short,
+                                 //   2 reference-mixed, 3 ISO mixed
+    const int32_t* walk_sfb,         // (4,576)
+    const int32_t* walk_win,         // (4,576)
     const int32_t* pre_ext,          // (23,)
     const int32_t* reorder_perm,     // (576,) -1 = zero-filled tail
     // float64 constant tables
@@ -175,6 +176,9 @@ int64_t decode_plane_run(
     const double* sine,              // (4,36)
     const double* n_mat,             // (64,32)
     const double* d_win,             // (16,32)
+    // ISO-mixed long-subband count (2, or 4 at 8 kHz); 0 = reference
+    // mixed handling (MP3STEGO_TPU_REF_MIXED / REF_SHORT_BANDS)
+    int64_t mix_nlong,
     // output
     const Out& sink) {
   const int64_t T = 2 * F;
@@ -212,9 +216,9 @@ int64_t decode_plane_run(
   // within a (is_short, sfb, win) run, so the index math hoists out of the
   // per-sample loop (identical FP ops and order inside).
   struct Seg { int start, end, is_short, sfb, win; };
-  static thread_local Seg segs[3][576];  // worst case: every sample a run
-  int nseg[3];
-  for (int m = 0; m < 3; ++m) {
+  static thread_local Seg segs[4][576];  // worst case: every sample a run
+  int nseg[4];
+  for (int m = 0; m < 4; ++m) {
     const int32_t* wis = walk_is_short + m * 576;
     const int32_t* wsf = walk_sfb + m * 576;
     const int32_t* wwi = walk_win + m * 576;
@@ -246,7 +250,8 @@ int64_t decode_plane_run(
       const int64_t g = (f * 2 + gr) * 2 + ch;
       const int bt = block_type[g];
       const int mixed = mixed_block_flag[g];
-      const int mode = bt == 2 ? 1 : (mixed ? 2 : 0);
+      const int mode =
+          bt == 2 ? ((mixed && mix_nlong) ? 3 : 1) : (mixed ? 2 : 0);
       const int gg = global_gain[g];
       const int mult2 = scale_fac_scale[g] == 0 ? 1 : 2;
       const int pre = pre_flag[g];
@@ -347,7 +352,8 @@ int64_t decode_plane_run(
     if (is_stereo[t] != 0) {
       const int64_t g1 = (f * 2 + gr) * 2 + 1;   // right channel drives
       const int bt1 = block_type[g1];
-      const int mode1 = bt1 == 2 ? 1 : (mixed_block_flag[g1] ? 2 : 0);
+      const int mode1 = bt1 == 2 ? ((mixed_block_flag[g1] && mix_nlong) ? 3 : 1)
+                                 : (mixed_block_flag[g1] ? 2 : 0);
       const int8_t* ip = is_pos + t * 3 * 22;
       const double* tabA = is_ab + int(is_tab[t]) * 32;
       const double* tabB = tabA + 16;
@@ -370,13 +376,34 @@ int64_t decode_plane_run(
       const int64_t g = (f * 2 + gr) * 2 + ch;
       const int bt = block_type[g];
       const int mixed = mixed_block_flag[g];
+      // ISO mixed (walk mode 3): long subbands 0..K-1 alias-reduced and
+      // long-windowed, short region reordered from short band 3 (the
+      // full-short perm's entries above S = 18K ARE the mixed reorder —
+      // geometry note in decode_plane._mix_geometry)
+      const bool mode3 = (bt == 2) && mixed && mix_nlong != 0;
       const bool do_reorder = (bt == 2) || mixed;
       double* xc = x[ch];
       if (prof) tp0 = prof_tsc();
 
       // ---- reorder (short) or alias reduction (long)
       double w[576];
-      if (do_reorder) {
+      if (mode3) {
+        const int S = int(mix_nlong) * 18;
+        std::memcpy(w, xc, S * sizeof(double));
+        for (int sb = 1; sb < int(mix_nlong); ++sb) {
+          for (int i = 0; i < 8; ++i) {
+            const int o1 = 18 * sb - i - 1;
+            const int o2 = 18 * sb + i;
+            const double s1 = w[o1], s2 = w[o2];
+            w[o1] = s1 * alias_cs[i] - s2 * alias_ca[i];
+            w[o2] = s2 * alias_cs[i] + s1 * alias_ca[i];
+          }
+        }
+        for (int s = S; s < 576; ++s) {
+          const int p = reorder_perm[s];
+          w[s] = p >= 0 ? xc[p] : 0.0;
+        }
+      } else if (do_reorder) {
         for (int s = 0; s < 576; ++s) {
           const int p = reorder_perm[s];
           w[s] = p >= 0 ? xc[p] : 0.0;
@@ -396,19 +423,22 @@ int64_t decode_plane_run(
 
       if (prof) { tp1 = prof_tsc(); c_pre += tp1 - tp0; tp0 = tp1; }
 
-      // ---- IMDCT + windowing (ascending-k accumulation)
+      // ---- IMDCT + windowing (ascending-k accumulation). Subbands
+      // below nlong take the long path (all 32 for long granules, the
+      // first K with block_type-0 windows for ISO-mixed granules).
       const bool short_blk = bt == 2;
-      int wr = bt;
+      const int nlong = mode3 ? int(mix_nlong) : (short_blk ? 0 : 32);
+      int wr = mode3 ? 0 : bt;
       if (wr < 0) wr = 0;
       if (wr > 3) wr = 3;
       const double* win_l = sine + wr * 36;
 #if defined(MP3STEGO_PLANE_AVX512)
-      if (!short_blk) {
+      if (nlong > 0) {
         // TWO bands per pass: the ck row loads amortize over both, and 10
         // independent accumulator chains hide the add latency (5 chains per
         // band leave the FP ports half idle on the 18-step dependency).
         // Each output still sums ascending k with separate mul/add.
-        for (int band = 0; band < 32; band += 2) {
+        for (int band = 0; band < nlong; band += 2) {
           const double* sA = w + band * 18;
           const double* sB = sA + 18;
           double* bA = blk[ch][band];
@@ -493,9 +523,9 @@ int64_t decode_plane_run(
       for (int band = 0; band < 32; ++band) {
         const double* s18 = w + band * 18;
         double* b = blk[ch][band];
-        if (!short_blk) {
+        if (band < nlong) {
 #if defined(MP3STEGO_PLANE_AVX512)
-          continue;  // long blocks handled by the blocked kernel above
+          continue;  // long bands handled by the blocked kernel above
 #else
           double acc[36];
           for (int i = 0; i < 36; ++i) acc[i] = 0.0;
@@ -539,12 +569,12 @@ int64_t decode_plane_run(
       // bit-exact vs the scalar unary minus). Long blocks on AVX-512 fused
       // this into the IMDCT store above.
 #if defined(MP3STEGO_PLANE_AVX512)
-      if (short_blk) {
+      if (nlong < 32) {  // bands below nlong were fused-written above
         const __m512d odd_neg = _mm512_castsi512_pd(_mm512_set_epi64(
             INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0,
             INT64_C(0x8000000000000000), 0, INT64_C(0x8000000000000000), 0));
         const __m512d none = _mm512_setzero_pd();
-        for (int band = 0; band < 32; ++band) {
+        for (int band = nlong; band < 32; ++band) {
           const double* bb = blk[ch][band];
           double* yb = y[ch][band];
           double* tb = tail_c[ch][band];
@@ -714,14 +744,15 @@ int64_t decode_plane_run(
       const int32_t* reorder_perm, const double* pow43, const double* e1lut,\
       const double* e2lut, const double* alias_cs, const double* alias_ca,  \
       const double* c_long, const double* c_short, const double* sine,      \
-      const double* n_mat, const double* d_win
+      const double* n_mat, const double* d_win, int64_t mix_nlong
 
 #define DECODE_PLANE_PASS                                                   \
   F, raw, block_type, mixed_block_flag, global_gain, scale_fac_scale,       \
       pre_flag, sub_block_gain, scale_fac_l, scale_fac_s, ms_stereo,        \
       is_stereo, is_pos, is_tab, is_ab, walk_is_short, walk_sfb, walk_win,  \
       pre_ext, reorder_perm, pow43,                                         \
-      e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win
+      e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win, \
+      mix_nlong
 
 extern "C" int64_t decode_plane_f64(DECODE_PLANE_ARGS, double* out) {
   return decode_plane_run(DECODE_PLANE_PASS, OutF64{out, 2 * F});

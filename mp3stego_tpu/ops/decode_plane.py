@@ -98,6 +98,59 @@ def _requant_walk(sr_idx: int, bt2: bool, mixed: bool, iso: bool = True):
     return is_short, sfb_map, win_map
 
 
+def _mix_geometry(sr_idx: int):
+    """(boundary_sample S, n_long_subbands K) for ISO mixed blocks: the
+    long region covers scalefactor bands 0..7 (MPEG-1) / 0..5 (LSF, ISO
+    13818-3 partitions), and at every one of the 9 samplerates that
+    boundary S = BAND_INDEX_ISO[n_long] equals 3*sum(short bands 0..2) —
+    36 everywhere except 8 kHz, where both are 72 — so the short region
+    starts exactly at short scalefactor band 3 with reorder output offset
+    S. K = S // 18 is the number of 18-sample polyphase subbands decoded
+    with long (block_type 0) windows and alias reduction."""
+    n_long = 8 if sr_idx < 3 else 6
+    s = int(T.BAND_INDEX_ISO[sr_idx][n_long])
+    assert s == 3 * int(T.BAND_WIDTH_SHORT_ISO[sr_idx][:3].sum()) \
+        and s % 18 == 0, (sr_idx, s)
+    return s, s // 18
+
+
+@functools.lru_cache(maxsize=None)
+def _requant_walk_mixed_iso(sr_idx: int):
+    """ISO-correct requantize walk for mixed blocks (ISO 11172-3 2.4.3.4.6 /
+    13818-3): long bands 0..7 (MPEG-1) or 0..5 (LSF) for the first S
+    samples, then the short (sfb, window) walk STARTING at short band 3.
+    The reference instead keeps running its long sfb counter into the
+    short-width table (Frame.py:186, ``sfb >= 8`` with ``short_win[sfb]``),
+    which reads the wrong widths and the wrong scalefactors — that walk is
+    preserved as mode 2 for MP3STEGO_TPU_REF_MIXED=1."""
+    long_win = T.BAND_INDEX_ISO[sr_idx]
+    short_win = T.BAND_WIDTH_SHORT_ISO[sr_idx]
+    s_mix, _ = _mix_geometry(sr_idx)
+    is_short = np.zeros(576, dtype=bool)
+    sfb_map = np.zeros(576, dtype=np.int32)
+    win_map = np.zeros(576, dtype=np.int32)
+    sfb = 0
+    for sample in range(s_mix):
+        if sample == long_win[sfb + 1]:
+            sfb += 1
+        sfb_map[sample] = sfb
+    sfb, window, i = 3, 0, 0
+    for sample in range(s_mix, 576):
+        swv = int(short_win[sfb]) if sfb < len(short_win) else 0
+        if i == swv:
+            i = 0
+            if window == 2:
+                window = 0
+                sfb += 1
+            else:
+                window += 1
+        is_short[sample] = True
+        sfb_map[sample] = min(sfb, 12)
+        win_map[sample] = window
+        i += 1
+    return is_short, sfb_map, win_map
+
+
 @functools.lru_cache(maxsize=None)
 def _reorder_perm(sr_idx: int, iso: bool = True):
     """Static permutation for short-block reorder (Frame.py:574-602).
@@ -149,9 +202,13 @@ def _freq_inv_mask():
 
 @functools.lru_cache(maxsize=None)
 def _walk_maps(sr_idx: int, iso: bool = True):
-    """(3,576) per-mode walk tables (0 long, 1 short, 2 mixed) + pre_tab."""
-    maps = [np.stack([_requant_walk(sr_idx, m == 1, m == 2, iso)[k]
-                      for m in range(3)]) for k in range(3)]
+    """(4,576) per-mode walk tables + pre_tab. Rows: 0 long, 1 short,
+    2 reference-mixed (Frame.py:186 — the walk kept for
+    MP3STEGO_TPU_REF_MIXED=1 and for mixed flags on non-short block types),
+    3 ISO mixed (long prefix + short from band 3)."""
+    rows = [_requant_walk(sr_idx, m == 1, m == 2, iso) for m in range(3)]
+    rows.append(_requant_walk_mixed_iso(sr_idx))
+    maps = [np.stack([r[k] for r in rows]) for k in range(3)]
     pre_ext = np.concatenate([T.PRE_TAB, [0]]).astype(np.int32)
     return (maps[0].astype(np.int32), maps[1].astype(np.int32),
             maps[2].astype(np.int32), pre_ext)
@@ -162,6 +219,14 @@ def _iso_bands(sr_idx: int) -> bool:
     are ISO unless MP3STEGO_TPU_REF_SHORT_BANDS=1 restores the reference's
     12-band short walk/reorder."""
     return sr_idx >= 3 or not T.ref_short_bands()
+
+
+def _iso_mixed_on(sr_idx: int) -> bool:
+    """True when bt==2 + mixed_block_flag granules take the ISO mixed
+    decode (mode 3). Off under MP3STEGO_TPU_REF_MIXED=1 and under the
+    reference band emulation (REF_SHORT_BANDS), whose walk tables encode
+    the reference's all-short treatment."""
+    return _iso_bands(sr_idx) and not T.ref_mixed()
 
 
 @functools.lru_cache(maxsize=1)
@@ -358,10 +423,17 @@ def host_prepare(p, native_pack: bool = True) -> dict:
     bt = to_ct(p.block_type)                        # (2, T)
     mixed = to_ct(p.mixed_block_flag).astype(bool)
 
-    # per-granule walk mode: 0 long, 1 short (bt==2), 2 long-then-short (mixed)
+    # per-granule walk mode: 0 long, 1 short (bt==2), 2 the reference's
+    # mixed walk (kept for REF_MIXED=1 and for mixed flags on non-short
+    # block types, where the reference's sfb>=8 branch is what executes),
+    # 3 ISO mixed (bt==2 + mixed_block_flag, the default decode)
     mode = np.where(bt == 2, 1, np.where(mixed, 2, 0)).astype(np.int8)
+    if _iso_mixed_on(sr):
+        mode = np.where((bt == 2) & mixed, 3, mode).astype(np.int8)
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
     is_pos, is_mask, is_tab = _intensity_positions(p, bt, mixed)
+    s_mix, k_mix = _mix_geometry(sr)
+    col = np.arange(576)
 
     return dict(
         is_pos=is_pos,                               # (T,3,22) int8
@@ -382,13 +454,23 @@ def host_prepare(p, native_pack: bool = True) -> dict:
             to_ct(p.scale_fac_s).reshape(2, G, 39)).astype(np.int8),
         reorder_mask=((bt == 2) | mixed),            # (2,T)
         ms_mask=np.asarray(p.ms_stereo, bool),       # (T,) per granule
-        win_row=bt.astype(np.int8),                  # sine_block row per granule
+        # sine_block row: block_type, except ISO-mixed granules whose long
+        # subbands window with block_type 0 (the long-path result is only
+        # consumed for those subbands; pure short granules never read it)
+        win_row=np.where(mode == 3, 0, bt).astype(np.int8),
         is_short_blk=(bt == 2),
         reorder_perm=_reorder_perm(sr, _iso_bands(sr)),
-        walk_is_short=walk_is_short,                 # (3,576)
+        walk_is_short=walk_is_short,                 # (4,576)
         walk_sfb=walk_sfb,
         walk_win=walk_win,
         pre_ext=pre_ext,
+        # ISO-mixed statics: the short/reordered region (col >= S), the
+        # columns whose full-alias result must revert to the raw spectrum
+        # (boundary K's lower butterfly half, S-8..S-1), and the subbands
+        # decoded with long windows (band < K)
+        mix_short_cols=(col >= s_mix),               # (576,)
+        mix_raw_cols=((col >= s_mix - 8) & (col < s_mix)),
+        mix_long_band=(np.arange(32) < k_mix),       # (32,)
     )
 
 
@@ -443,7 +525,7 @@ T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos", "is_tab")
 # padded entries use an out-of-bounds index and are dropped by the scatter
 EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
 CONST_KEYS = ("reorder_perm", "walk_is_short", "walk_sfb", "walk_win",
-              "pre_ext")
+              "pre_ext", "mix_short_cols", "mix_raw_cols", "mix_long_band")
 ALL_KEYS = T_AXIS1_KEYS + T_AXIS0_KEYS + EXC_KEYS + CONST_KEYS
 
 _EXC_PAD_T = 1 << 28  # out-of-range granule index marks padding
@@ -518,7 +600,13 @@ def granule_blocks(prep, dtype):
     left0 = x[0]
     x = jnp.where(active[None], jnp.stack([left0 * cl, left0 * cr]), x)
 
-    # ---- reorder (short) / alias reduction (long)
+    # ---- reorder (short) / alias reduction (long) / ISO-mixed blend.
+    # Mixed (mode 3) granules take a 3-way column split: the short region
+    # (col >= S) reorders exactly like a pure short granule (geometry note
+    # in _mix_geometry: the full-short perm's entries above S ARE the mixed
+    # reorder), the long region takes the full-alias result — correct there
+    # except boundary K's lower butterfly half (cols S-8..S-1), which
+    # reverts to the raw spectrum.
     perm = prep["reorder_perm"]
     reord = jnp.where(perm[None, None, :] >= 0,
                       jnp.take(x, jnp.maximum(perm, 0), axis=2),
@@ -529,7 +617,11 @@ def granule_blocks(prep, dtype):
     s1 = x[..., off1]
     s2 = x[..., off2]
     aliased = x.at[..., off1].set(s1 * cs - s2 * ca).at[..., off2].set(s2 * cs + s1 * ca)
-    x = jnp.where(prep["reorder_mask"][..., None], reord, aliased)
+    m3 = (prep["mode"] == 3)                                   # (2,T)
+    sel_reord = jnp.where(m3[..., None], prep["mix_short_cols"][None, None],
+                          prep["reorder_mask"][..., None])
+    out = jnp.where(sel_reord, reord, aliased)
+    x = jnp.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
 
     # ---- IMDCT + windowing (Frame.py:106-154); x layout is [band*18 + k]
     ch, tt = x.shape[0], x.shape[1]
@@ -558,7 +650,12 @@ def granule_blocks(prep, dtype):
         z6,
     ], axis=-1)
 
-    blk = jnp.where(prep["is_short_blk"][..., None, None], blk_short, blk_long)
+    # ISO-mixed granules keep long (block_type 0) windows on the first K
+    # subbands; win_row is already 0 for them (host_prepare), so blk_long
+    # carries the right windowing there
+    short_band = prep["is_short_blk"][..., None] \
+        & ~(m3[..., None] & prep["mix_long_band"][None, None])   # (2,T,32)
+    blk = jnp.where(short_band[..., None], blk_short, blk_long)
     return blk
 
 
@@ -686,7 +783,7 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
         left0 = x[0]
         x = np.where(active[None], np.stack([left0 * cl, left0 * cr]), x)
 
-    # reorder / alias
+    # reorder / alias / ISO-mixed blend (same 3-way split as granule_blocks)
     perm = prep["reorder_perm"]
     reord = np.where(perm[None, None, :] >= 0,
                      np.take(x, np.maximum(perm, 0), axis=2), 0.0)
@@ -696,7 +793,11 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     aliased = x.copy()
     aliased[..., off1] = s1 * cs - s2 * ca
     aliased[..., off2] = s2 * cs + s1 * ca
-    x = np.where(prep["reorder_mask"][..., None], reord, aliased)
+    m3 = (prep["mode"] == 3)
+    sel_reord = np.where(m3[..., None], prep["mix_short_cols"][None, None],
+                         prep["reorder_mask"][..., None])
+    out = np.where(sel_reord, reord, aliased)
+    x = np.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
     if stages is not None:
         stages["pre_imdct"] = x.copy()
 
@@ -722,7 +823,9 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
         z6, xi_s[..., 0, 0:6], xi_s[..., 0, 6:12] + xi_s[..., 1, 0:6],
         xi_s[..., 1, 6:12] + xi_s[..., 2, 0:6], xi_s[..., 2, 6:12], z6,
     ], axis=-1)
-    blk = np.where(prep["is_short_blk"][..., None, None], blk_short, blk_long)
+    short_band = prep["is_short_blk"][..., None] \
+        & ~(m3[..., None] & prep["mix_long_band"][None, None])
+    blk = np.where(short_band[..., None], blk_short, blk_long)
 
     head = blk[..., :18]
     tail = blk[..., 18:]
@@ -797,7 +900,8 @@ def _native_plane_args(p):
         np.ascontiguousarray(_is_coef().reshape(-1), np.float64),
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
         c32(_reorder_perm(sr, _iso_bands(sr))),
-        *_f64_tables())
+        *_f64_tables(),
+        _mix_geometry(sr)[1] if _iso_mixed_on(sr) else 0)
 
 
 def decode_granules_f64_native(p) -> "np.ndarray | None":

@@ -68,11 +68,18 @@ class Granule:
                  table=1, scalefac_compress=0, region0_count=4,
                  region1_count=3, scale_fac_scale=0, preflag=0,
                  short=False, sub_block_gain=(0, 0, 0),
-                 lsf=False, i_stereo=False):
+                 lsf=False, i_stereo=False, mixed=False,
+                 scalefac_long=(0,) * 8):
         self.lsf = lsf
         self.i_stereo = i_stereo
         self.values = list(values)            # spectral ints from sample 0
         assert len(self.values) % 2 == 0
+        self.mixed = mixed                    # block_type 2 + mixed_block_flag
+        if mixed:
+            short = True
+            # long scalefactor prefix: bands 0..7 (MPEG-1) / 0..5 (LSF);
+            # the short array's bands 0..2 are then never transmitted
+            self.scalefac_long = list(scalefac_long) + [0] * 8
         self.short = short
         if short:
             sf = np.zeros((3, 12), np.int32)
@@ -99,9 +106,16 @@ class Granule:
         start = bw.bits_count()
         sl1, sl2 = int(T.SLEN[self.sfc][0]), int(T.SLEN[self.sfc][1])
         if self.short:
-            for sfb in range(6):
-                for win in range(3):
-                    bw.put(int(self.scalefac[win, sfb]), sl1)
+            if self.mixed:
+                for sfb in range(8):
+                    bw.put(int(self.scalefac_long[sfb]), sl1)
+                for sfb in range(3, 6):
+                    for win in range(3):
+                        bw.put(int(self.scalefac[win, sfb]), sl1)
+            else:
+                for sfb in range(6):
+                    for win in range(3):
+                        bw.put(int(self.scalefac[win, sfb]), sl1)
             for sfb in range(6, 12):
                 for win in range(3):
                     bw.put(int(self.scalefac[win, sfb]), sl2)
@@ -116,12 +130,23 @@ class Granule:
         start = bw.bits_count()
         if self.i_stereo:
             slen, cls = dh._lsf_slen_is(self.sfc)
-            nr = (dh._LSF_NR_SHORT_IS if self.short
-                  else dh._LSF_NR_LONG_IS)[cls]
+            if self.mixed:
+                nr = dh._LSF_NR_MIXED_IS[cls]
+            else:
+                nr = (dh._LSF_NR_SHORT_IS if self.short
+                      else dh._LSF_NR_LONG_IS)[cls]
         else:
             slen, cls, _pre = dh._lsf_slen(self.sfc)
-            nr = (dh._LSF_NR_SHORT if self.short else dh._LSF_NR_LONG)[cls]
-        if self.short:     # (sfb, window)-major linear transmission order
+            if self.mixed:
+                nr = dh._LSF_NR_MIXED[cls]
+            else:
+                nr = (dh._LSF_NR_SHORT if self.short
+                      else dh._LSF_NR_LONG)[cls]
+        if self.mixed:     # 6 long bands, then (sfb, window) from band 3
+            vals = [int(self.scalefac_long[sfb]) for sfb in range(6)] + \
+                [int(self.scalefac[win, sfb])
+                 for sfb in range(3, 12) for win in range(3)]
+        elif self.short:   # (sfb, window)-major linear transmission order
             vals = [int(self.scalefac[win, sfb])
                     for sfb in range(12) for win in range(3)]
         else:
@@ -201,7 +226,7 @@ def build_stream(granules, bitrate=128, samplerate=44100, mode=1,
                 if gr.short:
                     bw.put(1, 1)          # window_switching
                     bw.put(2, 2)          # block_type 2
-                    bw.put(0, 1)          # mixed_block_flag
+                    bw.put(1 if gr.mixed else 0, 1)   # mixed_block_flag
                     for _ in range(2):
                         bw.put(gr.table, 5)
                     for w in range(3):
@@ -270,7 +295,7 @@ def build_stream_lsf(frames, bitrate=64, samplerate=22050, mode=1,
             if g.short:
                 bw.put(1, 1)          # window_switching
                 bw.put(2, 2)          # block_type 2
-                bw.put(0, 1)          # mixed_block_flag
+                bw.put(1 if g.mixed else 0, 1)   # mixed_block_flag
                 for _ in range(2):
                     bw.put(g.table, 5)
                 for w in range(3):
