@@ -138,6 +138,7 @@ def _bind(lib) -> None:
         p_f64, p_f64, p_f64, p_f64, p_f64,          # pow43, e1, e2, cs, ca
         p_f64, p_f64, p_f64, p_f64, p_f64,          # c_long/short, sine, n, d
         i64,                                        # mix_nlong (0 = ref mixed)
+        i64,                                        # mix_s reorder boundary
     ]
     lib.decode_plane_f64.restype = i64
     lib.decode_plane_f64.argtypes = _plane_args + [p_f64]

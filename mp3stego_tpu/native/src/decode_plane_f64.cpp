@@ -155,7 +155,8 @@ int64_t decode_plane_run(
     const int32_t* scale_fac_s,      // (F,2,2,3,13)
     const uint8_t* ms_stereo,        // (2F,) per granule
     const uint8_t* is_stereo,        // (2F,) per granule: intensity flag
-    const int8_t* is_pos,            // (2F,3,22) intensity positions, -1=off
+    const int8_t* is_pos,            // (2F,4,22) intensity positions, -1=off
+                                     //   (rows 0..2 windows, row 3 long)
     const int8_t* is_tab,            // (2F,) coefficient-table row
     const double* is_ab,             // (6,2,16) [row][A|B][pos] coefficients
     // static walk / permutation tables (samplerate-specific, from python)
@@ -176,9 +177,13 @@ int64_t decode_plane_run(
     const double* sine,              // (4,36)
     const double* n_mat,             // (64,32)
     const double* d_win,             // (16,32)
-    // ISO-mixed long-subband count (2, or 4 at 8 kHz); 0 = reference
-    // mixed handling (MP3STEGO_TPU_REF_MIXED / REF_SHORT_BANDS)
+    // ISO-mixed long-WINDOW subband count (2 at every rate — the
+    // mpg123/ffmpeg hybrid behavior); 0 = reference mixed handling
+    // (MP3STEGO_TPU_REF_MIXED / REF_SHORT_BANDS)
     int64_t mix_nlong,
+    // ISO-mixed requantize/reorder boundary sample S (36, or 72 at 8 kHz
+    // — decode_plane._mix_geometry); samples 18*mix_nlong..S-1 stay raw
+    int64_t mix_s,
     // output
     const Out& sink) {
   const int64_t T = 2 * F;
@@ -354,13 +359,16 @@ int64_t decode_plane_run(
       const int bt1 = block_type[g1];
       const int mode1 = bt1 == 2 ? ((mixed_block_flag[g1] && mix_nlong) ? 3 : 1)
                                  : (mixed_block_flag[g1] ? 2 : 0);
-      const int8_t* ip = is_pos + t * 3 * 22;
+      const int8_t* ip = is_pos + t * 4 * 22;
       const double* tabA = is_ab + int(is_tab[t]) * 32;
       const double* tabB = tabA + 16;
       for (int si = 0; si < nseg[mode1]; ++si) {
         const Seg& sg = segs[mode1][si];
         const int sfb_c = sg.sfb < 21 ? sg.sfb : 21;
-        const int pos = ip[sg.win * 22 + sfb_c];
+        // short samples read their window row; long samples (incl. the
+        // long prefix of mixed granules) the dedicated long row 3
+        const int wrow = sg.is_short ? sg.win : 3;
+        const int pos = ip[wrow * 22 + sfb_c];
         if (pos < 0) continue;   // off / illegal (host pre-marks both)
         const double a = tabA[pos], b = tabB[pos];
         for (int s = sg.start; s < sg.end; ++s) {
@@ -376,10 +384,13 @@ int64_t decode_plane_run(
       const int64_t g = (f * 2 + gr) * 2 + ch;
       const int bt = block_type[g];
       const int mixed = mixed_block_flag[g];
-      // ISO mixed (walk mode 3): long subbands 0..K-1 alias-reduced and
-      // long-windowed, short region reordered from short band 3 (the
-      // full-short perm's entries above S = 18K ARE the mixed reorder —
-      // geometry note in decode_plane._mix_geometry)
+      // ISO mixed (walk mode 3): subbands 0..K-1 long-windowed with
+      // butterflies 1..K-1; raw spectrum from 18K up to the reorder
+      // boundary S (at 8 kHz S=72 > 18K=36: unreordered long-walk
+      // samples under short windows — mpg123/ffmpeg behavior); short
+      // region reordered from short band 3 (the full-short perm's
+      // entries above S ARE the mixed reorder — geometry note in
+      // decode_plane._mix_geometry)
       const bool mode3 = (bt == 2) && mixed && mix_nlong != 0;
       const bool do_reorder = (bt == 2) || mixed;
       double* xc = x[ch];
@@ -388,8 +399,9 @@ int64_t decode_plane_run(
       // ---- reorder (short) or alias reduction (long)
       double w[576];
       if (mode3) {
-        const int S = int(mix_nlong) * 18;
-        std::memcpy(w, xc, S * sizeof(double));
+        const int S = int(mix_s);
+        const int L = int(mix_nlong) * 18;  // long-window region (36)
+        std::memcpy(w, xc, L * sizeof(double));
         for (int sb = 1; sb < int(mix_nlong); ++sb) {
           for (int i = 0; i < 8; ++i) {
             const int o1 = 18 * sb - i - 1;
@@ -399,6 +411,14 @@ int64_t decode_plane_run(
             w[o2] = s2 * alias_cs[i] + s1 * alias_ca[i];
           }
         }
+        // 8 kHz-only middle L..S-1: long-walk, unreordered spectrum under
+        // short windows; mpg123's dct12 reads it with stride 3 — in this
+        // window-major layout a per-18-chunk transpose (decode_plane
+        // geometry note, tests/test_mixed_blocks.py)
+        for (int b = L; b < S; b += 18)
+          for (int wv = 0; wv < 3; ++wv)
+            for (int sv = 0; sv < 6; ++sv)
+              w[b + 6 * wv + sv] = xc[b + 3 * sv + wv];
         for (int s = S; s < 576; ++s) {
           const int p = reorder_perm[s];
           w[s] = p >= 0 ? xc[p] : 0.0;
@@ -744,7 +764,8 @@ int64_t decode_plane_run(
       const int32_t* reorder_perm, const double* pow43, const double* e1lut,\
       const double* e2lut, const double* alias_cs, const double* alias_ca,  \
       const double* c_long, const double* c_short, const double* sine,      \
-      const double* n_mat, const double* d_win, int64_t mix_nlong
+      const double* n_mat, const double* d_win, int64_t mix_nlong,           \
+      int64_t mix_s
 
 #define DECODE_PLANE_PASS                                                   \
   F, raw, block_type, mixed_block_flag, global_gain, scale_fac_scale,       \
@@ -752,7 +773,7 @@ int64_t decode_plane_run(
       is_stereo, is_pos, is_tab, is_ab, walk_is_short, walk_sfb, walk_win,  \
       pre_ext, reorder_perm, pow43,                                         \
       e1lut, e2lut, alias_cs, alias_ca, c_long, c_short, sine, n_mat, d_win, \
-      mix_nlong
+      mix_nlong, mix_s
 
 extern "C" int64_t decode_plane_f64(DECODE_PLANE_ARGS, double* out) {
   return decode_plane_run(DECODE_PLANE_PASS, OutF64{out, 2 * F});

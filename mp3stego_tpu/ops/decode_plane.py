@@ -99,19 +99,32 @@ def _requant_walk(sr_idx: int, bt2: bool, mixed: bool, iso: bool = True):
 
 
 def _mix_geometry(sr_idx: int):
-    """(boundary_sample S, n_long_subbands K) for ISO mixed blocks: the
-    long region covers scalefactor bands 0..7 (MPEG-1) / 0..5 (LSF, ISO
-    13818-3 partitions), and at every one of the 9 samplerates that
-    boundary S = BAND_INDEX_ISO[n_long] equals 3*sum(short bands 0..2) —
-    36 everywhere except 8 kHz, where both are 72 — so the short region
-    starts exactly at short scalefactor band 3 with reorder output offset
-    S. K = S // 18 is the number of 18-sample polyphase subbands decoded
-    with long (block_type 0) windows and alias reduction."""
+    """(boundary_sample S, n_long_window_subbands K) for ISO mixed blocks.
+
+    S — the requantize/reorder boundary: the long-walk region covers
+    scalefactor bands 0..7 (MPEG-1) / 0..5 (LSF, ISO 13818-3 partitions),
+    and at every one of the 9 samplerates that boundary
+    S = BAND_INDEX_ISO[n_long] equals 3*sum(short bands 0..2) — 36
+    everywhere except 8 kHz, where both are 72 — so the short region
+    starts exactly at short scalefactor band 3 with reorder output
+    offset S.
+
+    K — the hybrid-stage long count: exactly 2 polyphase subbands are
+    decoded with long (block_type 0) windows and ONE alias butterfly,
+    at every samplerate. This matches libmpg123 and libavcodec (which
+    agree with each other at ~79 dB on crafted 8 kHz mixed streams,
+    tests/test_mixed_blocks.py): both hard-code 2 long subbands / 1
+    butterfly for mixed blocks independent of the scalefactor-band
+    boundary. At 8 kHz this means subbands 2-3 (samples 36..71) carry
+    long-walk, UNREORDERED spectrum under short windows — a spec-side
+    oddity, but the ecosystem behavior. (An earlier revision derived
+    K = S//18 = 4 at 8 kHz, long-windowing all 72 samples; it measured
+    2.6 dB vs both oracles.)"""
     n_long = 8 if sr_idx < 3 else 6
     s = int(T.BAND_INDEX_ISO[sr_idx][n_long])
     assert s == 3 * int(T.BAND_WIDTH_SHORT_ISO[sr_idx][:3].sum()) \
         and s % 18 == 0, (sr_idx, s)
-    return s, s // 18
+    return s, 2
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,7 +220,10 @@ def _walk_maps(sr_idx: int, iso: bool = True):
     MP3STEGO_TPU_REF_MIXED=1 and for mixed flags on non-short block types),
     3 ISO mixed (long prefix + short from band 3)."""
     rows = [_requant_walk(sr_idx, m == 1, m == 2, iso) for m in range(3)]
-    rows.append(_requant_walk_mixed_iso(sr_idx))
+    # mode 3 exists only when the ISO band tables are active (_iso_mixed_on
+    # requires _iso_bands); under the reference band emulation duplicate
+    # row 2 instead of mixing table families in one walk array
+    rows.append(_requant_walk_mixed_iso(sr_idx) if iso else rows[2])
     maps = [np.stack([r[k] for r in rows]) for k in range(3)]
     pre_ext = np.concatenate([T.PRE_TAB, [0]]).astype(np.int32)
     return (maps[0].astype(np.int32), maps[1].astype(np.int32),
@@ -272,9 +288,14 @@ def _is_coef():
 
 
 def _intensity_positions(p, bt_ct, mixed_ct):
-    """(T,3,22) int8 intensity positions for IS-flagged granules (-1 = band
+    """(T,4,22) int8 intensity positions for IS-flagged granules (-1 = band
     not intensity-processed), the (T,) flag mask, and the (T,) int8
-    coefficient-table row (_is_coef first axis) per granule.
+    coefficient-table row (_is_coef first axis) per granule. Rows 0..2 are
+    the short windows; row 3 carries long-band positions (whole-granule
+    long blocks, and the long prefix of mixed blocks) — the planes index
+    the row with the walk's window for short samples and 3 for long ones,
+    so mixed granules can carry independent long- and short-band
+    positions without aliasing.
 
     Semantics (validated against libmpg123 on hand-crafted streams,
     tests/test_intensity.py): intensity applies to the scalefactor bands at
@@ -293,7 +314,7 @@ def _intensity_positions(p, bt_ct, mixed_ct):
     Tn = 2 * p.num_frames
     isg = np.zeros(Tn, bool) if p.is_stereo is None \
         else np.asarray(p.is_stereo, bool).copy()
-    out = np.full((Tn, 3, 22), -1, np.int8)
+    out = np.full((Tn, 4, 22), -1, np.int8)
     tab = np.zeros(Tn, np.int8)
     if not isg.any():
         return out, isg, tab
@@ -323,10 +344,41 @@ def _intensity_positions(p, bt_ct, mixed_ct):
         else:                       # ffmpeg: nothing illegal
             illegal = np.full((3, 22), -2, np.int8)
         if short and mixed_ct[1, t]:
-            # mixed blocks: no third-party encoder emits IS+mixed to
-            # validate against — leave the granule on the MS/LR path
-            isg[t] = False
-            tab[t] = 0
+            # mixed blocks: per-window zero tails over the short bands
+            # (3..12, starting at the walk boundary S) + long-prefix bands
+            # that sit above the WHOLE right spectrum's last content
+            # (validated vs mpg123/avcodec on crafted IS+mixed streams,
+            # tests/test_mixed_blocks.py::test_is_mixed*)
+            s_mix, _ = _mix_geometry(sr)
+            n_long = 6 if lsf else 8
+            zero = np.zeros((3, 13), bool)
+            pos = s_mix
+            for sfb in range(3, 13):
+                w = int(width_s[sfb])
+                for win in range(3):
+                    zero[win, sfb] = not right[
+                        pos + win * w: pos + (win + 1) * w].any()
+                pos += 3 * w
+            for win in range(3):
+                for sfb in range(3, 13):
+                    if zero[win, sfb]:
+                        ip = int(sfs[f, gr, 1, win, sfb]) if sfb < 12 \
+                            else int(sfs[f, gr, 1, win, 11])
+                        if ip != int(illegal[win, sfb]):
+                            out[t, win, sfb] = ip
+                blocked = False
+                for sfb in range(12, 2, -1):
+                    if not zero[win, sfb]:
+                        blocked = True
+                    elif blocked:
+                        out[t, win, sfb] = -1
+            nz = np.flatnonzero(right)
+            rz = int(nz[-1]) + 1 if len(nz) else 0
+            for sfb in range(n_long):
+                if int(long_win[sfb]) >= rz:
+                    ip = int(sfl[f, gr, 1, sfb])
+                    if ip != int(illegal[0, sfb]):
+                        out[t, 3, sfb] = ip
             continue
         if short:
             zero = np.zeros((3, 13), bool)
@@ -362,7 +414,7 @@ def _intensity_positions(p, bt_ct, mixed_ct):
                     ip = (int(sfl[f, gr, 1, sfb]) if sfb < 21
                           else int(sfl[f, gr, 1, 20]))
                     if ip != int(illegal[0, sfb]):
-                        out[t, :, sfb] = ip
+                        out[t, 3, sfb] = ip
     return out, isg, tab
 
 
@@ -436,7 +488,7 @@ def host_prepare(p, native_pack: bool = True) -> dict:
     col = np.arange(576)
 
     return dict(
-        is_pos=is_pos,                               # (T,3,22) int8
+        is_pos=is_pos,                               # (T,4,22) int8
         is_mask=is_mask,                             # (T,) bool
         is_tab=is_tab,                               # (T,) int8 coef row
         raw_i8=raw_i8,
@@ -464,12 +516,16 @@ def host_prepare(p, native_pack: bool = True) -> dict:
         walk_sfb=walk_sfb,
         walk_win=walk_win,
         pre_ext=pre_ext,
-        # ISO-mixed statics: the short/reordered region (col >= S), the
+        # ISO-mixed statics: the short/reordered region (col >= S); the
         # columns whose full-alias result must revert to the raw spectrum
-        # (boundary K's lower butterfly half, S-8..S-1), and the subbands
-        # decoded with long windows (band < K)
+        # (boundary K's lower butterfly half, 18K-8..18K-1 — only
+        # butterflies 1..K-1 apply to mixed blocks); the 8 kHz-only
+        # unreordered middle (cols 18K..S-1, strided short-window read —
+        # see granule_blocks); and the subbands decoded with long windows
+        # (band < K)
         mix_short_cols=(col >= s_mix),               # (576,)
-        mix_raw_cols=((col >= s_mix - 8) & (col < s_mix)),
+        mix_raw_cols=((col >= 18 * k_mix - 8) & (col < 18 * k_mix)),
+        mix_lin_cols=((col >= 18 * k_mix) & (col < s_mix)),
         mix_long_band=(np.arange(32) < k_mix),       # (32,)
     )
 
@@ -525,7 +581,8 @@ T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos", "is_tab")
 # padded entries use an out-of-bounds index and are dropped by the scatter
 EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
 CONST_KEYS = ("reorder_perm", "walk_is_short", "walk_sfb", "walk_win",
-              "pre_ext", "mix_short_cols", "mix_raw_cols", "mix_long_band")
+              "pre_ext", "mix_short_cols", "mix_raw_cols", "mix_lin_cols",
+              "mix_long_band")
 ALL_KEYS = T_AXIS1_KEYS + T_AXIS0_KEYS + EXC_KEYS + CONST_KEYS
 
 _EXC_PAD_T = 1 << 28  # out-of-range granule index marks padding
@@ -587,8 +644,12 @@ def granule_blocks(prep, dtype):
     # Flagged bands replace BOTH channels from the left spectrum:
     # L' = L*A[pos], R' = L*B[pos]; other samples keep the MS/LR result, so
     # streams without the intensity mode_ext bit are bit-for-bit unchanged.
-    sfb_r = prep["walk_sfb"][prep["mode"].astype(jnp.int32)[1]]      # (T,576)
-    win_r = prep["walk_win"][prep["mode"].astype(jnp.int32)[1]]
+    mode1 = prep["mode"].astype(jnp.int32)[1]
+    sfb_r = prep["walk_sfb"][mode1]                                  # (T,576)
+    # short samples read their window row; long samples (incl. the long
+    # prefix of mixed granules) read the dedicated long row 3
+    win_r = jnp.where(prep["walk_is_short"][mode1].astype(bool),
+                      prep["walk_win"][mode1], 3)
     tix = jnp.arange(sfb_r.shape[0])[:, None]
     pos = prep["is_pos"].astype(jnp.int32)[tix, win_r, sfb_r]        # (T,576)
     active = (pos >= 0) & prep["is_mask"][:, None]
@@ -604,9 +665,11 @@ def granule_blocks(prep, dtype):
     # Mixed (mode 3) granules take a 3-way column split: the short region
     # (col >= S) reorders exactly like a pure short granule (geometry note
     # in _mix_geometry: the full-short perm's entries above S ARE the mixed
-    # reorder), the long region takes the full-alias result — correct there
-    # except boundary K's lower butterfly half (cols S-8..S-1), which
-    # reverts to the raw spectrum.
+    # reorder); cols below 18K-8 take the full-alias result (identical to
+    # applying only butterflies 1..K-1 there); cols 18K-8..S-1 revert to
+    # the raw spectrum (no butterfly at or above boundary K, and at 8 kHz
+    # the unreordered long-walk samples 36..71 feed short windows raw —
+    # the mpg123/ffmpeg behavior).
     perm = prep["reorder_perm"]
     reord = jnp.where(perm[None, None, :] >= 0,
                       jnp.take(x, jnp.maximum(perm, 0), axis=2),
@@ -621,6 +684,18 @@ def granule_blocks(prep, dtype):
     sel_reord = jnp.where(m3[..., None], prep["mix_short_cols"][None, None],
                           prep["reorder_mask"][..., None])
     out = jnp.where(sel_reord, reord, aliased)
+    # 8 kHz-only middle (cols 18K..S-1 = 36..71): long-walk, UNREORDERED
+    # spectrum under short windows — mpg123's dct12 reads it with stride 3
+    # (window w, coef s <- x[36+3s+w]); in this plane's window-major layout
+    # that is a per-18-chunk transpose (pinned on avcodec/mpg123 impulse
+    # responses, tests/test_mixed_blocks.py). mix_lin_cols is empty at
+    # every other samplerate.
+    nch0, nt0 = x.shape[0], x.shape[1]
+    mid = jnp.swapaxes(x[..., 36:72].reshape(nch0, nt0, 2, 6, 3), -1, -2)
+    mid_full = jnp.concatenate(
+        [x[..., :36], mid.reshape(nch0, nt0, 36), x[..., 72:]], axis=-1)
+    out = jnp.where(m3[..., None] & prep["mix_lin_cols"][None, None],
+                    mid_full, out)
     x = jnp.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
 
     # ---- IMDCT + windowing (Frame.py:106-154); x layout is [band*18 + k]
@@ -770,8 +845,10 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     # flagged bands replace both channels from the left spectrum; other
     # samples keep the MS/LR result bit-for-bit
     if prep["is_mask"].any():
-        sfb_r = prep["walk_sfb"][prep["mode"].astype(np.int32)[1]]   # (T,576)
-        win_r = prep["walk_win"][prep["mode"].astype(np.int32)[1]]
+        mode1 = prep["mode"].astype(np.int32)[1]
+        sfb_r = prep["walk_sfb"][mode1]                              # (T,576)
+        win_r = np.where(prep["walk_is_short"][mode1].astype(bool),
+                         prep["walk_win"][mode1], 3)
         tix = np.arange(sfb_r.shape[0])[:, None]
         pos = prep["is_pos"].astype(np.int32)[tix, win_r, sfb_r]
         active = (pos >= 0) & prep["is_mask"][:, None]
@@ -797,6 +874,13 @@ def decode_granules_np(prep: dict, stages: dict = None) -> np.ndarray:
     sel_reord = np.where(m3[..., None], prep["mix_short_cols"][None, None],
                          prep["reorder_mask"][..., None])
     out = np.where(sel_reord, reord, aliased)
+    # 8 kHz-only unreordered middle under short windows (see granule_blocks)
+    nch0, nt0 = x.shape[0], x.shape[1]
+    mid = np.swapaxes(x[..., 36:72].reshape(nch0, nt0, 2, 6, 3), -1, -2)
+    mid_full = np.concatenate(
+        [x[..., :36], mid.reshape(nch0, nt0, 36), x[..., 72:]], axis=-1)
+    out = np.where(m3[..., None] & prep["mix_lin_cols"][None, None],
+                   mid_full, out)
     x = np.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
     if stages is not None:
         stages["pre_imdct"] = x.copy()
@@ -901,7 +985,8 @@ def _native_plane_args(p):
         c32(walk_is_short), c32(walk_sfb), c32(walk_win), c32(pre_ext),
         c32(_reorder_perm(sr, _iso_bands(sr))),
         *_f64_tables(),
-        _mix_geometry(sr)[1] if _iso_mixed_on(sr) else 0)
+        _mix_geometry(sr)[1] if _iso_mixed_on(sr) else 0,
+        _mix_geometry(sr)[0])
 
 
 def decode_granules_f64_native(p) -> "np.ndarray | None":

@@ -28,7 +28,7 @@ def test_synthetic_prep_schema_matches_plane():
     assert set(prep) == set(dp.ALL_KEYS)
     t = prep["raw_i8"].shape[1]
     assert t == 4
-    assert prep["is_pos"].shape == (t, 3, 22) and prep["is_pos"].dtype == np.int8
+    assert prep["is_pos"].shape == (t, 4, 22) and prep["is_pos"].dtype == np.int8
     assert prep["is_mask"].shape == (t,) and prep["is_mask"].dtype == bool
     assert prep["is_tab"].shape == (t,) and prep["is_tab"].dtype == np.int8
     # the synthetic stream must exercise the non-trivial plane paths: at

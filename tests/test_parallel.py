@@ -37,8 +37,8 @@ def test_frame_sharded_decode_matches_single(parsed):
     for frames in (2, 4, 8):
         mesh = make_mesh(files=1, frames=frames)
         sharded = decode_granules_sharded(prep, mesh, "float32")
-        np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6,
-                                   err_msg=f"frames={frames}")
+        np.testing.assert_array_equal(sharded, single,
+                                      err_msg=f"frames={frames}")
 
 
 def test_batched_files_match_per_file(parsed, fixture_mp3):
