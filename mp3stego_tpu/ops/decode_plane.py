@@ -4,12 +4,15 @@ The reference decodes granule-by-granule with carried state
 (decoder/Frame.py:65-218: requantize, IMDCT + overlap-add, synthesis FIFO).
 Here the whole file is one dense batch:
 
-* requantize     — LUT gathers: sign * pow43[|ix|] * 2^(exp1/4) * 2^(-exp2);
-                   the per-sample exponent index maps are reconstructed ON
-                   DEVICE from per-granule side-info fields + static walk
-                   tables (including the reference's stuck-counter quirks for
-                   mixed blocks), so only compact int8/int16 fields cross the
-                   host->HBM link.
+* requantize     — sign * pow43[|ix|] * 2^(exp1/4 - exp2/2), with NO
+                   data-dependent gathers (XLA lowers those to ~10 ns/element
+                   scalar loops on TPU — they were 78% of plane time):
+                   pow43 rows come off the int8 sample plane through an exact
+                   one-hot matmul, per-band exponents are computed on a
+                   compact 61-slot grid from side-info fields and expanded to
+                   samples by one MXU matmul (``_expand_slots``), and the
+                   2^(q/4) scale is an exponent-bit construction. Only
+                   compact int8/int16 fields cross the host->HBM link.
 * MS stereo      — masked vector op.
 * reorder        — static permutation (with the reference's zero-filled tail for
                    short blocks, Frame.py:574-602).
@@ -228,6 +231,28 @@ def _walk_maps(sr_idx: int, iso: bool = True):
     pre_ext = np.concatenate([T.PRE_TAB, [0]]).astype(np.int32)
     return (maps[0].astype(np.int32), maps[1].astype(np.int32),
             maps[2].astype(np.int32), pre_ext)
+
+
+def _slot_maps(walk_is_short, walk_sfb, walk_win):
+    """Static sample->slot maps for the MXU expansion of per-band values.
+
+    TPU gathers with data-dependent indices lower to scalar loops; the decode
+    plane instead computes per-band quantities on a compact slot grid and
+    expands them to the 576-sample axis with one one-hot matmul
+    (``_expand_slots``). Two grids:
+
+    * exponent grid (61 slots): long sfb 0..21 read ``sfl`` (+preemphasis);
+      short (win, sfb) slots 22 + win*13 + sfb read ``sfs`` — mirroring the
+      index arithmetic of ``exponent_indices`` exactly.
+    * intensity grid (88 slots): win*22 + sfb over the (T,4,22) ``is_pos``
+      layout, window = walk window for short samples, row 3 for long ones.
+    """
+    short = walk_is_short.astype(bool)
+    sfb_c = np.minimum(walk_sfb, 21)
+    slot_exp = np.where(short, 22 + walk_win * 13 + walk_sfb,
+                        sfb_c).astype(np.int16)
+    slot_is = (np.where(short, walk_win, 3) * 22 + sfb_c).astype(np.int16)
+    return slot_exp, slot_is
 
 
 def _iso_bands(sr_idx: int) -> bool:
@@ -483,6 +508,7 @@ def host_prepare(p, native_pack: bool = True) -> dict:
     if _iso_mixed_on(sr):
         mode = np.where((bt == 2) & mixed, 3, mode).astype(np.int8)
     walk_is_short, walk_sfb, walk_win, pre_ext = _walk_maps(sr, _iso_bands(sr))
+    slot_exp, slot_is = _slot_maps(walk_is_short, walk_sfb, walk_win)
     is_pos, is_mask, is_tab = _intensity_positions(p, bt, mixed)
     s_mix, k_mix = _mix_geometry(sr)
     col = np.arange(576)
@@ -516,6 +542,8 @@ def host_prepare(p, native_pack: bool = True) -> dict:
         walk_sfb=walk_sfb,
         walk_win=walk_win,
         pre_ext=pre_ext,
+        slot_exp=slot_exp,                           # (4,576) int16
+        slot_is=slot_is,                             # (4,576) int16
         # ISO-mixed statics: the short/reordered region (col >= S); the
         # columns whose full-alias result must revert to the raw spectrum
         # (boundary K's lower butterfly half, 18K-8..18K-1 — only
@@ -565,6 +593,54 @@ def _luts(dtype):
     return (jnp.asarray(pow43, dtype), jnp.asarray(e1, dtype), jnp.asarray(e2, dtype))
 
 
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _expand_slots(vals, slot_map, mode, dtype):
+    """Expand per-slot values (..., T, K) to per-sample (..., T, 576) on the
+    MXU: out[.., t, s] = vals[.., t, slot_map[mode[.., t], s]].
+
+    This replaces data-dependent ``take_along_axis`` over tiny axes — which
+    XLA lowers to scalar gathers on TPU (measured ~10 ns/element, the decode
+    plane's old bottleneck) — with one (.., 4K) @ (4K, 576) matmul against a
+    static {0,1} expansion matrix, selection over ``mode`` folded in via a
+    one-hot product. Exact for any float32 payload: HIGHEST-precision
+    emulation splits each f32 into bfloat16 parts whose 1.0-weighted partial
+    sums recombine without rounding."""
+    n_modes, n_samp = slot_map.shape
+    k = vals.shape[-1]
+    w = (slot_map[:, None, :] == jnp.arange(k, dtype=jnp.int32)[None, :, None])
+    w = w.reshape(n_modes * k, n_samp).astype(dtype)          # (4K, 576)
+    moh = (mode[..., None] == jnp.arange(n_modes, dtype=jnp.int32))
+    a = moh[..., :, None].astype(dtype) * vals[..., None, :]  # (.., 4, K)
+    a = a.reshape(a.shape[:-2] + (n_modes * k,))
+    return jnp.einsum("...k,ks->...s", a, w,
+                      preferred_element_type=dtype, precision=_HIGHEST)
+
+
+def _onehot_rows(idx, table, dtype):
+    """table[idx] for a tiny table (rows, ...) via an exact one-hot matmul
+    (same TPU-gather avoidance as ``_expand_slots``); idx (...,), returns
+    (..., *table.shape[1:])."""
+    rows = table.shape[0]
+    oh = (idx[..., None] == jnp.arange(rows, dtype=jnp.int32)).astype(dtype)
+    flat = table.reshape(rows, -1)
+    out = jnp.einsum("...r,rj->...j", oh, flat,
+                     preferred_element_type=dtype, precision=_HIGHEST)
+    return out.reshape(idx.shape + table.shape[1:])
+
+
+def _pow2_int(e, dtype):
+    """Exact 2**e for integer-valued e within the normal range of ``dtype``,
+    built by writing the exponent bits directly (no transcendental, no LUT
+    gather). e float (integer-valued), f32: e in [-126, 127]."""
+    if dtype == jnp.float64:
+        bits = (e.astype(jnp.int64) + 1023) << 52
+        return jax.lax.bitcast_convert_type(bits, jnp.float64)
+    bits = ((e.astype(jnp.int32) + 127) << 23)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _imdct_mats(dtype):
     sine = T.sine_block()
     c_long = T.imdct_long_cos()        # (36,18)
@@ -581,8 +657,8 @@ T_AXIS0_KEYS = ("ms_mask", "is_mask", "is_pos", "is_tab")
 # padded entries use an out-of-bounds index and are dropped by the scatter
 EXC_KEYS = ("exc_t", "exc_ch", "exc_s", "exc_val")
 CONST_KEYS = ("reorder_perm", "walk_is_short", "walk_sfb", "walk_win",
-              "pre_ext", "mix_short_cols", "mix_raw_cols", "mix_lin_cols",
-              "mix_long_band")
+              "pre_ext", "slot_exp", "slot_is", "mix_short_cols",
+              "mix_raw_cols", "mix_lin_cols", "mix_long_band")
 ALL_KEYS = T_AXIS1_KEYS + T_AXIS0_KEYS + EXC_KEYS + CONST_KEYS
 
 _EXC_PAD_T = 1 << 28  # out-of-range granule index marks padding
@@ -597,41 +673,105 @@ def dense_raw(prep, xp=np):
     raw = prep["raw_i8"].astype(xp.int32)
     ch, tt = raw.shape[0], raw.shape[1]
     flat = raw.reshape(-1)
-    idx = ((prep["exc_ch"].astype(xp.int64) * tt
-            + prep["exc_t"].astype(xp.int64)) * 576
-           + prep["exc_s"].astype(xp.int64))
     if xp is np:
+        idx = ((prep["exc_ch"].astype(np.int64) * tt
+                + prep["exc_t"].astype(np.int64)) * 576
+               + prep["exc_s"].astype(np.int64))
         ok = prep["exc_t"] < tt
         flat[idx[ok]] = prep["exc_val"][ok].astype(np.int32)
         return flat.reshape(ch, tt, 576)
-    # padding sentinels must stay out-of-bounds under 32-BIT index math: XLA
-    # on TPU truncates scatter indices to s32, and the raw sentinel
-    # _EXC_PAD_T*576 = 9*2^34 wraps to exactly 0 — which silently zeroed
-    # sample (ch0, granule0, s0) of any batched file with fewer escapes than
-    # the batch max. Clamp dropped entries to 2^31-1 (OOB for any flat plane
-    # below ~6.7 h of audio) so mode="drop" actually drops them.
-    idx = xp.where(prep["exc_t"].astype(xp.int64) < tt, idx,
-                   xp.int64(2**31 - 1))
-    flat = flat.at[idx].set(prep["exc_val"].astype(xp.int32), mode="drop")
+    flat = flat.at[_exc_indices(prep, tt, xp)].set(
+        prep["exc_val"].astype(xp.int32), mode="drop")
     return flat.reshape(ch, tt, 576)
+
+
+def _exc_indices(prep, tt, xp):
+    """Flat scatter indices of the linbits escapes into a (2, tt, 576) plane.
+
+    Padding sentinels must stay out-of-bounds under 32-BIT index math: XLA
+    on TPU truncates scatter indices to s32, and the raw sentinel
+    _EXC_PAD_T*576 = 9*2^34 wraps to exactly 0 — which silently zeroed
+    sample (ch0, granule0, s0) of any batched file with fewer escapes than
+    the batch max. Clamp dropped entries to 2^31-1 (OOB for any flat plane
+    below ~6.7 h of audio) so mode="drop" actually drops them."""
+    idx = ((prep["exc_ch"].astype(xp.int64) * tt
+            + prep["exc_t"].astype(xp.int64)) * 576
+           + prep["exc_s"].astype(xp.int64))
+    return xp.where(prep["exc_t"].astype(xp.int64) < tt, idx,
+                    xp.int64(2**31 - 1))
 
 
 def granule_blocks(prep, dtype):
     """Granule-local half of the decode plane: requantize -> MS stereo ->
     reorder/alias -> windowed IMDCT blocks. No cross-granule dependencies, so
     this stage shards freely over the time axis. Returns (ch, T, 32, 36)."""
-    pow43, e1lut, e2lut = _luts(dtype)
+    pow43, _, _ = _luts(dtype)
     c_long, c_short, sine = _imdct_mats(dtype)
-    raw = dense_raw(prep, xp=jnp)
 
-    # ---- requantize (Frame.py:157-218); exponent maps built on device
-    exp1_idx, exp2x2 = exponent_indices(prep, xp=jnp)
-    ix = raw
-    sign = jnp.where(raw < 0, dtype.type(-1.0), dtype.type(1.0))
-    a = pow43[jnp.abs(ix)]
-    b = e1lut[jnp.clip(exp1_idx, 0, 511)]
-    c = e2lut[jnp.clip(exp2x2, 0, _EXP2X2_MAX - 1)]
-    x = ((sign * a) * b) * c
+    # ---- requantize (Frame.py:157-218). Same math as exponent_indices +
+    # the three LUTs, restructured for the MXU: per-band exponents are
+    # computed on the compact 61-slot grid (22 long sfb + 3x13 short) and
+    # expanded to samples by one one-hot matmul; the combined scale
+    # 2^(exp1/4 - exp2x2/2) = 2^(q/4) is then an exact exponent-bit
+    # construction (q>>2) times a 4-entry quarter-power select — no
+    # data-dependent gathers anywhere (they cost ~10 ns/element on TPU and
+    # were 78% of plane time).
+    #
+    # |x|^(4/3): exact LUT rows via one-hot matmul for |x| <= 128 (the int8
+    # sample plane's full range, including -128); the rare linbits escapes
+    # (|x| up to 8206) take the transcendental path, whose ~ulp-level error
+    # is immaterial at their population (<1e-4 of samples). The 129-way
+    # split is identical in the int8 and pre-densified (sharded) paths so
+    # both produce bit-equal planes.
+    def pow43_big(v):
+        return jnp.exp2(dtype.type(4.0 / 3.0)
+                        * jnp.log2(jnp.maximum(v, 1).astype(dtype)))
+
+    if "raw_dense" in prep:
+        raw = prep["raw_dense"].astype(jnp.int32)
+        sign = jnp.where(raw < 0, dtype.type(-1.0), dtype.type(1.0))
+        absx = jnp.abs(raw)
+        a = jnp.where(absx <= 128,
+                      _onehot_rows(jnp.minimum(absx, 128), pow43[:129], dtype),
+                      pow43_big(absx))
+    else:
+        # skip densifying int32 samples entirely: |x|^(4/3) comes straight
+        # off the int8 plane (sign survives the clip), and only the escape
+        # fix-ups scatter into the float result
+        r32 = prep["raw_i8"].astype(jnp.int32)
+        sign = jnp.where(r32 < 0, dtype.type(-1.0), dtype.type(1.0))
+        a = _onehot_rows(jnp.abs(r32), pow43[:129], dtype)
+        ev = jnp.abs(prep["exc_val"].astype(jnp.int32))
+        a_exc = jnp.where(ev <= 128, pow43[jnp.minimum(ev, 128)],
+                          pow43_big(ev))
+        ch_, tt_ = r32.shape[0], r32.shape[1]
+        a = a.reshape(-1).at[_exc_indices(prep, tt_, jnp)].set(
+            a_exc, mode="drop").reshape(ch_, tt_, 576)
+
+    gg = prep["gg"].astype(jnp.int32)                     # (2,T)
+    sbg = prep["sbg"].astype(jnp.int32)                   # (2,T,3)
+    pre_l = prep["pre"].astype(jnp.int32)[..., None] \
+        * prep["pre_ext"].astype(jnp.int32)[:22]
+    sf_long = prep["sfl"].astype(jnp.int32) + pre_l       # (2,T,22)
+    mult2 = jnp.where(prep["sfscale"].astype(jnp.int32) == 0, 1, 2)[..., None]
+    exp1_slot = jnp.concatenate(
+        [jnp.broadcast_to((gg - 210)[..., None], gg.shape + (22,)),
+         jnp.repeat((gg[..., None] - 210 - 8 * sbg), 13, axis=-1)], axis=-1)
+    val_slot = jnp.concatenate(
+        [sf_long, prep["sfs"].astype(jnp.int32)], axis=-1)  # (2,T,61)
+    exp1_idx = jnp.clip(exp1_slot + _EXP1_OFF, 0, 511)
+    exp2x2 = jnp.clip(mult2 * val_slot, 0, _EXP2X2_MAX - 1)
+    q_slot = (exp1_idx - _EXP1_OFF - 2 * exp2x2).astype(dtype)
+    q = _expand_slots(q_slot, prep["slot_exp"], prep["mode"].astype(jnp.int32),
+                      dtype)                               # (2,T,576)
+    qi = jnp.floor(q * dtype.type(0.25))
+    frac = q - dtype.type(4.0) * qi                        # in {0,1,2,3}
+    c14, c12, c34 = (dtype.type(2.0 ** 0.25), dtype.type(2.0 ** 0.5),
+                     dtype.type(2.0 ** 0.75))
+    fr = jnp.where(frac == 0, dtype.type(1.0),
+                   jnp.where(frac == 1, c14,
+                             jnp.where(frac == 2, c12, c34)))
+    x = (sign * a) * (fr * _pow2_int(qi, dtype))
 
     # ---- MS stereo (Frame.py:561-572)
     mid, side = x[0], x[1]
@@ -644,20 +784,26 @@ def granule_blocks(prep, dtype):
     # Flagged bands replace BOTH channels from the left spectrum:
     # L' = L*A[pos], R' = L*B[pos]; other samples keep the MS/LR result, so
     # streams without the intensity mode_ext bit are bit-for-bit unchanged.
+    # Per-band positions live on the (4,22)=88-slot intensity grid (window
+    # rows 0..2 short, row 3 long); the A/B coefficients and the active mask
+    # are computed per slot, then all three expand to samples through one
+    # one-hot matmul (slot_is carries the short-window/long-row-3 walk).
     mode1 = prep["mode"].astype(jnp.int32)[1]
-    sfb_r = prep["walk_sfb"][mode1]                                  # (T,576)
-    # short samples read their window row; long samples (incl. the long
-    # prefix of mixed granules) read the dedicated long row 3
-    win_r = jnp.where(prep["walk_is_short"][mode1].astype(bool),
-                      prep["walk_win"][mode1], 3)
-    tix = jnp.arange(sfb_r.shape[0])[:, None]
-    pos = prep["is_pos"].astype(jnp.int32)[tix, win_r, sfb_r]        # (T,576)
-    active = (pos >= 0) & prep["is_mask"][:, None]
-    coef = jnp.asarray(_is_coef(), dtype)
-    msr = prep["is_tab"].astype(jnp.int32)[:, None]       # (T,1) table row
-    pc = jnp.clip(pos, 0, 15)
-    cl = coef[msr, 0, pc]
-    cr = coef[msr, 1, pc]
+    tt1 = mode1.shape[0]
+    pos_slot = prep["is_pos"].astype(jnp.int32).reshape(tt1, 88)
+    coef = jnp.asarray(_is_coef(), dtype)                  # (6,2,16)
+    crow = _onehot_rows(prep["is_tab"].astype(jnp.int32), coef, dtype)
+    ohp = (jnp.clip(pos_slot, 0, 15)[..., None]
+           == jnp.arange(16, dtype=jnp.int32)).astype(dtype)  # (T,88,16)
+    clr_slot = jnp.einsum("tkp,tjp->jtk", ohp, crow,
+                          preferred_element_type=dtype,
+                          precision=_HIGHEST)              # (2,T,88)
+    ok_slot = (pos_slot >= 0).astype(dtype)
+    vals = jnp.concatenate([clr_slot, ok_slot[None]], axis=0)  # (3,T,88)
+    expd = _expand_slots(vals, prep["slot_is"],
+                         jnp.broadcast_to(mode1, (3, tt1)), dtype)
+    cl, cr = expd[0], expd[1]
+    active = (expd[2] > dtype.type(0.5)) & prep["is_mask"][:, None]
     left0 = x[0]
     x = jnp.where(active[None], jnp.stack([left0 * cl, left0 * cr]), x)
 
@@ -706,7 +852,8 @@ def granule_blocks(prep, dtype):
     xi_long = jnp.einsum("ctbk,ik->ctbi", s, c_long,
                          preferred_element_type=dtype,
                          precision=jax.lax.Precision.HIGHEST)
-    win_long = sine[jnp.clip(prep["win_row"], 0, 3)]  # (ch,T,36)
+    win_long = _onehot_rows(
+        jnp.clip(prep["win_row"], 0, 3).astype(jnp.int32), sine, dtype)
     blk_long = xi_long * win_long[:, :, None, :]
 
     # short path: 3 windows of 6 inputs -> 12 outputs each, windowed + merged
