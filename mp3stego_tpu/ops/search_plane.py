@@ -40,7 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mp3stego_tpu import tables as T
+from mp3stego_tpu.ops.decode_plane import _onehot_rows
 from mp3stego_tpu.utils.transfer import fetch_pieces as _fetch_pieces
+
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 S_MAXLOG = 24          # logged approx evaluations per lane
 # lanes per device dispatch; the env knob lets the CPU test mesh compile a
@@ -67,9 +70,22 @@ def _sconsts():
     # th[k] = first ln with int2idx[ln] == k; int2idx[ln] == #{k >= 1: th[k] <= ln}
     th = np.searchsorted(int2idx, np.arange(1, kmax + 1),
                          side="left").astype(np.int32)         # (kmax,)
+    # two-level threshold rank (see _quantize): th padded to whole blocks of
+    # 32 with an out-of-range sentinel (lnc <= 9999 < 10000 never counts it);
+    # at least one sentinel must exist so the coarse rank stays < n_blk
+    n_blk = kmax // 32 + 1
+    th_pad = np.full(n_blk * 32, 10000, np.int32)
+    th_pad[:kmax] = th
+    th_blocks = th_pad.reshape(n_blk, 32)
+    th_coarse = th_blocks[:, 31].copy()                        # (n_blk,)
     hlen = T.HUFF_LEN.astype(np.int32)
     pair_pack = (hlen[13] | (hlen[15] << 8) | (hlen[16] << 16)
                  | (hlen[24] << 24)).reshape(-1)               # (256,)
+    # unpacked twin of pair_pack for the MXU path: h_len of the four
+    # representative tables per (x,y) pair value, one column each
+    pair_tab = np.stack([hlen[13].reshape(-1), hlen[15].reshape(-1),
+                         hlen[16].reshape(-1), hlen[24].reshape(-1)],
+                        axis=1)                                # (256, 4)
     quad_pack = (hlen[32, 0, :16] | (hlen[33, 0, :16] << 8))   # (16,)
     # hide mode: pair h_len channels for EVERY table a transform can emit.
     # Pre-transform choices are restricted to {13, 15} (the reference's
@@ -84,6 +100,8 @@ def _sconsts():
         for s, t in enumerate(grp):
             w |= hlen[t].reshape(-1) << (8 * s)
         packs.append(w)
+    # unpacked twin for the MXU path: (256, 18) h_len per emitted table
+    hide_tab = np.stack([hlen[t].reshape(-1) for t in emit_tables], axis=1)
     # per-emitted-table linbits (0 for 13/15)
     emit_linbits = np.array([0, 0] + [int(T.HUFF_LINBITS[t])
                                       for t in range(16, 32)], np.int32)
@@ -96,9 +114,10 @@ def _sconsts():
     return dict(
         steptabi=steptabi.astype(np.int64),
         steptab_f32=steptab.astype(np.float32),
-        th=th,
-        pair_pack=pair_pack, quad_pack=quad_pack,
+        th=th, th_blocks=th_blocks, th_coarse=th_coarse,
+        pair_pack=pair_pack, pair_tab=pair_tab, quad_pack=quad_pack,
         hide_packs=np.stack(packs),                            # (5, 256)
+        hide_tab=hide_tab,                                     # (256, 18)
         emit_linbits=emit_linbits, emit_slot=emit_slot,
         transform=T.TRANSFORM_HUF.astype(np.int32),            # (32, 2)
         linmax=T.HUFF_LINMAX.astype(np.int32),
@@ -118,10 +137,21 @@ def _quantize(labs64, xrabs_f32, xrmax64, s, c):
     ln = ((labs64 * scalei[:, None] + 2147483648) >> 32).astype(jnp.int32)
     approx = jnp.any(ln >= 10000, axis=1)
     lnc = jnp.minimum(ln, 9999)
-    # exact int2idx[lnc] as a threshold rank — a fused compare+reduce beats a
-    # 10k-entry gather ~2.5x on TPU (gathers lower to scalar loads)
-    ixl = jnp.sum((lnc[..., None] >= jnp.asarray(c["th"])[None, None, :])
-                  .astype(jnp.int32), axis=-1)
+    # exact int2idx[lnc] as a TWO-LEVEL threshold rank: a coarse rank over
+    # one threshold per 32-block picks the block, an exact one-hot matmul
+    # selects that block's 32 thresholds (values <= 10000, exact in f32),
+    # and a fine rank counts within it. ~64 compares + one MXU matmul per
+    # element versus the old flat rank's ~1000 compares (itself ~2.5x a TPU
+    # gather, which lowers to scalar loads). Sentinel padding keeps the
+    # coarse rank < n_blk, so the one-hot row always exists.
+    coarse = jnp.asarray(c["th_coarse"])
+    b = jnp.sum((lnc[..., None] >= coarse[None, None, :]).astype(jnp.int32),
+                axis=-1)                                       # block index
+    th_sel = _onehot_rows(b, jnp.asarray(c["th_blocks"], jnp.float32),
+                          jnp.float32)                         # (C,576,32)
+    ixl = 32 * b + jnp.sum(
+        (lnc[..., None].astype(jnp.float32) >= th_sel).astype(jnp.int32),
+        axis=-1)
     d = (xrabs_f32 * jnp.asarray(c["steptab_f32"])[sidx][:, None]
          * jnp.float32(4.656612875e-10))
     ixa = jnp.floor(jnp.exp2(0.75 * jnp.log2(
@@ -213,15 +243,16 @@ def _cost(ix, addr_in, band, c, hide=None):
     yc = jnp.minimum(y, 15)
     signs = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
     nesc = (x > 14).astype(jnp.int32) + (y > 14).astype(jnp.int32)
-    pvals = jnp.arange(256, dtype=jnp.int32)
     pidx = xc * 16 + yc
-    pk = jnp.sum(jnp.where(pidx[..., None] == pvals[None, None, :],
-                           jnp.asarray(c["pair_pack"])[None, None, :], 0),
-                 axis=-1)
-    ch13 = (pk & 255) + signs
-    ch15 = ((pk >> 8) & 255) + signs
-    ch16 = ((pk >> 16) & 255) + signs
-    ch24 = ((pk >> 24) & 255) + signs
+    # h_len of the 4 representative tables per pair, via one exact one-hot
+    # matmul (C,288,256)@(256,4) on the MXU — the old packed compare+reduce
+    # swept 256 int words per pair on the VPU and dominated _cost
+    pk4 = _onehot_rows(pidx, jnp.asarray(c["pair_tab"], jnp.float32),
+                       jnp.float32).astype(jnp.int32)          # (C,288,4)
+    ch13 = pk4[..., 0] + signs
+    ch15 = pk4[..., 1] + signs
+    ch16 = pk4[..., 2] + signs
+    ch24 = pk4[..., 3] + signs
 
     ppos = pos[0::2]
     starts = jnp.stack([jnp.zeros_like(a1), a1, a2], axis=-1)  # (C,3)
@@ -277,17 +308,18 @@ def _cost(ix, addr_in, band, c, hide=None):
         tr = jnp.asarray(c["transform"])
         t_new = tr[jnp.clip(choice, 0, 31), jnp.clip(bit, 0, 1)]
         choice = jnp.where(nz & inb, t_new, choice)
-        # re-cost every region under its EMITTED table: per-pair channel
-        # select from the 5 packed 18-table h_len words, then region-sum
+        # re-cost every region under its EMITTED table: the 18 emitted-table
+        # h_len channels per pair come from one exact one-hot matmul
+        # (C,288,256)@(256,18); the per-pair channel select is a small
+        # compare+reduce (no take_along_axis — TPU lowers it to scalar loads)
         emit_slot = jnp.asarray(c["emit_slot"])
         t_pp = jnp.sum(jnp.where(pm, choice[..., None], 0), axis=1)  # (C,288)
-        slot_pp = emit_slot[jnp.clip(t_pp, 0, 31)]
-        hp = jnp.asarray(c["hide_packs"])                      # (5, 256)
-        pk5 = jnp.sum((pidx[..., None] == pvals[None, None, :])[..., None, :]
-                      * hp[None, None, :, :], axis=-1)         # (C,288,5)
-        packed = jnp.take_along_axis(pk5, (slot_pp >> 2)[..., None],
-                                     axis=-1)[..., 0]
-        h_pp = (packed >> ((slot_pp & 3) * 8)) & 255
+        oht = (t_pp[..., None] == jnp.arange(32, dtype=jnp.int32))
+        slot_pp = jnp.sum(oht * emit_slot[None, None, :], axis=-1)
+        hl18 = _onehot_rows(pidx, jnp.asarray(c["hide_tab"], jnp.float32),
+                            jnp.float32).astype(jnp.int32)     # (C,288,18)
+        ohs = (slot_pp[..., None] == jnp.arange(18, dtype=jnp.int32))
+        h_pp = jnp.sum(jnp.where(ohs, hl18, 0), axis=-1)
         rc_t = rsum(h_pp + signs)                              # (C,3)
         slot_r = emit_slot[jnp.clip(choice, 0, 31)]
         cost_t = rc_t + jnp.asarray(c["emit_linbits"])[slot_r] * rnesc
