@@ -204,6 +204,79 @@ def bench_decode_fixture_batch():
     return rt
 
 
+def bench_decode_corpus_device():
+    """The device plane's on-chip rate at corpus scale (VERDICT r3 item 2):
+    16 distinct 120 s streams (0.59M granule-decodes over 4 dispatches) with
+    RESIDENT inputs — the analog of host_plane_gps, which also reads its prep
+    from RAM. Production h2d/fetch costs are covered by the end-to-end rows
+    above; this row records what the chip itself sustains, with the
+    granule-half / synthesis-half split alongside.
+
+    Scale note: one dispatch is capped near 16x120s files by HBM — the
+    (F,2,T,32,36) f32 block plane is ~1.35 GB at F=16 and XLA's temps put
+    F=64 at 19.4 G > 15.75 G HBM — so corpus scale means chunked dispatches
+    (the pipelined production path already chunks at 16 files)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.bitstream import decoder_host as dh
+    from mp3stego_tpu.ops import decode_plane as dp
+    from mp3stego_tpu.parallel.batch_decode import prepare_batch
+    from mp3stego_tpu.utils import calibrate
+
+    if not DEVICE_OK:
+        DETAIL["decode plane corpus (on-chip)"] = {
+            "status": "SKIPPED (device unreachable)"}
+        return
+
+    preps = []
+    g_total = 0
+    for i in range(16):
+        wav = _synth_wav(f"/tmp/bench_corpus{i}.wav", 120.0, 44100, 100 + i)
+        mp3 = _mp3_of(wav, f"/tmp/bench_corpus{i}.mp3", 320)
+        with open(mp3, "rb") as f:
+            parsed = dh.parse_mp3(f.read(), 0)
+        preps.append(dp.host_prepare(parsed))
+        g_total += parsed.num_frames * 2
+    batch = prepare_batch(preps)
+    args = {k: jax.device_put(batch[k]) for k in dp.ALL_KEYS}
+
+    @functools.partial(jax.jit, static_argnames=("dn",))
+    def blocks_only(a, dn="float32"):
+        return jax.vmap(lambda p: dp.granule_blocks(p, jnp.dtype(dn)))(a)
+
+    @functools.partial(jax.jit, static_argnames=("dn",))
+    def full(a, dn="float32"):
+        return jax.vmap(lambda p: dp.decode_granules_impl(p, dn))(a)
+
+    def rate(f, dispatches=4):
+        out = f(args)
+        np.asarray(out.reshape(-1)[0])          # warm + sync
+        t0 = time.time()
+        for _ in range(dispatches):
+            out = f(args)
+        np.asarray(out.reshape(-1)[0])          # 2-byte sync fetch
+        return g_total * dispatches / (time.time() - t0)
+
+    gps_blocks = rate(blocks_only)
+    gps_full = rate(full)
+    host_gps = calibrate.get_probe().host_plane_gps
+    split = {
+        "granules_decoded": g_total * 4,
+        "device_plane_gps": round(gps_full),
+        "granule_half_gps": round(gps_blocks),
+        "synthesis_share": round(1 - gps_full / gps_blocks, 2),
+        "host_plane_gps_1core": round(host_gps),
+        "device_vs_host_core": round(gps_full / max(host_gps, 1.0), 1),
+    }
+    DETAIL["decode plane corpus (on-chip, resident inputs)"] = split
+    print(f"# decode plane corpus on-chip: {split}", file=sys.stderr)
+    _note("decode plane corpus on-chip (0.59M granules, resident)",
+          gps_full / 153.1, "x realtime")   # 44.1kHz: 153.1 granules/s/s
+
+
 def bench_decode_long():
     """Single-stream decode, both engines: the production default (bit-exact
     native host plane -> interleaved int16) and the float32 TPU path (fused
@@ -624,6 +697,7 @@ def main():
         print("# device unreachable within 180s: host-only rows this run",
               file=sys.stderr)
     headline = bench_decode_fixture_batch()
+    bench_decode_corpus_device()
     bench_decode_long()
     bench_decode_mixed()
     bench_decode_streaming()
