@@ -120,25 +120,53 @@ def encode_files_batched(jobs: list, bitrate: int = 320, mesh=None,
 
 
 def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # per-device-program lane budget (lanes = files x channels x granules):
+    # the analysis and search temps scale with it, and ~50k lanes fits the
+    # v5e's 16 G HBM with headroom (8x30s stereo = 37k lanes; one 120s
+    # stereo file is 18.4k; 8x120s in one program needs 25.3 G and OOMs).
+    # Groups above the budget run as pipelined sub-batches: sub-batch k+1's
+    # PCM prep/stacking runs on a worker thread while the device runs k,
+    # and host finishers overlap in the pool.
+    max_lanes = int(os.environ.get("MP3STEGO_TPU_BATCH_ENC_LANES", "49152"))
+    gpf = group[0][2].granules_per_frame
+    tg_max = _bucket(max(nf * gpf for (_, _, _, nf) in group))
+    per = max(1, max_lanes // (nch * tg_max))
+    if mesh is not None:
+        m = mesh.shape["files"]
+        per = max(m, per - per % m)           # whole mesh rows per sub-batch
+    workers = max_workers or min(8, (os.cpu_count() or 1))
+    subs = [group[i:i + per] for i in range(0, len(group), per)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futures = {}
+        prep = ex.submit(_prep_subbatch, subs[0], sr_idx, nch, tg_max, mesh)
+        for k, sub in enumerate(subs):
+            staged = prep.result()
+            if k + 1 < len(subs):
+                prep = ex.submit(_prep_subbatch, subs[k + 1], sr_idx, nch,
+                                 tg_max, mesh)
+            for fut, i in _run_subbatch(sub, staged, sr_idx, nch, tg_max,
+                                        mesh, ex).items():
+                futures[fut] = i
+        for fut, i in futures.items():
+            try:
+                results[i] = fut.result()
+            except BaseException as e:  # noqa: BLE001 - isolation mode
+                if errors != "isolate" or isinstance(e, KeyboardInterrupt):
+                    raise
+                results[i] = e
 
-    from mp3stego_tpu.ops import search_plane as SP
-    from mp3stego_tpu.ops.encode_plane import _PAST, analysis_mdct_i16
+
+def _prep_subbatch(group, sr_idx, nch, tg_max, mesh):
+    """Host half of one sub-batch: stacked front-padded PCM (raw int16 — the
+    device plane upshifts on chip, halving the upload; zero tail granules
+    decode to xrmax==0 lanes), per-lane bit budgets, per-file framing."""
+    from mp3stego_tpu.ops.encode_plane import _PAST
     from mp3stego_tpu.ops import quant as Q
 
     gpf = group[0][2].granules_per_frame
-    tgs = [nf * gpf for (_, _, _, nf) in group]
-    tg_max = _bucket(max(tgs))
-    f_n = len(group)
-    f_pad = _bucket_files(f_n)
+    f_pad = _bucket_files(len(group))
     if mesh is not None:
-        m = mesh.shape["files"]
-        f_pad += (-f_pad) % m
-
-    # stacked, front-padded PCM (raw int16 — the device plane upshifts on
-    # chip, halving the upload); zero tail granules decode to xrmax==0 lanes
+        f_pad += (-f_pad) % mesh.shape["files"]
     pcm = np.zeros((f_pad, nch, _PAST + tg_max * 576), np.int16)
     max_bits = np.zeros((f_pad, nch * tg_max), np.int32)
     framing = []
@@ -150,8 +178,24 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
         maxb_f = np.minimum(np.asarray(mean_bits_f, np.int64) // nch,
                             Q.MAX_BITS_ALLOWANCE)
         lane_block = np.repeat(maxb_f, gpf)              # (tg,)
+        tg = nf * gpf
         for ch in range(nch):
-            max_bits[j, ch * tg_max: ch * tg_max + tgs[j]] = lane_block
+            max_bits[j, ch * tg_max: ch * tg_max + tg] = lane_block
+    return pcm, max_bits, framing
+
+
+def _run_subbatch(group, staged, sr_idx, nch, tg_max, mesh, ex):
+    """Device half of one sub-batch + its host finisher submissions."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mp3stego_tpu.ops import search_plane as SP
+    from mp3stego_tpu.ops.encode_plane import analysis_mdct_i16
+
+    pcm, max_bits, framing = staged
+    f_pad = pcm.shape[0]
+    tgs = [nf * group[0][2].granules_per_frame for (_, _, _, nf) in group]
 
     if mesh is not None:
         spec = NamedSharding(mesh, P("files"))
@@ -203,13 +247,4 @@ def _encode_group(group, sr_idx, nch, mesh, max_workers, results, errors):
         enc.write_mp3_file(mp3_path)
         return mp3_path
 
-    workers = max_workers or min(8, (os.cpu_count() or 1))
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        futures = {ex.submit(finish, j): group[j][0] for j in range(f_n)}
-        for fut, i in futures.items():
-            try:
-                results[i] = fut.result()
-            except BaseException as e:  # noqa: BLE001 - isolation mode
-                if errors != "isolate" or isinstance(e, KeyboardInterrupt):
-                    raise
-                results[i] = e
+    return {ex.submit(finish, j): group[j][0] for j in range(len(group))}

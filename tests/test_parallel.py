@@ -216,6 +216,24 @@ def test_batched_encode_matches_single(stego_golden, encode_golden, tmp_path):
             assert f.read() == ref
 
 
+def test_batched_encode_subbatched_matches_single(stego_golden, encode_golden,
+                                                  tmp_path, monkeypatch):
+    """A lane budget below one file's lane count forces the pipelined
+    sub-batch path (one file per device program, prep overlapped on a worker
+    thread) — bytes must stay identical to the whole-group program."""
+    wav = tmp_path / "g.wav"
+    wav.write_bytes(stego_golden["wav_bytes"].tobytes())
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_ENC_LANES", "1")
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_ENC_HOST", "0")
+    from mp3stego_tpu.parallel import encode_files_batched
+    jobs = [(str(wav), str(tmp_path / f"sub{i}.mp3")) for i in range(3)]
+    outs = encode_files_batched(jobs, bitrate=320)
+    ref = encode_golden["mp3_bytes"].tobytes()
+    for p in outs:
+        with open(p, "rb") as f:
+            assert f.read() == ref
+
+
 def test_batched_encode_error_isolation(stego_golden, tmp_path):
     wav = tmp_path / "g.wav"
     wav.write_bytes(stego_golden["wav_bytes"].tobytes())
