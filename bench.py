@@ -408,6 +408,90 @@ def bench_encode():
     return rt
 
 
+def bench_encode_corpus_device():
+    """The encode plane's on-chip rate at corpus scale (VERDICT r3 item 3):
+    Q31 analysis+MDCT plus the FULL bisection+inner rate search for 2x120s
+    stereo files per dispatch (one lane-budget sub-batch of the group
+    engine, 36,864 lanes), inputs RESIDENT — the analog of host_search_gps,
+    which also reads PCM from RAM. Production h2d/fetch costs are covered by
+    the end-to-end group-engine rows above; this row records what the chip
+    itself sustains, with the analysis/search split alongside."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.models.encoder import MP3Encoder
+    from mp3stego_tpu.ops import quant as Q
+    from mp3stego_tpu.ops import search_plane as SP
+    from mp3stego_tpu.ops.encode_plane import _PAST, analysis_mdct_i16
+    from mp3stego_tpu.utils import calibrate
+    from mp3stego_tpu.utils.wav import read_wav
+
+    if not DEVICE_OK:
+        DETAIL["encode plane corpus (on-chip)"] = {
+            "status": "SKIPPED (device unreachable)"}
+        return
+
+    wav = _synth_wav("/tmp/bench_enc_corpus.wav", 120.0, 44100, 7)
+    enc = MP3Encoder(read_wav(wav, 320))
+    nf = enc._num_frames()
+    gpf = enc.granules_per_frame
+    tg = nf * gpf
+    tg_max = -(-tg // 256) * 256
+    nch, F = 2, 2                       # 2 files/dispatch = the lane budget
+    s = enc._channel_streams_i16(nf)
+    pcm = np.zeros((F, nch, _PAST + tg_max * 576), np.int16)
+    pcm[:, :, _PAST:_PAST + s.shape[1]] = s
+    _, mean_bits_f = enc._plane_framing(nf)
+    lane_block = np.repeat(np.minimum(
+        np.asarray(mean_bits_f, np.int64) // nch,
+        Q.MAX_BITS_ALLOWANCE), gpf)
+    max_bits = np.zeros((F, nch * tg_max), np.int32)
+    for ch in range(nch):
+        max_bits[:, ch * tg_max: ch * tg_max + tg] = lane_block
+
+    pcm_dev = jax.device_put(pcm)
+    mb_dev = jax.device_put(max_bits)
+    sr_idx = enc.samplerate_index
+
+    @functools.partial(jax.jit, static_argnames=("sr",))
+    def full(p, mb, sr):
+        xr = jax.vmap(analysis_mdct_i16)(p).reshape(F, nch * tg_max, 576)
+        fin, *_ = jax.vmap(
+            lambda a, b: SP._search_body_packed(a, b, sr))(xr, mb)
+        return fin
+
+    @functools.partial(jax.jit, static_argnames=("sr",))
+    def analysis_only(p, sr):
+        return jax.vmap(analysis_mdct_i16)(p)
+
+    def rate(f, args, dispatches=4):
+        out = f(*args)
+        np.asarray(out.reshape(-1)[0])           # warm + sync
+        t0 = time.time()
+        for _ in range(dispatches):
+            out = f(*args)
+        np.asarray(out.reshape(-1)[0])           # 2-byte sync fetch
+        return F * nch * tg * dispatches / (time.time() - t0)
+
+    gps_a = rate(analysis_only, (pcm_dev, sr_idx))
+    gps_f = rate(full, (pcm_dev, mb_dev, sr_idx))
+    host_gps = calibrate.get_probe().host_search_gps
+    split = {
+        "lanes_searched": F * nch * tg * 4,
+        "device_encode_gps": round(gps_f),
+        "analysis_only_gps": round(gps_a),
+        "search_share": round(1 - gps_f / gps_a, 2),
+        "host_search_gps_1core": round(host_gps),
+        "device_vs_host_core": round(gps_f / max(host_gps, 1.0), 1),
+    }
+    DETAIL["encode plane corpus (on-chip, resident inputs)"] = split
+    print(f"# encode plane corpus on-chip: {split}", file=sys.stderr)
+    _note("encode plane corpus on-chip (147k lane-searches, resident)",
+          gps_f / 153.1, "x realtime")   # stereo 44.1k: 153.1 lanes/s/s
+
+
 def bench_decode_streaming():
     """Long-file decode through the O(chunk)-memory streaming path
     (models/streaming.py): a 30-minute 128 kbps stream decoded start to
@@ -702,6 +786,7 @@ def main():
     bench_decode_mixed()
     bench_decode_streaming()
     bench_encode()
+    bench_encode_corpus_device()
     bench_encode_streaming()
     bench_hide_roundtrip()
     check_tpu_kernels()
