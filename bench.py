@@ -201,6 +201,37 @@ def bench_decode_fixture_batch():
     }
     DETAIL["decode batch roofline split"] = split
     print(f"# decode batch roofline: {split}", file=sys.stderr)
+
+    # Cost-model residual (VERDICT r3 item 8): the calibrated model's
+    # predicted device-path time vs the time just measured, on this host's
+    # real link. The model (calibrate.batch_decode_engine) excludes parse —
+    # both engines pay it — so the measured side is h2d+compute + fetch.
+    # "mispredict" flags when the model's engine choice differs from what
+    # the measured times would pick.
+    from mp3stego_tpu.utils.calibrate import (D2H_BYTES_PER_GRANULE,
+                                              H2D_BYTES_PER_GRANULE)
+    predicted_s = (probe.device_overhead_s
+                   + total_g * H2D_BYTES_PER_GRANULE
+                   / (probe.link_out_mbps * 1e6)
+                   + total_g / probe.device_gps
+                   + total_g * D2H_BYTES_PER_GRANULE
+                   / (probe.link_in_mbps * 1e6))
+    measured_s = (t3 - t1)
+    host_s = total_g / probe.host_plane_gps
+    model_choice = calibrate.batch_decode_engine(total_g)
+    measured_choice = "host" if host_s <= measured_s else "device"
+    resid = {
+        "predicted_device_s": round(predicted_s, 3),
+        "measured_device_s": round(measured_s, 3),
+        "residual_ratio": round(predicted_s / max(measured_s, 1e-6), 2),
+        "host_s": round(host_s, 3),
+        "model_choice": model_choice,
+        "measured_optimal": measured_choice,
+        "mispredict": model_choice != measured_choice,
+        "within_2x": 0.5 <= predicted_s / max(measured_s, 1e-6) <= 2.0,
+    }
+    DETAIL["decode cost-model residual"] = resid
+    print(f"# decode cost-model residual: {resid}", file=sys.stderr)
     return rt
 
 
@@ -679,6 +710,16 @@ def bench_hide_roundtrip():
             assert fa.read() == fb.read()   # engine byte-identity on-chip
         _note("hide 30s capacity-saturated (device parallel engine)",
               30.0 / dt, "x realtime")
+        # fixpoint record (VERDICT r3 item 4): the cursor-pinning loop's
+        # measured convergence — "fused" = pass A + on-device pinning +
+        # pass B + scfsi ran as one program; extra_rounds = re-pin rounds
+        # the count feedback actually needed
+        from mp3stego_tpu.models.encoder import MP3Encoder
+        if MP3Encoder.last_hide_parallel_stats is not None:
+            DETAIL["hide parallel fixpoint"] = dict(
+                MP3Encoder.last_hide_parallel_stats)
+            print(f"# hide parallel fixpoint: "
+                  f"{MP3Encoder.last_hide_parallel_stats}", file=sys.stderr)
     finally:
         os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
 

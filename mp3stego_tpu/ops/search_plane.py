@@ -695,6 +695,73 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("sr_idx", "want_scfsi"))
+def _hide_fused_jit(xr, mb, hide_bits, hide_len, order, off0, sr_idx,
+                    want_scfsi):
+    """Whole-file hide as ONE device program (VERDICT r3 item 4): pass A
+    (transform-free search, only its region counts are consumed), the
+    embedded-bit cursor pinning (permute to reference f▸ch▸gr order +
+    prefix sum, models/encoder pin()'s device twin), pass B (the search WITH
+    the pair transform at the pinned cursors) and the scfsi energy sums.
+    Fuses what used to be 2 chunked search dispatches + a host round trip +
+    a scfsi dispatch; pass A's fin/ix planes never cross the link."""
+    finA, _, _, _ = _search_body(xr, mb, sr_idx)
+    counts = ((finA[9] > 0).astype(jnp.int32) + (finA[10] > 0)
+              + (finA[11] > 0))
+    co = counts[order]
+    cur_o = off0 + jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(co[:-1], dtype=jnp.int32)])
+    cursors = jnp.zeros_like(counts).at[order].set(cur_o)
+    fin, ix8, wide, ix, ls, lb = _search_body_packed(
+        xr, mb, sr_idx, hide_bits, cursors, hide_len)
+    if want_scfsi:
+        tot, en = _scfsi_sums(xr, sr_idx)
+    else:
+        tot = en = jnp.zeros((), jnp.int32)
+    return fin, ix8, wide, ix, ls, lb, cursors, tot, en
+
+
+def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
+                      hide_bits: np.ndarray, order: np.ndarray, off0: int,
+                      want_scfsi: bool):
+    """One-dispatch hide: pass A + on-device cursor pinning + pass B
+    (+ scfsi sums) over resident (N, 576) spectra.
+
+    :param order: (N,) permutation mapping rank-in-reference-cursor-order to
+        lane index; padded lanes (zero spectra, zero budget) must rank last.
+    :param off0: initial embedded-bit cursor (``hide_str_offset``).
+    :return: (search_all-shaped result dict, (N,) pinned int32 cursors,
+        scfsi (total, en) pair or None). The caller slices padded lanes off.
+    """
+    L = len(hide_bits)
+    lpad = (-max(L, 1)) % 4096            # bucket so length doesn't recompile
+    hb = jnp.asarray(np.concatenate(
+        [np.asarray(hide_bits, np.uint8), np.zeros(lpad, np.uint8)]))
+    fin, ix8, wide, ix_dev, ls, lb, cursors, tot, en = _hide_fused_jit(
+        xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), hb,
+        jnp.int32(L), jnp.asarray(np.asarray(order, np.int32)),
+        jnp.int32(off0), sr_idx, want_scfsi)
+    pieces = [fin, ix8, wide, ls, lb, cursors]
+    if want_scfsi:
+        pieces += [tot, en]
+    got = _fetch_pieces(pieces)
+    fin_h, ix8_h, wide_h, ls_h, lb_h, cur_h = got[:6]
+    out = {k: fin_h[r] for r, k in enumerate(_FIN_ROWS)}
+    out["ix"] = ix8_h
+    ixw = {}
+    lanes = np.flatnonzero(wide_h)
+    if len(lanes):
+        rows = np.asarray(_gather_rows(ix_dev,
+                                       jnp.asarray(lanes, jnp.int32)))
+        for k, l in enumerate(lanes):
+            ixw[int(l)] = rows[k]
+    out["ixw"] = ixw
+    out["log_steps"] = ls_h
+    out["log_bits"] = lb_h
+    scf = (got[6], got[7]) if want_scfsi else None
+    return out, cur_h, scf
+
+
 def dense_ix(res: dict) -> np.ndarray:
     """Widen a search result's int8 ix plane to int32 with the wide-lane
     patches applied (testing/debug helper; production consumers patch the

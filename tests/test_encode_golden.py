@@ -149,12 +149,37 @@ def test_hide_capacity_saturated_bytes(golden_wav, engine, monkeypatch):
     bits = str_to_binary_str(f"{len(msg)}#{msg}")
     if engine == "device":
         monkeypatch.setenv("MP3STEGO_TPU_ENC_HOST", "0")
+        # the module-scoped `encoded` fixture pins SEARCH_PLANE=0 for the
+        # rest of the module; restore it so this really tests the plane
+        monkeypatch.setenv("MP3STEGO_TPU_SEARCH_PLANE", "1")
     elif engine == "costgrid":
         monkeypatch.setenv("MP3STEGO_TPU_SEARCH_PLANE", "0")
     enc = MP3Encoder(read_wav(golden_wav, 320), hide_str=bits)
     enc.encode()
     assert bytes(enc.out_buffer) == g["hidden_cap"].tobytes()
     assert enc.hide_str_offset >= len(bits) - 1
+    if engine == "device":     # the fused A+pin+B program actually ran
+        assert enc.last_hide_parallel_stats["fused"] is True
+
+
+def test_hide_capacity_saturated_bytes_unfused(golden_wav, monkeypatch):
+    """The parallel hide's big-file regime: a lane budget of 1 forces the
+    chunked pass-A + pinned-pass-B loop instead of the fused one-program
+    path — bytes must stay identical to the reference golden."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "capstego_golden.npz"))
+    msg = g["msg_cap"].tobytes().decode()
+    from mp3stego_tpu.steganography import str_to_binary_str
+    bits = str_to_binary_str(f"{len(msg)}#{msg}")
+    monkeypatch.setenv("MP3STEGO_TPU_ENC_HOST", "0")
+    monkeypatch.setenv("MP3STEGO_TPU_SEARCH_PLANE", "1")
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_ENC_LANES", "1")
+    enc = MP3Encoder(read_wav(golden_wav, 320), hide_str=bits)
+    enc.encode()
+    assert bytes(enc.out_buffer) == g["hidden_cap"].tobytes()
+    assert enc.last_hide_parallel_stats["fused"] is False
+    assert enc.last_hide_parallel_stats["converged"] is True
 
 
 def _synth_wav(tmp_path, sig, rate):
