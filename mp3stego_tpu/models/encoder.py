@@ -435,13 +435,38 @@ class MP3Encoder:
                             Q.MAX_BITS_ALLOWANCE)
         max_bits_lanes = np.tile(np.repeat(maxb_f, gpf), nch).astype(np.int32)
 
-        with timer.stage("rate search (device)"):
-            res = SP.search_all(xr_dev, max_bits_lanes, self.band_row)
         en_tot_raw = en_raw = None
-        if self.version == 3:
-            with timer.stage("scfsi sums (device)"):
-                en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
-                                                   self.band_row)
+        n = tg * nch
+        fuse_budget = int(os.environ.get("MP3STEGO_TPU_BATCH_ENC_LANES",
+                                         "49152"))
+        n_pad = -(-max(n, 1) // 2048) * 2048
+        if n_pad <= fuse_budget:
+            # whole file in ONE dispatch (search + scfsi sums), padded to a
+            # 2048-lane bucket so file length doesn't recompile
+            import jax.numpy as jnp
+            with timer.stage("rate search+scfsi (device, fused)"):
+                if n_pad > n:
+                    xr_s = jnp.pad(xr_dev, ((0, n_pad - n), (0, 0)))
+                    mb_s = np.concatenate(
+                        [max_bits_lanes, np.zeros(n_pad - n, np.int32)])
+                else:
+                    xr_s, mb_s = xr_dev, max_bits_lanes
+                resF, scf = SP.search_single_fused(
+                    xr_s, mb_s, self.band_row,
+                    want_scfsi=self.version == 3)
+            # copies: fetched buffers are read-only, _plane_redo patches rows
+            res = {k: (({l: r for l, r in v.items() if l < n})
+                       if k == "ixw" else np.array(v[:n]))
+                   for k, v in resF.items()}
+            if scf is not None:
+                en_tot_raw, en_raw = scf[0][:n], scf[1][:n]
+        else:
+            with timer.stage("rate search (device)"):
+                res = SP.search_all(xr_dev, max_bits_lanes, self.band_row)
+            if self.version == 3:
+                with timer.stage("scfsi sums (device)"):
+                    en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
+                                                       self.band_row)
         with timer.stage("verify+redo (host)"):
             self._plane_redo(res, xr_dev, max_bits_lanes, tg)
         with timer.stage("assemble+serialize (host)"):

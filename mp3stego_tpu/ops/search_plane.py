@@ -745,12 +745,20 @@ def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
     if want_scfsi:
         pieces += [tot, en]
     got = _fetch_pieces(pieces)
-    fin_h, ix8_h, wide_h, ls_h, lb_h, cur_h = got[:6]
+    out = _unpack_single(got[0], got[1], got[2], ix_dev, got[3], got[4])
+    scf = (got[6], got[7]) if want_scfsi else None
+    return out, got[5], scf
+
+
+def _unpack_single(fin_h, ix8_h, wide_h, ix_dev, ls_h, lb_h) -> dict:
+    """Fetched single-dispatch packed results -> the search_all result dict
+    (rare wide lanes re-gathered at full width from the resident plane)."""
     out = {k: fin_h[r] for r, k in enumerate(_FIN_ROWS)}
     out["ix"] = ix8_h
     ixw = {}
     lanes = np.flatnonzero(wide_h)
     if len(lanes):
+        import jax.numpy as jnp
         rows = np.asarray(_gather_rows(ix_dev,
                                        jnp.asarray(lanes, jnp.int32)))
         for k, l in enumerate(lanes):
@@ -758,8 +766,37 @@ def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
     out["ixw"] = ixw
     out["log_steps"] = ls_h
     out["log_bits"] = lb_h
-    scf = (got[6], got[7]) if want_scfsi else None
-    return out, cur_h, scf
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sr_idx", "want_scfsi"))
+def _search_scfsi_jit(xr, mb, sr_idx, want_scfsi):
+    """Whole-file clear-encode as one program: the packed search plus the
+    scfsi energy sums (both read the same resident spectra), replacing a
+    chunked multi-dispatch search_all + a separate scfsi dispatch."""
+    fin, ix8, wide, ix, ls, lb = _search_body_packed(xr, mb, sr_idx)
+    if want_scfsi:
+        tot, en = _scfsi_sums(xr, sr_idx)
+    else:
+        tot = en = jnp.zeros((), jnp.int32)
+    return fin, ix8, wide, ix, ls, lb, tot, en
+
+
+def search_single_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
+                        want_scfsi: bool):
+    """One-dispatch whole-file search (+ scfsi sums) over resident (N, 576)
+    spectra; the single-stream twin of the batch/hide fused programs.
+    Returns (search_all-shaped dict, scfsi (total, en) pair or None)."""
+    fin, ix8, wide, ix_dev, ls, lb, tot, en = _search_scfsi_jit(
+        xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx,
+        want_scfsi)
+    pieces = [fin, ix8, wide, ls, lb]
+    if want_scfsi:
+        pieces += [tot, en]
+    got = _fetch_pieces(pieces)
+    out = _unpack_single(got[0], got[1], got[2], ix_dev, got[3], got[4])
+    scf = (got[5], got[6]) if want_scfsi else None
+    return out, scf
 
 
 def dense_ix(res: dict) -> np.ndarray:
