@@ -519,13 +519,19 @@ _search_chunk_packed = jax.jit(_search_body_packed,
                                static_argnames=("sr_idx",))
 
 
-@functools.partial(jax.jit, static_argnames=("sr_idx",))
-def _search_batch_jit(xr, max_bits, sr_idx):
+@functools.partial(jax.jit, static_argnames=("sr_idx", "want_scfsi"))
+def _search_batch_jit(xr, max_bits, sr_idx, want_scfsi=False):
     """Vmapped search over a leading file axis: (F, N, 576) + (F, N) ->
     stacked packed results. With the file axis laid out on a mesh's ``files``
-    axis (NamedSharding), XLA partitions this with zero collectives."""
-    return jax.vmap(lambda a, b: _search_body_packed(a, b, sr_idx))(xr,
-                                                                    max_bits)
+    axis (NamedSharding), XLA partitions this with zero collectives.
+    ``want_scfsi`` folds the scfsi energy sums into the same program
+    (vmapped over files — stays collective-free on the mesh)."""
+    out = jax.vmap(lambda a, b: _search_body_packed(a, b, sr_idx))(xr,
+                                                                   max_bits)
+    if want_scfsi:
+        tot, en = jax.vmap(lambda a: _scfsi_sums(a, sr_idx))(xr)
+        return out + (tot, en)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("sr_idx",))
@@ -544,25 +550,39 @@ _gather_rows2 = jax.jit(lambda a, f, l: a[f, l])
 
 def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int,
                  hide_bits: np.ndarray = None, hide_cur: np.ndarray = None,
-                 hide_len: np.ndarray = None) -> dict:
+                 hide_len: np.ndarray = None,
+                 want_scfsi: bool = False) -> dict:
     """Sharded multi-file search: resident (F, N, 576) spectra (file axis
     optionally sharded over a mesh) -> dict of stacked (F, ...) numpy arrays
     with the same keys as :func:`search_all`. The ix plane crosses the link
     as int8 + re-gathered wide lanes (see _search_body_packed). The optional
     per-file stego state ((F, L) bits / (F, N) pinned cursors / (F,) bit
-    lengths) runs the hide transform inside the sharded search."""
+    lengths) runs the hide transform inside the sharded search.
+    ``want_scfsi`` folds the scfsi energy sums into the same device program
+    and fetch round; they come back under ``out["scfsi"]`` as a
+    ((F, N) total, (F, N, 21) per-band) pair."""
+    tot = en = None
     if hide_bits is not None:
         fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_hide_jit(
             xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)),
             jnp.asarray(np.asarray(hide_bits, np.uint8)),
             jnp.asarray(np.asarray(hide_cur, np.int32)),
             jnp.asarray(np.asarray(hide_len, np.int32)), sr_idx)
+    elif want_scfsi:
+        fin, ix8, wide, ix_dev, lsteps, lbits, tot, en = _search_batch_jit(
+            xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx,
+            want_scfsi=True)
     else:
         fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_jit(
             xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx)
-    fin_h, ix8_h, wide_h, ls_h, lb_h = _fetch_pieces(
-        [fin, ix8, wide, lsteps, lbits])
+    pieces = [fin, ix8, wide, lsteps, lbits]
+    if tot is not None:
+        pieces += [tot, en]
+    got = _fetch_pieces(pieces)
+    fin_h, ix8_h, wide_h, ls_h, lb_h = got[:5]
     out = {k: fin_h[:, r] for r, k in enumerate(_FIN_ROWS)}
+    if tot is not None:
+        out["scfsi"] = (got[5], got[6])
     out["ix"] = ix8_h                      # int8; wide lanes in out["ixw"]
     ixw = {}
     wf, wl = np.nonzero(wide_h)

@@ -206,13 +206,11 @@ def _run_subbatch(group, staged, sr_idx, nch, tg_max, mesh, ex):
 
     xr = jax.vmap(analysis_mdct_i16)(pcm_dev)            # (F, nch, TG, 576)
     xr = xr.reshape(f_pad, nch * tg_max, 576)
-    res_all = SP.search_batch(xr, max_bits, sr_idx)
     version3 = group[0][2].version == 3
+    # scfsi sums fused into the search program: one dispatch + fetch round
+    res_all = SP.search_batch(xr, max_bits, sr_idx, want_scfsi=version3)
     if version3:
-        tot_all, en_all = SP.scfsi_sums(
-            xr.reshape(f_pad * nch * tg_max, 576), sr_idx)
-        tot_all = tot_all.reshape(f_pad, nch * tg_max)
-        en_all = en_all.reshape(f_pad, nch * tg_max, 21)
+        tot_all, en_all = res_all["scfsi"]
 
     def finish(j):
         i, mp3_path, enc, nf = group[j]
