@@ -208,18 +208,20 @@ def bench_decode_fixture_batch():
     # both engines pay it — so the measured side is h2d+compute + fetch.
     # "mispredict" flags when the model's engine choice differs from what
     # the measured times would pick.
-    from mp3stego_tpu.utils.calibrate import (D2H_BYTES_PER_GRANULE,
-                                              H2D_BYTES_PER_GRANULE)
     predicted_s = (probe.device_overhead_s
-                   + total_g * H2D_BYTES_PER_GRANULE
-                   / (probe.link_out_mbps * 1e6)
+                   + total_g * probe.h2d_bpg / (probe.link_out_mbps * 1e6)
                    + total_g / probe.device_gps
-                   + total_g * D2H_BYTES_PER_GRANULE
-                   / (probe.link_in_mbps * 1e6))
+                   + total_g * probe.d2h_bpg / (probe.link_in_mbps * 1e6))
     measured_s = (t3 - t1)
     host_s = total_g / probe.host_plane_gps
     model_choice = calibrate.batch_decode_engine(total_g)
     measured_choice = "host" if host_s <= measured_s else "device"
+    # actual per-granule transfer volumes of THIS batch (the prep schema
+    # evolves) — recorded here and refreshed into the probe so the next
+    # selection's prediction tracks the real upload/fetch sizes
+    h2d_actual = sum(np.asarray(batch[k]).nbytes
+                     for k in dp.ALL_KEYS) / total_g
+    d2h_actual = pcm.nbytes / total_g
     resid = {
         "predicted_device_s": round(predicted_s, 3),
         "measured_device_s": round(measured_s, 3),
@@ -229,7 +231,17 @@ def bench_decode_fixture_batch():
         "measured_optimal": measured_choice,
         "mispredict": model_choice != measured_choice,
         "within_2x": 0.5 <= predicted_s / max(measured_s, 1e-6) <= 2.0,
+        "h2d_bpg_model": round(probe.h2d_bpg),
+        "h2d_bpg_actual": round(h2d_actual),
+        "d2h_bpg_actual": round(d2h_actual),
     }
+    if probe.device_path_gps:          # the empirical model, if already set
+        emp_s = total_g / probe.device_path_gps
+        resid["predicted_empirical_s"] = round(emp_s, 3)
+        resid["empirical_within_2x"] = (
+            0.5 <= emp_s / max(measured_s, 1e-6) <= 2.0)
+    calibrate.refresh_device_rates(h2d_bpg=h2d_actual, d2h_bpg=d2h_actual,
+                                   device_path_gps=total_g / measured_s)
     DETAIL["decode cost-model residual"] = resid
     print(f"# decode cost-model residual: {resid}", file=sys.stderr)
     return rt

@@ -50,12 +50,20 @@ _DEFAULTS = dict(
     device_gps=75000.0,         # batched f32 decode plane, compute only
     device_search_gps=30000.0,  # device while_loop search plane
     device_overhead_s=0.15,     # fixed dispatch+sync latency per device call
+    h2d_bpg=1700.0,             # decode-path h2d bytes/granule (see below)
+    d2h_bpg=2304.0,             # int16 PCM bytes/granule back
+    device_path_gps=0.0,        # MEASURED end-to-end device-path rate
+                                # (granules/s incl. transfers; bench-refreshed;
+                                # 0 = unmeasured -> analytic transfer model)
     probed=False,
 )
 
-# Bytes moved per granule by the device decode path (measured on the
-# 64-fixture batch: 7.7 MB h2d for 4608 granules of prep tensors, and
-# 2*576*2 B of int16 PCM per granule back).
+# Bytes moved per granule by the device decode path (defaults measured on
+# the round-2 64-fixture batch: prep tensors up, int16 PCM back). These are
+# probe fields now — bench.py refreshes them from the ACTUAL staged batch
+# sizes each run (the prep schema evolves; e.g. the gather-free requantize
+# shrank the upload), so the cost model tracks the real transfer volume.
+# Module constants kept as the documented defaults.
 H2D_BYTES_PER_GRANULE = 1700
 D2H_BYTES_PER_GRANULE = 2 * 576 * 2
 
@@ -69,6 +77,9 @@ class Probe:
     device_gps: float
     device_search_gps: float
     device_overhead_s: float
+    h2d_bpg: float
+    d2h_bpg: float
+    device_path_gps: float
     probed: bool
 
 
@@ -269,14 +280,24 @@ def _measure_host_search() -> float:
 
 
 def refresh_device_rates(device_gps: float = None,
-                         device_search_gps: float = None) -> None:
-    """Record measured device throughputs (called by bench.py on real
-    hardware) into the cached probe so production selections use them."""
+                         device_search_gps: float = None,
+                         h2d_bpg: float = None,
+                         d2h_bpg: float = None,
+                         device_path_gps: float = None) -> None:
+    """Record measured device throughputs and per-granule transfer volumes
+    (called by bench.py on real hardware) into the cached probe so
+    production selections use them."""
     p = get_probe()
     if device_gps:
         p.device_gps = float(device_gps)
     if device_search_gps:
         p.device_search_gps = float(device_search_gps)
+    if h2d_bpg:
+        p.h2d_bpg = float(h2d_bpg)
+    if d2h_bpg:
+        p.d2h_bpg = float(d2h_bpg)
+    if device_path_gps:
+        p.device_path_gps = float(device_path_gps)
     try:
         path = _cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -308,10 +329,18 @@ def batch_decode_engine(total_granules: int, probe: Probe = None) -> str:
         return "host" if total_granules <= int(env) else "device"
     p = probe or get_probe()
     host_s = total_granules / p.host_plane_gps
-    device_s = (p.device_overhead_s
-                + total_granules * H2D_BYTES_PER_GRANULE / (p.link_out_mbps * 1e6)
-                + total_granules / p.device_gps
-                + total_granules * D2H_BYTES_PER_GRANULE / (p.link_in_mbps * 1e6))
+    if p.device_path_gps:
+        # bench measured the whole device pass (h2d + compute + fetch,
+        # INCLUDING the fixed dispatch overhead) on this host: a direct
+        # linear model beats summing probed terms (piece-wise transfers
+        # overlap each other, so the analytic sum is conservative — see
+        # BENCH_DETAIL "decode cost-model residual")
+        device_s = total_granules / p.device_path_gps
+    else:
+        device_s = (p.device_overhead_s
+                    + total_granules * p.h2d_bpg / (p.link_out_mbps * 1e6)
+                    + total_granules / p.device_gps
+                    + total_granules * p.d2h_bpg / (p.link_in_mbps * 1e6))
     if host_s <= device_s:
         return "host"
     return "device" if device_usable() else "host"
