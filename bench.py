@@ -410,11 +410,13 @@ def bench_encode():
     if DEVICE_OK:
         os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
         try:
-            for rep in range(2):
+            dt = None
+            for rep in range(4):          # rep0 warms compiles; best-of rest
                 enc = MP3Encoder(read_wav(wav, 320))
                 t0 = time.time()
                 enc.encode(quiet=True)
-                dt = time.time() - t0
+                d = time.time() - t0
+                dt = d if (dt is None or rep == 1) else min(dt, d)
             _note("encode 30s single stream (device plane)", 30.0 / dt,
                   "x realtime")
         finally:
@@ -711,11 +713,13 @@ def bench_hide_roundtrip():
         return
     os.environ["MP3STEGO_TPU_ENC_HOST"] = "0"
     try:
-        for rep in range(2):
+        dt = None
+        for rep in range(4):              # rep0 warms compiles; best-of rest
             t0 = time.time()
             too_long = s.hide_message(mp330, "/tmp/bench_hide30_dev.mp3",
                                       msg_cap)
-            dt = time.time() - t0
+            d = time.time() - t0
+            dt = d if (dt is None or rep == 1) else min(dt, d)
         assert too_long is False
         with open("/tmp/bench_hide30_dev.mp3", "rb") as fa, \
                 open("/tmp/bench_hide30_out.mp3", "rb") as fb:
