@@ -236,12 +236,17 @@ def bench_decode_fixture_batch():
         "d2h_bpg_actual": round(d2h_actual),
     }
     if probe.device_path_gps:          # the empirical model, if already set
-        emp_s = total_g / probe.device_path_gps
+        emp_s = probe.device_overhead_s + total_g / probe.device_path_gps
         resid["predicted_empirical_s"] = round(emp_s, 3)
         resid["empirical_within_2x"] = (
             0.5 <= emp_s / max(measured_s, 1e-6) <= 2.0)
-    calibrate.refresh_device_rates(h2d_bpg=h2d_actual, d2h_bpg=d2h_actual,
-                                   device_path_gps=total_g / measured_s)
+    # store the MARGINAL rate (fixed dispatch overhead subtracted); the
+    # selector adds the intercept back, so short files aren't priced at the
+    # large-batch rate (ADVICE r4)
+    calibrate.refresh_device_rates(
+        h2d_bpg=h2d_actual, d2h_bpg=d2h_actual,
+        device_path_gps=total_g / max(measured_s - probe.device_overhead_s,
+                                      1e-3))
     DETAIL["decode cost-model residual"] = resid
     print(f"# decode cost-model residual: {resid}", file=sys.stderr)
     return rt

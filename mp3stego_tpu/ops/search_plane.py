@@ -660,9 +660,10 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int,
         mb = np.concatenate([mb, np.zeros(pad, np.int32)])
     hb = hl = None
     if hide_bits is not None:
-        # pad the bits to a bucket so message length doesn't recompile
+        # pad the bits to a whole 4096 bucket so message length doesn't
+        # recompile (L=0 pads to 4096, not a stray 4095-element bucket)
         L = len(hide_bits)
-        lpad = (-max(L, 1)) % 4096
+        lpad = max(4096, -(-L // 4096) * 4096) - L
         hb = jnp.asarray(np.concatenate(
             [np.asarray(hide_bits, np.uint8), np.zeros(lpad, np.uint8)]))
         hl = jnp.int32(L)
@@ -754,7 +755,8 @@ def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
         scfsi (total, en) pair or None). The caller slices padded lanes off.
     """
     L = len(hide_bits)
-    lpad = (-max(L, 1)) % 4096            # bucket so length doesn't recompile
+    # whole 4096 bucket so message length doesn't recompile (L=0 -> 4096)
+    lpad = max(4096, -(-L // 4096) * 4096) - L
     hb = jnp.asarray(np.concatenate(
         [np.asarray(hide_bits, np.uint8), np.zeros(lpad, np.uint8)]))
     fin, ix8, wide, ix_dev, ls, lb, cursors, tot, en = _hide_fused_jit(

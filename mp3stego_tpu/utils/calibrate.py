@@ -330,12 +330,16 @@ def batch_decode_engine(total_granules: int, probe: Probe = None) -> str:
     p = probe or get_probe()
     host_s = total_granules / p.host_plane_gps
     if p.device_path_gps:
-        # bench measured the whole device pass (h2d + compute + fetch,
-        # INCLUDING the fixed dispatch overhead) on this host: a direct
-        # linear model beats summing probed terms (piece-wise transfers
-        # overlap each other, so the analytic sum is conservative — see
-        # BENCH_DETAIL "decode cost-model residual")
-        device_s = total_granules / p.device_path_gps
+        # bench measured the whole device pass (h2d + compute + fetch) on
+        # this host: a linear model beats summing probed terms (piece-wise
+        # transfers overlap each other, so the analytic sum is conservative —
+        # see BENCH_DETAIL "decode cost-model residual"). device_path_gps is
+        # the MARGINAL rate (overhead subtracted at measurement, bench.py),
+        # so the fixed dispatch intercept is added back here — without it,
+        # short files were priced at the large-batch rate and could flip to
+        # "device" where the analytic model correctly picked "host".
+        device_s = (p.device_overhead_s
+                    + total_granules / p.device_path_gps)
     else:
         device_s = (p.device_overhead_s
                     + total_granules * p.h2d_bpg / (p.link_out_mbps * 1e6)
