@@ -704,9 +704,21 @@ def _exc_indices(prep, tt, xp):
 def granule_blocks(prep, dtype):
     """Granule-local half of the decode plane: requantize -> MS stereo ->
     reorder/alias -> windowed IMDCT blocks. No cross-granule dependencies, so
-    this stage shards freely over the time axis. Returns (ch, T, 32, 36)."""
+    this stage shards freely over the time axis. Returns (ch, T, 32, 36).
+
+    Each stage is a ``jax.named_scope``-decorated function so profiler traces
+    attribute device time per stage (tools/profile_planes.py builds the
+    utilization table from the scopes; they don't change the lowered program).
+    """
+    x = _requantize_stage(prep, dtype)
+    x = _stereo_stage(prep, x, dtype)
+    x = _reorder_alias_stage(prep, x, dtype)
+    return _imdct_stage(prep, x, dtype)
+
+
+@jax.named_scope("requantize")
+def _requantize_stage(prep, dtype):
     pow43, _, _ = _luts(dtype)
-    c_long, c_short, sine = _imdct_mats(dtype)
 
     # ---- requantize (Frame.py:157-218). Same math as exponent_indices +
     # the three LUTs, restructured for the MXU: per-band exponents are
@@ -771,8 +783,11 @@ def granule_blocks(prep, dtype):
     fr = jnp.where(frac == 0, dtype.type(1.0),
                    jnp.where(frac == 1, c14,
                              jnp.where(frac == 2, c12, c34)))
-    x = (sign * a) * (fr * _pow2_int(qi, dtype))
+    return (sign * a) * (fr * _pow2_int(qi, dtype))
 
+
+@jax.named_scope("stereo")
+def _stereo_stage(prep, x, dtype):
     # ---- MS stereo (Frame.py:561-572)
     mid, side = x[0], x[1]
     l = (mid + side) / dtype.type(SQRT2)
@@ -805,8 +820,11 @@ def granule_blocks(prep, dtype):
     cl, cr = expd[0], expd[1]
     active = (expd[2] > dtype.type(0.5)) & prep["is_mask"][:, None]
     left0 = x[0]
-    x = jnp.where(active[None], jnp.stack([left0 * cl, left0 * cr]), x)
+    return jnp.where(active[None], jnp.stack([left0 * cl, left0 * cr]), x)
 
+
+@jax.named_scope("reorder_alias")
+def _reorder_alias_stage(prep, x, dtype):
     # ---- reorder (short) / alias reduction (long) / ISO-mixed blend.
     # Mixed (mode 3) granules take a 3-way column split: the short region
     # (col >= S) reorders exactly like a pure short granule (geometry note
@@ -842,8 +860,13 @@ def granule_blocks(prep, dtype):
         [x[..., :36], mid.reshape(nch0, nt0, 36), x[..., 72:]], axis=-1)
     out = jnp.where(m3[..., None] & prep["mix_lin_cols"][None, None],
                     mid_full, out)
-    x = jnp.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
+    return jnp.where(m3[..., None] & prep["mix_raw_cols"][None, None], x, out)
 
+
+@jax.named_scope("imdct")
+def _imdct_stage(prep, x, dtype):
+    c_long, c_short, sine = _imdct_mats(dtype)
+    m3 = (prep["mode"] == 3)                                   # (2,T)
     # ---- IMDCT + windowing (Frame.py:106-154); x layout is [band*18 + k]
     ch, tt = x.shape[0], x.shape[1]
     s = x.reshape(ch, tt, 32, 18)
@@ -895,42 +918,46 @@ def synth_from_blocks(blk, dtype, tail_halo=None, v_halo=None):
     """
     ch, tt = blk.shape[0], blk.shape[1]
 
-    head = blk[..., :18]
-    tail = blk[..., 18:]
-    if tail_halo is None:
-        tail_halo = jnp.zeros_like(tail[:, :1])
-    prev = jnp.concatenate([tail_halo, tail[:, :-1]], axis=1)
-    y = head + prev                                    # (ch,T,32,18)
+    with jax.named_scope("overlap_freqinv"):
+        head = blk[..., :18]
+        tail = blk[..., 18:]
+        if tail_halo is None:
+            tail_halo = jnp.zeros_like(tail[:, :1])
+        prev = jnp.concatenate([tail_halo, tail[:, :-1]], axis=1)
+        y = head + prev                                # (ch,T,32,18)
 
-    # ---- frequency inversion (Frame.py:624-631)
-    y = y * jnp.asarray(_freq_inv_mask().reshape(32, 18), dtype)
+        # ---- frequency inversion (Frame.py:624-631)
+        y = y * jnp.asarray(_freq_inv_mask().reshape(32, 18), dtype)
 
-    # ---- synthesis filterbank (Frame.py:65-103) as matmul + 16-tap FIR
-    n_mat = jnp.asarray(T.synth_filter_matrix(), dtype)    # (64,32)
-    st = y.transpose(0, 1, 3, 2).reshape(ch, tt * 18, 32)  # time-step major
-    # HIGHEST: the synthesis matmul feeds int16 PCM; bf16 MXU passes would
-    # cost ~3e-3 absolute error (audible floor), f32-emulation costs little here
-    v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    with jax.named_scope("synth_v"):
+        # ---- synthesis filterbank (Frame.py:65-103): matmul + 16-tap FIR
+        n_mat = jnp.asarray(T.synth_filter_matrix(), dtype)    # (64,32)
+        st = y.transpose(0, 1, 3, 2).reshape(ch, tt * 18, 32)  # step major
+        # HIGHEST: the synthesis matmul feeds int16 PCM; bf16 MXU passes
+        # would cost ~3e-3 absolute error (audible floor), f32-emulation
+        # costs little here
+        v = jnp.einsum("cts,is->cti", st, n_mat, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
-    if v_halo is None:
-        v_halo = jnp.zeros((ch, 15, 64), dtype)
-    v_ext = jnp.concatenate([v_halo, v], axis=1)
-    ts_total = tt * 18
+    with jax.named_scope("synth_fir"):
+        if v_halo is None:
+            v_halo = jnp.zeros((ch, 15, 64), dtype)
+        v_ext = jnp.concatenate([v_halo, v], axis=1)
+        ts_total = tt * 18
 
-    if dtype == jnp.float32 and _pallas_fir_enabled():
-        # fused Pallas FIR (opt-in: MP3STEGO_TPU_PALLAS=1); ~1 ulp from the
-        # jnp path due to its even/odd-tap fold, see ops/pallas_kernels.py
-        from mp3stego_tpu.ops import pallas_kernels as pk
-        pcm_steps = pk.synth_fir_host(v_ext, ts_total)
-    else:
-        va_p, vb_p = v_ext[..., :32], v_ext[..., 32:]
-        d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
-        pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
-        for j in range(16):  # reference sums j ascending (Frame.py:97-101)
-            src = va_p if j % 2 == 0 else vb_p
-            pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
-                src, 15 - j, ts_total, axis=1)
+        if dtype == jnp.float32 and _pallas_fir_enabled():
+            # fused Pallas FIR (opt-in: MP3STEGO_TPU_PALLAS=1); ~1 ulp from
+            # the jnp path's even/odd-tap fold, see ops/pallas_kernels.py
+            from mp3stego_tpu.ops import pallas_kernels as pk
+            pcm_steps = pk.synth_fir_host(v_ext, ts_total)
+        else:
+            va_p, vb_p = v_ext[..., :32], v_ext[..., 32:]
+            d_win = jnp.asarray(T.SYNTH_WINDOW.reshape(16, 32), dtype)
+            pcm_steps = jnp.zeros((ch, ts_total, 32), dtype)
+            for j in range(16):  # reference sums j ascending (Frame.py:97-101)
+                src = va_p if j % 2 == 0 else vb_p
+                pcm_steps = pcm_steps + d_win[j] * jax.lax.dynamic_slice_in_dim(
+                    src, 15 - j, ts_total, axis=1)
 
     pcm = pcm_steps.reshape(ch, tt, 576)
     return pcm, tail[:, -1:], v[:, -15:]

@@ -48,43 +48,55 @@ def analysis_mdct(pcm):
     # j' = 511 - j maps bijectively to (k, i) = divmod(j', 64) — so reversing
     # W and reshaping to (8, 64) aligns it with the window table directly.
     # (A 3D-index gather here lowers to scalar loads on TPU: ~20x slower.)
-    z = pcm.reshape(ch, (n // 32), 32)                   # 32-sample frames
-    w = jnp.concatenate([z[:, r:r + ts] for r in range(16)],
-                        axis=2)                          # (ch,ts,512)
-    v = w[..., ::-1].reshape(ch, ts, 8, 64)              # [k, i] layout
-    win = jnp.asarray(T.ENWINDOW.reshape(8, 64))         # en[i+64k] -> [k,i]
-    prod = fx.mul(v, win[None, None], xp=jnp)            # int32
-    tmp = jnp.sum(prod.astype(jnp.int32), axis=2, dtype=jnp.int32)    # (ch,ts,64)
+    with jax.named_scope("an_window"):
+        z = pcm.reshape(ch, (n // 32), 32)               # 32-sample frames
+        w = jnp.concatenate([z[:, r:r + ts] for r in range(16)],
+                            axis=2)                      # (ch,ts,512)
+        v = w[..., ::-1].reshape(ch, ts, 8, 64)          # [k, i] layout
+        win = jnp.asarray(T.ENWINDOW.reshape(8, 64))     # en[i+64k] -> [k,i]
+        prod = fx.mul(v, win[None, None], xp=jnp)        # int32
+        tmp = jnp.sum(prod.astype(jnp.int32), axis=2,
+                      dtype=jnp.int32)                   # (ch,ts,64)
 
     # ---- 32-band filter: sum_j mul(fl[b,j], tmp[j])
-    fl = jnp.asarray(T.subband_filter_fixed())           # (32,64)
-    prod2 = fx.mul(fl[None, None], tmp[:, :, None, :], xp=jnp)        # (ch,ts,32,64)
-    sb = jnp.sum(prod2.astype(jnp.int32), axis=-1, dtype=jnp.int32)   # (ch,ts,32)
+    with jax.named_scope("an_filter"):
+        fl = jnp.asarray(T.subband_filter_fixed())       # (32,64)
+        prod2 = fx.mul(fl[None, None], tmp[:, :, None, :],
+                       xp=jnp)                           # (ch,ts,32,64)
+        sb = jnp.sum(prod2.astype(jnp.int32), axis=-1,
+                     dtype=jnp.int32)                    # (ch,ts,32)
 
-    # ---- analysis-inversion compensation: odd step within granule, odd band
-    step_in_gr = jnp.arange(ts) % 18
-    inv = jnp.where((step_in_gr[:, None] % 2 == 1) & (jnp.arange(32)[None] % 2 == 1),
-                    -1, 1).astype(jnp.int32)
-    sb = sb * inv[None]
+        # ---- analysis-inversion: odd step within granule, odd band
+        step_in_gr = jnp.arange(ts) % 18
+        inv = jnp.where((step_in_gr[:, None] % 2 == 1)
+                        & (jnp.arange(32)[None] % 2 == 1),
+                        -1, 1).astype(jnp.int32)
+        sb = sb * inv[None]
 
     sbg = sb.reshape(ch, tg, 18, 32)
 
     # ---- MDCT over [prev granule ; current granule] per band
-    prev = jnp.concatenate([jnp.zeros_like(sbg[:, :1]), sbg[:, :-1]], axis=1)
-    mdct_in = jnp.concatenate([prev, sbg], axis=2)       # (ch,tg,36,32)
-    mdct_in = mdct_in.transpose(0, 1, 3, 2)              # (ch,tg,32,36)
-    cos_l = jnp.asarray(T.mdct_cos_fixed())              # (18,36)
-    prod3 = fx.mul(mdct_in[:, :, :, None, :], cos_l[None, None, None], xp=jnp)
-    freq = jnp.sum(prod3.astype(jnp.int32), axis=-1, dtype=jnp.int32)  # (ch,tg,32,18)
+    with jax.named_scope("an_mdct"):
+        prev = jnp.concatenate([jnp.zeros_like(sbg[:, :1]), sbg[:, :-1]],
+                               axis=1)
+        mdct_in = jnp.concatenate([prev, sbg], axis=2)   # (ch,tg,36,32)
+        mdct_in = mdct_in.transpose(0, 1, 3, 2)          # (ch,tg,32,36)
+        cos_l = jnp.asarray(T.mdct_cos_fixed())          # (18,36)
+        prod3 = fx.mul(mdct_in[:, :, :, None, :], cos_l[None, None, None],
+                       xp=jnp)
+        freq = jnp.sum(prod3.astype(jnp.int32), axis=-1,
+                       dtype=jnp.int32)                  # (ch,tg,32,18)
 
     # ---- alias butterflies: band b slot i (bu) with band b-1 slot 17-i (bd)
-    cs = jnp.asarray(T.MDCT_CS_FIX)                      # (8,)
-    ca = jnp.asarray(T.MDCT_CA_FIX)
-    up = freq[:, :, 1:, :8]                              # (ch,tg,31,8) "bu" inputs
-    dn = freq[:, :, :-1, 17:9:-1]                        # band-1 slots 17..10
-    bu, bd = fx.cmuls(up, dn, cs[None, None, None], ca[None, None, None], xp=jnp)
-    freq = freq.at[:, :, 1:, :8].set(bu)
-    freq = freq.at[:, :, :-1, 17:9:-1].set(bd)
+    with jax.named_scope("an_alias"):
+        cs = jnp.asarray(T.MDCT_CS_FIX)                  # (8,)
+        ca = jnp.asarray(T.MDCT_CA_FIX)
+        up = freq[:, :, 1:, :8]                          # (ch,tg,31,8) "bu"
+        dn = freq[:, :, :-1, 17:9:-1]                    # band-1 slots 17..10
+        bu, bd = fx.cmuls(up, dn, cs[None, None, None], ca[None, None, None],
+                          xp=jnp)
+        freq = freq.at[:, :, 1:, :8].set(bu)
+        freq = freq.at[:, :, :-1, 17:9:-1].set(bd)
 
     return freq.reshape(ch, tg, 576)
 

@@ -129,14 +129,15 @@ def _sconsts():
 def _quantize(labs64, xrabs_f32, xrmax64, s, c):
     """Vector quantize at per-lane steps ``s``. Exact in the LUT region;
     float32 (flagged) in the reference's float64-fallback region."""
-    sidx = jnp.clip(s + 127, 0, 127)
-    oob = (s + 127) != sidx
-    scalei = jnp.asarray(c["steptabi"])[sidx]                  # (C,) i64
-    mr = (xrmax64 * scalei + 2147483648) >> 32
-    bail = mr > _BAIL
-    ln = ((labs64 * scalei[:, None] + 2147483648) >> 32).astype(jnp.int32)
-    approx = jnp.any(ln >= 10000, axis=1)
-    lnc = jnp.minimum(ln, 9999)
+    with jax.named_scope("quant_scale"):
+        sidx = jnp.clip(s + 127, 0, 127)
+        oob = (s + 127) != sidx
+        scalei = jnp.asarray(c["steptabi"])[sidx]              # (C,) i64
+        mr = (xrmax64 * scalei + 2147483648) >> 32
+        bail = mr > _BAIL
+        ln = ((labs64 * scalei[:, None] + 2147483648) >> 32).astype(jnp.int32)
+        approx = jnp.any(ln >= 10000, axis=1)
+        lnc = jnp.minimum(ln, 9999)
     # exact int2idx[lnc] as a TWO-LEVEL threshold rank: a coarse rank over
     # one threshold per 32-block picks the block, an exact one-hot matmul
     # selects that block's 32 thresholds (values <= 10000, exact in f32),
@@ -144,21 +145,23 @@ def _quantize(labs64, xrabs_f32, xrmax64, s, c):
     # element versus the old flat rank's ~1000 compares (itself ~2.5x a TPU
     # gather, which lowers to scalar loads). Sentinel padding keeps the
     # coarse rank < n_blk, so the one-hot row always exists.
-    coarse = jnp.asarray(c["th_coarse"])
-    b = jnp.sum((lnc[..., None] >= coarse[None, None, :]).astype(jnp.int32),
-                axis=-1)                                       # block index
-    th_sel = _onehot_rows(b, jnp.asarray(c["th_blocks"], jnp.float32),
-                          jnp.float32)                         # (C,576,32)
-    ixl = 32 * b + jnp.sum(
-        (lnc[..., None].astype(jnp.float32) >= th_sel).astype(jnp.int32),
-        axis=-1)
-    d = (xrabs_f32 * jnp.asarray(c["steptab_f32"])[sidx][:, None]
-         * jnp.float32(4.656612875e-10))
-    ixa = jnp.floor(jnp.exp2(0.75 * jnp.log2(
-        jnp.maximum(d, jnp.float32(1e-30))))).astype(jnp.int32)
-    ix = jnp.where(ln < 10000, ixl, ixa)
-    ixmax = jnp.max(ix, axis=1)
-    ixmax_eff = jnp.where(bail, 16384, ixmax)
+    with jax.named_scope("quant_rank"):
+        coarse = jnp.asarray(c["th_coarse"])
+        b = jnp.sum((lnc[..., None] >= coarse[None, None, :])
+                    .astype(jnp.int32), axis=-1)               # block index
+        th_sel = _onehot_rows(b, jnp.asarray(c["th_blocks"], jnp.float32),
+                              jnp.float32)                     # (C,576,32)
+        ixl = 32 * b + jnp.sum(
+            (lnc[..., None].astype(jnp.float32) >= th_sel).astype(jnp.int32),
+            axis=-1)
+    with jax.named_scope("quant_float"):
+        d = (xrabs_f32 * jnp.asarray(c["steptab_f32"])[sidx][:, None]
+             * jnp.float32(4.656612875e-10))
+        ixa = jnp.floor(jnp.exp2(0.75 * jnp.log2(
+            jnp.maximum(d, jnp.float32(1e-30))))).astype(jnp.int32)
+        ix = jnp.where(ln < 10000, ixl, ixa)
+        ixmax = jnp.max(ix, axis=1)
+        ixmax_eff = jnp.where(bail, 16384, ixmax)
     return ix, ixmax_eff, approx, oob
 
 
@@ -177,16 +180,17 @@ def _cost(ix, addr_in, band, c, hide=None):
     sequential engine's ``hide_off`` (native/src/rate_search.cpp)."""
     n = ix.shape[0]
     pos = jnp.arange(576, dtype=jnp.int32)
-    nz = ix != 0
-    any_nz = jnp.any(nz, axis=1)
-    last = jnp.max(jnp.where(nz, pos, -1), axis=1)
-    i0 = jnp.where(any_nz, ((last + 2) >> 1) << 1, 0)
-    lim = jnp.max(jnp.where(ix > 1, pos + 1, 0), axis=1)
-    k = jnp.maximum(0, jnp.minimum((i0 - lim) // 4, i0 // 4))
-    c1 = k
-    bvr = i0 - 4 * k
-    bv = bvr >> 1
-    has_bv = bv > 0
+    with jax.named_scope("cost_runlen"):
+        nz = ix != 0
+        any_nz = jnp.any(nz, axis=1)
+        last = jnp.max(jnp.where(nz, pos, -1), axis=1)
+        i0 = jnp.where(any_nz, ((last + 2) >> 1) << 1, 0)
+        lim = jnp.max(jnp.where(ix > 1, pos + 1, 0), axis=1)
+        k = jnp.maximum(0, jnp.minimum((i0 - lim) // 4, i0 // 4))
+        c1 = k
+        bvr = i0 - 4 * k
+        bv = bvr >> 1
+        has_bv = bv > 0
 
     # count1 quad costs in both alignments (the region starts at 2bv mod 4)
     quad_pack = jnp.asarray(c["quad_pack"])
@@ -201,129 +205,141 @@ def _cost(ix, addr_in, band, c, hide=None):
                               quad_pack[None, None, :], 0), axis=-1)
         return (q & 255) + sb, (q >> 8) + sb
 
-    qe0, qe1 = quad_costs(ix.reshape(n, 144, 4))
-    qo0, qo1 = quad_costs(ix[:, 2:574].reshape(n, 143, 4))
-    qidx_e = jnp.arange(144, dtype=jnp.int32)
-    qidx_o = jnp.arange(143, dtype=jnp.int32)
-    first_e = bvr >> 2
-    first_o = (bvr - 2) >> 2
-    me = ((qidx_e[None, :] >= first_e[:, None])
-          & (qidx_e[None, :] < first_e[:, None] + c1[:, None]))
-    mo = ((qidx_o[None, :] >= first_o[:, None])
-          & (qidx_o[None, :] < first_o[:, None] + c1[:, None]))
-    even = (bvr & 3) == 0
-    sum0 = jnp.where(even, jnp.sum(jnp.where(me, qe0, 0), axis=1),
-                     jnp.sum(jnp.where(mo, qo0, 0), axis=1))
-    sum1 = jnp.where(even, jnp.sum(jnp.where(me, qe1, 0), axis=1),
-                     jnp.sum(jnp.where(mo, qo1, 0), axis=1))
-    cts = jnp.where(sum0 < sum1, 0, 1).astype(jnp.int32)
+    with jax.named_scope("cost_count1"):
+        qe0, qe1 = quad_costs(ix.reshape(n, 144, 4))
+        qo0, qo1 = quad_costs(ix[:, 2:574].reshape(n, 143, 4))
+        qidx_e = jnp.arange(144, dtype=jnp.int32)
+        qidx_o = jnp.arange(143, dtype=jnp.int32)
+        first_e = bvr >> 2
+        first_o = (bvr - 2) >> 2
+        me = ((qidx_e[None, :] >= first_e[:, None])
+              & (qidx_e[None, :] < first_e[:, None] + c1[:, None]))
+        mo = ((qidx_o[None, :] >= first_o[:, None])
+              & (qidx_o[None, :] < first_o[:, None] + c1[:, None]))
+        even = (bvr & 3) == 0
+        sum0 = jnp.where(even, jnp.sum(jnp.where(me, qe0, 0), axis=1),
+                         jnp.sum(jnp.where(mo, qo0, 0), axis=1))
+        sum1 = jnp.where(even, jnp.sum(jnp.where(me, qe1, 0), axis=1),
+                         jnp.sum(jnp.where(mo, qo1, 0), axis=1))
+        cts = jnp.where(sum0 < sum1, 0, 1).astype(jnp.int32)
 
-    # subdivide; addresses stay stale when big_values == 0
-    bandj = jnp.asarray(band)                                  # (23,)
-    scfb_anz = jnp.sum(bandj[None, :] < bvr[:, None], axis=1,
-                       dtype=jnp.int32)
-    kmax = jnp.sum(bandj[None, :] <= bvr[:, None], axis=1,
-                   dtype=jnp.int32) - 1
-    sd = jnp.asarray(c["subdv"])[jnp.clip(scfb_anz, 0, 22)]
-    tc0 = jnp.maximum(0, jnp.minimum(sd[:, 0], kmax - 1))
-    a1n = bandj[tc0 + 1]
-    kmax2 = kmax - (tc0 + 1)
-    tc1 = jnp.maximum(0, jnp.minimum(sd[:, 1], kmax2 - 1))
-    a2n = bandj[jnp.clip(tc0 + 1 + tc1 + 1, 0, 22)]
-    a1 = jnp.where(has_bv, a1n, addr_in[:, 0])
-    a2 = jnp.where(has_bv, a2n, addr_in[:, 1])
-    a3 = jnp.where(has_bv, bvr, addr_in[:, 2])
-    r0c = jnp.where(has_bv, tc0, 0)
-    r1c = jnp.where(has_bv, tc1, 0)
+    with jax.named_scope("cost_subdivide"):
+        # subdivide; addresses stay stale when big_values == 0
+        bandj = jnp.asarray(band)                              # (23,)
+        scfb_anz = jnp.sum(bandj[None, :] < bvr[:, None], axis=1,
+                           dtype=jnp.int32)
+        kmax = jnp.sum(bandj[None, :] <= bvr[:, None], axis=1,
+                       dtype=jnp.int32) - 1
+        sd = jnp.asarray(c["subdv"])[jnp.clip(scfb_anz, 0, 22)]
+        tc0 = jnp.maximum(0, jnp.minimum(sd[:, 0], kmax - 1))
+        a1n = bandj[tc0 + 1]
+        kmax2 = kmax - (tc0 + 1)
+        tc1 = jnp.maximum(0, jnp.minimum(sd[:, 1], kmax2 - 1))
+        a2n = bandj[jnp.clip(tc0 + 1 + tc1 + 1, 0, 22)]
+        a1 = jnp.where(has_bv, a1n, addr_in[:, 0])
+        a2 = jnp.where(has_bv, a2n, addr_in[:, 1])
+        a3 = jnp.where(has_bv, bvr, addr_in[:, 2])
+        r0c = jnp.where(has_bv, tc0, 0)
+        r1c = jnp.where(has_bv, tc1, 0)
 
-    # per-pair cost channels under the 4 representative tables
-    x = ix[:, 0::2]
-    y = ix[:, 1::2]
-    xc = jnp.minimum(x, 15)
-    yc = jnp.minimum(y, 15)
-    signs = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
-    nesc = (x > 14).astype(jnp.int32) + (y > 14).astype(jnp.int32)
-    pidx = xc * 16 + yc
-    # h_len of the 4 representative tables per pair, via one exact one-hot
-    # matmul (C,288,256)@(256,4) on the MXU — the old packed compare+reduce
-    # swept 256 int words per pair on the VPU and dominated _cost
-    pk4 = _onehot_rows(pidx, jnp.asarray(c["pair_tab"], jnp.float32),
-                       jnp.float32).astype(jnp.int32)          # (C,288,4)
-    ch13 = pk4[..., 0] + signs
-    ch15 = pk4[..., 1] + signs
-    ch16 = pk4[..., 2] + signs
-    ch24 = pk4[..., 3] + signs
+    with jax.named_scope("cost_pair"):
+        # per-pair cost channels under the 4 representative tables
+        x = ix[:, 0::2]
+        y = ix[:, 1::2]
+        xc = jnp.minimum(x, 15)
+        yc = jnp.minimum(y, 15)
+        signs = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
+        nesc = (x > 14).astype(jnp.int32) + (y > 14).astype(jnp.int32)
+        pidx = xc * 16 + yc
+        # h_len of the 4 representative tables per pair, via one exact
+        # one-hot matmul (C,288,256)@(256,4) on the MXU — the old packed
+        # compare+reduce swept 256 int words per pair on the VPU and
+        # dominated _cost
+        pk4 = _onehot_rows(pidx, jnp.asarray(c["pair_tab"], jnp.float32),
+                           jnp.float32).astype(jnp.int32)      # (C,288,4)
+        ch13 = pk4[..., 0] + signs
+        ch15 = pk4[..., 1] + signs
+        ch16 = pk4[..., 2] + signs
+        ch24 = pk4[..., 3] + signs
 
-    ppos = pos[0::2]
-    starts = jnp.stack([jnp.zeros_like(a1), a1, a2], axis=-1)  # (C,3)
-    ends = jnp.stack([a1, a2, bvr], axis=-1)
-    pm = ((ppos[None, None, :] >= starts[..., None])
-          & (ppos[None, None, :] < ends[..., None]))           # (C,3,288)
+        ppos = pos[0::2]
+        starts = jnp.stack([jnp.zeros_like(a1), a1, a2], axis=-1)  # (C,3)
+        ends = jnp.stack([a1, a2, bvr], axis=-1)
+        pm = ((ppos[None, None, :] >= starts[..., None])
+              & (ppos[None, None, :] < ends[..., None]))       # (C,3,288)
 
     def rsum(chan):
         return jnp.sum(jnp.where(pm, chan[:, None, :], 0), axis=-1)
 
-    rc13 = rsum(ch13)
-    rc15 = rsum(ch15)
-    rc16 = rsum(ch16)
-    rc24 = rsum(ch24)
-    rnesc = rsum(nesc)
+    with jax.named_scope("cost_regions"):
+        rc13 = rsum(ch13)
+        rc15 = rsum(ch15)
+        rc16 = rsum(ch16)
+        rc24 = rsum(ch24)
+        rnesc = rsum(nesc)
 
-    sm = ((pos[None, None, :] >= starts[..., None])
-          & (pos[None, None, :] < ends[..., None]))            # (C,3,576)
-    m = jnp.max(jnp.where(sm, ix[:, None, :], 0), axis=-1)     # (C,3)
+        sm = ((pos[None, None, :] >= starts[..., None])
+              & (pos[None, None, :] < ends[..., None]))        # (C,3,576)
+        m = jnp.max(jnp.where(sm, ix[:, None, :], 0), axis=-1)  # (C,3)
 
-    linmax = jnp.asarray(c["linmax"])
-    linbits = jnp.asarray(c["linbits"])
-    nl_choice = jnp.where(rc15 <= rc13, 15, 13)
-    nl_cost = jnp.where(rc15 <= rc13, rc15, rc13)
-    ixm = m - 15
-    t16 = 15 + jnp.sum(linmax[None, None, 15:24] < ixm[..., None],
-                       axis=-1, dtype=jnp.int32)
-    t24 = 24 + jnp.sum(linmax[None, None, 24:32] < ixm[..., None],
-                       axis=-1, dtype=jnp.int32)
-    cost16 = jnp.where(t16 == 15, rc15,
-                       rc16 + linbits[jnp.clip(t16, 0, 31)] * rnesc)
-    cost24 = rc24 + linbits[jnp.clip(t24, 24, 31)] * rnesc
-    esc_choice = jnp.where(cost24 < cost16, t24, t16)
-    esc_cost = jnp.where(cost24 < cost16, cost24, cost16)
+    with jax.named_scope("cost_select"):
+        linmax = jnp.asarray(c["linmax"])
+        linbits = jnp.asarray(c["linbits"])
+        nl_choice = jnp.where(rc15 <= rc13, 15, 13)
+        nl_cost = jnp.where(rc15 <= rc13, rc15, rc13)
+        ixm = m - 15
+        t16 = 15 + jnp.sum(linmax[None, None, 15:24] < ixm[..., None],
+                           axis=-1, dtype=jnp.int32)
+        t24 = 24 + jnp.sum(linmax[None, None, 24:32] < ixm[..., None],
+                           axis=-1, dtype=jnp.int32)
+        cost16 = jnp.where(t16 == 15, rc15,
+                           rc16 + linbits[jnp.clip(t16, 0, 31)] * rnesc)
+        cost24 = rc24 + linbits[jnp.clip(t24, 24, 31)] * rnesc
+        esc_choice = jnp.where(cost24 < cost16, t24, t16)
+        esc_cost = jnp.where(cost24 < cost16, cost24, cost16)
 
-    choice = jnp.where(m == 0, 0, jnp.where(m < 15, nl_choice, esc_choice))
-    rcost = jnp.where(m == 0, 0, jnp.where(m < 15, nl_cost, esc_cost))
-    active = jnp.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
-    choice = jnp.where(active, choice, 0)
+        choice = jnp.where(m == 0, 0,
+                           jnp.where(m < 15, nl_choice, esc_choice))
+        rcost = jnp.where(m == 0, 0, jnp.where(m < 15, nl_cost, esc_cost))
+        active = jnp.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
+        choice = jnp.where(active, choice, 0)
 
     if hide is not None:
-        hide_bits, hide_cur, hide_len = hide
-        # cursor index per region: advances over nonzero choices within the
-        # granule (transform preserves nonzero-ness, so pre-transform counts)
-        nz = choice > 0
-        inc0 = nz[:, 0].astype(jnp.int32)
-        inc1 = inc0 + nz[:, 1].astype(jnp.int32)
-        idx = jnp.stack([hide_cur, hide_cur + inc0, hide_cur + inc1],
-                        axis=-1)                               # (C,3)
-        inb = idx < hide_len
-        bit = jnp.take(hide_bits, jnp.clip(idx, 0, hide_bits.shape[0] - 1)
-                       ).astype(jnp.int32)
-        tr = jnp.asarray(c["transform"])
-        t_new = tr[jnp.clip(choice, 0, 31), jnp.clip(bit, 0, 1)]
-        choice = jnp.where(nz & inb, t_new, choice)
-        # re-cost every region under its EMITTED table: the 18 emitted-table
-        # h_len channels per pair come from one exact one-hot matmul
-        # (C,288,256)@(256,18); the per-pair channel select is a small
-        # compare+reduce (no take_along_axis — TPU lowers it to scalar loads)
-        emit_slot = jnp.asarray(c["emit_slot"])
-        t_pp = jnp.sum(jnp.where(pm, choice[..., None], 0), axis=1)  # (C,288)
-        oht = (t_pp[..., None] == jnp.arange(32, dtype=jnp.int32))
-        slot_pp = jnp.sum(oht * emit_slot[None, None, :], axis=-1)
-        hl18 = _onehot_rows(pidx, jnp.asarray(c["hide_tab"], jnp.float32),
-                            jnp.float32).astype(jnp.int32)     # (C,288,18)
-        ohs = (slot_pp[..., None] == jnp.arange(18, dtype=jnp.int32))
-        h_pp = jnp.sum(jnp.where(ohs, hl18, 0), axis=-1)
-        rc_t = rsum(h_pp + signs)                              # (C,3)
-        slot_r = emit_slot[jnp.clip(choice, 0, 31)]
-        cost_t = rc_t + jnp.asarray(c["emit_linbits"])[slot_r] * rnesc
-        rcost = cost_t
+        with jax.named_scope("cost_hide"):
+            hide_bits, hide_cur, hide_len = hide
+            # cursor index per region: advances over nonzero choices within
+            # the granule (transform preserves nonzero-ness, so pre-transform
+            # counts)
+            nz = choice > 0
+            inc0 = nz[:, 0].astype(jnp.int32)
+            inc1 = inc0 + nz[:, 1].astype(jnp.int32)
+            idx = jnp.stack([hide_cur, hide_cur + inc0, hide_cur + inc1],
+                            axis=-1)                           # (C,3)
+            inb = idx < hide_len
+            bit = jnp.take(hide_bits,
+                           jnp.clip(idx, 0, hide_bits.shape[0] - 1)
+                           ).astype(jnp.int32)
+            tr = jnp.asarray(c["transform"])
+            t_new = tr[jnp.clip(choice, 0, 31), jnp.clip(bit, 0, 1)]
+            choice = jnp.where(nz & inb, t_new, choice)
+            # re-cost every region under its EMITTED table: the 18
+            # emitted-table h_len channels per pair come from one exact
+            # one-hot matmul (C,288,256)@(256,18); the per-pair channel
+            # select is a small compare+reduce (no take_along_axis — TPU
+            # lowers it to scalar loads)
+            emit_slot = jnp.asarray(c["emit_slot"])
+            t_pp = jnp.sum(jnp.where(pm, choice[..., None], 0),
+                           axis=1)                             # (C,288)
+            oht = (t_pp[..., None] == jnp.arange(32, dtype=jnp.int32))
+            slot_pp = jnp.sum(oht * emit_slot[None, None, :], axis=-1)
+            hl18 = _onehot_rows(pidx, jnp.asarray(c["hide_tab"], jnp.float32),
+                                jnp.float32).astype(jnp.int32)  # (C,288,18)
+            ohs = (slot_pp[..., None] == jnp.arange(18, dtype=jnp.int32))
+            h_pp = jnp.sum(jnp.where(ohs, hl18, 0), axis=-1)
+            rc_t = rsum(h_pp + signs)                          # (C,3)
+            slot_r = emit_slot[jnp.clip(choice, 0, 31)]
+            cost_t = rc_t + jnp.asarray(c["emit_linbits"])[slot_r] * rnesc
+            rcost = cost_t
 
     rcost = jnp.where(active & (choice != 0), rcost, 0)
 
