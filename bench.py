@@ -103,11 +103,10 @@ def bench_decode_fixture_batch():
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
     from mp3stego_tpu.parallel import decode_files_batched
-    from mp3stego_tpu.parallel.batch_decode import (_decode_batch,
-                                                    decode_batch_device,
-                                                    prepare_batch)
+    from mp3stego_tpu.parallel.batch_decode import (_decode_batch_concat,
+                                                    prepare_batch_concat)
     from mp3stego_tpu.utils import calibrate
-    from mp3stego_tpu.utils.transfer import fetch_pieces
+    from mp3stego_tpu.utils.transfer import fetch_pieces, put_pieces
 
     with open(_fixture_path(), "rb") as f:
         data = f.read()
@@ -156,9 +155,10 @@ def bench_decode_fixture_batch():
     def compute_only():
         preps = list(pool.map(
             lambda _: dp.host_prepare(dh.parse_mp3(data, 0)), range(N_FILES)))
-        batch = prepare_batch(preps)
-        out = _decode_batch({k: batch[k] for k in dp.ALL_KEYS},
-                            dtype_name="float32")
+        batch = prepare_batch_concat(preps)
+        out = _decode_batch_concat({k: batch[k] for k in dp.ALL_KEYS},
+                                   num_files=batch["num_files"],
+                                   dtype_name="float32")
         jax.block_until_ready(out)
 
     rt_comp = audio / best_of(compute_only)
@@ -177,14 +177,19 @@ def bench_decode_fixture_batch():
     # the whole program, transfers 2 bytes) instead. The warm pass also
     # compiles the single-shot 64-file i16 program, whose shape differs
     # from the chunked pipeline runs above.
-    warm = prepare_batch([dp.host_prepare(dh.parse_mp3(data, 0))
-                          for _ in range(N_FILES)])
-    fetch_pieces([decode_batch_device(warm, None, "float32", to_i16=True)])
+    def concat_i16(batch):
+        args = {k: put_pieces(batch[k]) for k in dp.ALL_KEYS}
+        return _decode_batch_concat(args, num_files=batch["num_files"],
+                                    dtype_name="float32", to_i16=True)
+
+    warm = prepare_batch_concat([dp.host_prepare(dh.parse_mp3(data, 0))
+                                 for _ in range(N_FILES)])
+    fetch_pieces([concat_i16(warm)])
     t0 = time.time()
     preps = [dp.host_prepare(dh.parse_mp3(data, 0)) for _ in range(N_FILES)]
-    batch = prepare_batch(preps)
+    batch = prepare_batch_concat(preps)
     t1 = time.time()
-    dev = decode_batch_device(batch, None, "float32", to_i16=True)
+    dev = concat_i16(batch)
     np.asarray(dev[0, 0, 0, 0])   # sync: whole program done, 2-byte fetch
     t2 = time.time()
     pcm = fetch_pieces([dev])[0]
@@ -271,7 +276,8 @@ def bench_decode_corpus_device():
 
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
-    from mp3stego_tpu.parallel.batch_decode import prepare_batch
+    from mp3stego_tpu.parallel.batch_decode import (_decode_batch_concat,
+                                                    prepare_batch_concat)
     from mp3stego_tpu.utils import calibrate
 
     if not DEVICE_OK:
@@ -288,16 +294,17 @@ def bench_decode_corpus_device():
             parsed = dh.parse_mp3(f.read(), 0)
         preps.append(dp.host_prepare(parsed))
         g_total += parsed.num_frames * 2
-    batch = prepare_batch(preps)
+    batch = prepare_batch_concat(preps)
+    n_files = batch["num_files"]
     args = {k: jax.device_put(batch[k]) for k in dp.ALL_KEYS}
 
     @functools.partial(jax.jit, static_argnames=("dn",))
     def blocks_only(a, dn="float32"):
-        return jax.vmap(lambda p: dp.granule_blocks(p, jnp.dtype(dn)))(a)
+        return dp.granule_blocks(a, jnp.dtype(dn))   # concat: no file axis
 
-    @functools.partial(jax.jit, static_argnames=("dn",))
-    def full(a, dn="float32"):
-        return jax.vmap(lambda p: dp.decode_granules_impl(p, dn))(a)
+    def full(a):
+        return _decode_batch_concat(a, num_files=n_files,
+                                    dtype_name="float32")
 
     def rate(f, dispatches=4):
         out = f(args)

@@ -72,6 +72,110 @@ def _decode_batch(args, dtype_name="float32"):
     return jax.vmap(fn)(args)
 
 
+def prepare_batch_concat(preps: list, t_pad_to: int = 1) -> dict:
+    """Stack per-file host_prepare outputs as ONE concatenated granule axis.
+
+    The granule half of the decode plane is granule-local, so a batch of
+    files is just a longer granule axis to it — no file axis, no vmap. This
+    matters on TPU: under ``vmap``, the plane's exception scatter and
+    reorder gather (whose indices are per-file tensors) lower to a while
+    loop over files whose every iteration dynamic-slices and re-writes the
+    FULL batch plane — measured ~40% of device plane time at 16 files,
+    scaling O(F^2). On the concat layout they are one scatter/gather.
+    Synthesis (the only cross-granule stage) still runs per file — the
+    concat decode reshapes to a file axis only for that half.
+
+    Requires every file to share the constant tables (same samplerate and
+    band-mode — callers group by samplerate). Returns the concat prep with
+    ``lengths`` / ``num_files`` / ``t_max`` bookkeeping keys.
+    """
+    if not preps:
+        raise ValueError("prepare_batch_concat: no files to batch")
+    n = len(preps)
+    t_max = max(p["raw_i8"].shape[1] for p in preps)
+    t_max += (-t_max) % max(1, t_pad_to)
+
+    batch = {}
+    for k in dp.T_AXIS1_KEYS:
+        proto = preps[0][k]
+        shape = list(proto.shape)
+        shape[1] = n * t_max
+        out = np.zeros(shape, dtype=proto.dtype)
+        for i, p in enumerate(preps):
+            a = p[k]
+            idx = [slice(None)] * a.ndim
+            idx[1] = slice(i * t_max, i * t_max + a.shape[1])
+            out[tuple(idx)] = a
+        batch[k] = out
+    has_is = any(p["is_mask"].any() for p in preps)
+    for k in dp.T_AXIS0_KEYS:
+        proto = preps[0][k]
+        if not has_is and k in ("is_pos", "is_tab"):
+            # static no-IS contract: empty tensors compile the intensity
+            # overlay away (decode_plane._stereo_stage)
+            batch[k] = np.zeros((0,) + proto.shape[1:], proto.dtype)
+            continue
+        shape = list(proto.shape)
+        shape[0] = n * t_max
+        out = np.zeros(shape, dtype=proto.dtype)
+        for i, p in enumerate(preps):
+            a = p[k]
+            out[i * t_max: i * t_max + a.shape[0]] = a
+        batch[k] = out
+    if not has_is:
+        batch["is_pos"] = np.zeros((0, 4, 22), preps[0]["is_pos"].dtype)
+    # exception lists: shift each file's granule index into the concat axis
+    # (the existing single-file scatter path then applies verbatim)
+    exc = {k: [] for k in dp.EXC_KEYS}
+    for i, p in enumerate(preps):
+        t_shift = np.where(p["exc_t"] < dp._EXC_PAD_T,
+                           p["exc_t"].astype(np.int64) + i * t_max,
+                           dp._EXC_PAD_T).astype(np.int32)
+        exc["exc_t"].append(t_shift)
+        for k in ("exc_ch", "exc_s", "exc_val"):
+            exc[k].append(p[k])
+    n_exc = sum(len(a) for a in exc["exc_t"])
+    for k in dp.EXC_KEYS:
+        if n_exc:
+            batch[k] = np.concatenate(exc[k])
+        else:  # one padded entry keeps the scatter shape nonzero
+            fill = dp._EXC_PAD_T if k == "exc_t" else 0
+            batch[k] = np.full(1, fill, dtype=preps[0][k].dtype)
+    for k in dp.CONST_KEYS:
+        for p in preps[1:]:
+            if not np.array_equal(p[k], preps[0][k]):
+                raise ValueError(
+                    f"prepare_batch_concat: files disagree on constant {k} "
+                    "(mixed samplerates must be grouped per batch)")
+        batch[k] = preps[0][k]
+    batch["lengths"] = np.array([p["raw_i8"].shape[1] for p in preps])
+    batch["num_files"] = n
+    batch["t_max"] = t_max
+    return batch
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_files", "dtype_name", "to_i16",
+                                    "wrap"))
+def _decode_batch_concat(args, num_files, dtype_name="float32",
+                         to_i16=False, wrap=False):
+    """Concat-layout batch decode: granule half over one long granule axis,
+    synthesis vmapped per file (see prepare_batch_concat). Output matches
+    the stacked path: (files, ch, T, 576)."""
+    dtype = jnp.dtype(dtype_name)
+    blk = dp.granule_blocks(args, dtype)            # (2, F*T, 32, 36)
+    ch, ft = blk.shape[0], blk.shape[1]
+    t = ft // num_files
+    blkf = blk.reshape(ch, num_files, t, 32, 36).transpose(1, 0, 2, 3, 4)
+    pcm = jax.vmap(lambda b: dp.synth_from_blocks(b, dtype)[0])(blkf)
+    if to_i16:
+        x = pcm * jnp.float32(32767)
+        if not wrap:
+            x = jnp.clip(x, jnp.float32(-32768), jnp.float32(32767))
+        return x.astype(jnp.int32).astype(jnp.int16)
+    return pcm
+
+
 @functools.partial(jax.jit, static_argnames=("wrap",))
 def _decode_batch_i16(args, wrap=False):
     """float32 plane + the WAV int16 conversion ON DEVICE (halves the batch
@@ -220,14 +324,65 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
             "MP3STEGO_TPU_BATCH_CHUNK_FILES", "16"))
     t_bucket = 32
 
-    def prep(ms):
-        return prepare_batch([dp.host_prepare(m) for m in ms],
-                             t_pad_to=t_bucket)
-
     def slim(dev, ms):
         # all-mono chunk: drop the dead channel ON DEVICE before the fetch
         # (halves the d2h bytes — the link is this path's binding resource)
         return dev[:, :1] if all(m.header.channels == 1 for m in ms) else dev
+
+    if mesh is None:
+        # concat layout (no file axis in the granule half — see
+        # prepare_batch_concat); constants must match within a dispatch, so
+        # chunks group by samplerate. Output order is restored per index.
+        from mp3stego_tpu.utils.transfer import put_pieces
+
+        def prep(ms):
+            return prepare_batch_concat([dp.host_prepare(m) for m in ms],
+                                        t_pad_to=t_bucket)
+
+        def dispatch(batch, ms):
+            args = {k: put_pieces(batch[k]) for k in dp.ALL_KEYS}
+            out = _decode_batch_concat(args, num_files=batch["num_files"],
+                                       dtype_name=dtype, to_i16=to_i16,
+                                       wrap=T.ref_pcm_wrap() and to_i16)
+            return slim(out, ms)
+
+        by_sr = {}
+        for idx, m in enumerate(metas):
+            by_sr.setdefault(m.header.sr_idx, []).append(idx)
+        chunks = []          # lists of original indices
+        step = chunk_files if chunk_files > 0 else len(metas)
+        for idxs in by_sr.values():
+            chunks += [idxs[i:i + step] for i in range(0, len(idxs), step)]
+        results = [None] * len(metas)
+
+        def finish(dev, batch, idxs):
+            planes = fetch_pieces([dev])[0]
+            out = _unpack_chunk(planes, batch, [metas[i] for i in idxs])
+            for i, pcm in zip(idxs, out):
+                results[i] = pcm
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, [metas[i] for i in chunks[0]])
+            pending = None   # (dev ref, batch, idxs) — dispatched, unfetched
+            for k, idxs in enumerate(chunks):
+                batch = fut.result()
+                if k + 1 < len(chunks):
+                    fut = pool.submit(prep,
+                                      [metas[i] for i in chunks[k + 1]])
+                # dispatch chunk k BEFORE fetching chunk k-1: jax dispatch
+                # is async, so chunk k's upload+compute runs on the device
+                # while the host link drains chunk k-1's PCM (two-deep
+                # software pipeline: prep(k+1) ∥ compute(k) ∥ fetch(k-1))
+                dev = dispatch(batch, [metas[i] for i in idxs])
+                if pending is not None:
+                    finish(*pending)
+                pending = (dev, batch, idxs)
+            finish(*pending)
+        return results
+
+    def prep(ms):
+        return prepare_batch([dp.host_prepare(m) for m in ms],
+                             t_pad_to=t_bucket)
 
     if chunk_files <= 0 or len(metas) <= chunk_files:
         batch = prep(metas)
@@ -245,10 +400,6 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
             batch = fut.result()
             if k + 1 < len(chunks):
                 fut = pool.submit(prep, chunks[k + 1])
-            # dispatch chunk k BEFORE fetching chunk k-1: jax dispatch is
-            # async, so chunk k's upload+compute runs on the device while the
-            # host link drains chunk k-1's PCM (two-deep software pipeline:
-            # prep(k+1) ∥ compute(k) ∥ fetch(k-1))
             dev = slim(decode_batch_device(batch, mesh, dtype, to_i16=to_i16),
                        ms)
             if pending is not None:

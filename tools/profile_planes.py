@@ -189,11 +189,11 @@ def profile_decode_plane(n_files=4, dispatches=3):
     """Utilization table of the corpus-scale decode plane (requantize ->
     stereo -> reorder/alias -> IMDCT -> synthesis), resident inputs."""
     import jax
-    import jax.numpy as jnp
 
     from mp3stego_tpu.bitstream import decoder_host as dh
     from mp3stego_tpu.ops import decode_plane as dp
-    from mp3stego_tpu.parallel.batch_decode import prepare_batch
+    from mp3stego_tpu.parallel.batch_decode import (_decode_batch_concat,
+                                                    prepare_batch_concat)
 
     preps = []
     g_total = 0
@@ -202,18 +202,15 @@ def profile_decode_plane(n_files=4, dispatches=3):
             parsed = dh.parse_mp3(f.read(), 0)
         preps.append(dp.host_prepare(parsed))
         g_total += parsed.num_frames * 2
-    batch = prepare_batch(preps)
+    batch = prepare_batch_concat(preps)
     args = {k: jax.device_put(batch[k]) for k in dp.ALL_KEYS}
 
-    @functools.partial(jax.jit, static_argnames=("dn",))
-    def full(a, dn="float32"):
-        return jax.vmap(lambda p: dp.decode_granules_impl(p, dn))(a)
+    def full(a):
+        return _decode_batch_concat(a, num_files=batch["num_files"],
+                                    dtype_name="float32")
 
-    # XLA re-rolls the FIR's 16 unrolled taps into a while loop whose body
-    # ops carry no scope metadata — the program's only rolled loop, so the
-    # no-scope while/DUS/dynamic-slice time is the FIR's
-    table, untraced_s, runs = _trace_stage_table(
-        full, args, DECODE_STAGES, dispatches, rolled_stage="synth_fir")
+    table, untraced_s, runs = _trace_stage_table(full, args, DECODE_STAGES,
+                                                 dispatches)
     rec = _finish(table, USEFUL_DECODE, g_total, "stereo granules")
     rec["summary"]["granules_per_dispatch"] = g_total
     rec["summary"]["untraced_ms"] = round(untraced_s * 1e3, 2)
