@@ -19,9 +19,15 @@ frames whose output is discarded, and the results are byte-identical to the
 whole-file path (pinned by tests/test_streaming.py). MPEG-2/2.5 (LSF)
 streams work too: windows are counted in REAL frames (576 samples each) and
 every window re-derives its own virtual-frame packing. Peak memory is
-O(chunk): ~(chunk+10) * 9.2 kB of parse planes + chunk * 4.6 kB of PCM —
-about 60 MB at the default chunk of 4096 frames (~107 s of 44.1 kHz audio) —
-independent of file length (the input rides an mmap).
+O(chunk): ~(chunk+10) * 9.2 kB of parse planes (raw_samples int32 dominates
+at 4.6 kB/frame) + chunk * 4.6 kB of int16 PCM, roughly twice over across
+the parse/marshal/free cycle because the import-time mallopt tuning keeps
+freed pages on the heap — measured +93 MB peak RSS over import baseline at
+the default chunk of 1024 frames (~27 s of 44.1 kHz audio) on a 30-minute
+stream, independent of file length (the input rides an mmap and consumed
+pages are madvise-dropped, mirroring the encode twin). The window re-decode
+overhead is ~1% (10 warm-up frames per 1024); chunk 4096 is ~9% faster on
+short-frame streams but peaks ~+215 MB.
 """
 
 import mmap
@@ -37,13 +43,13 @@ _WARMUP = dh.NUM_PREV_FRAMES + 1
 
 
 def decode_file_streaming(file_path: str, wav_path: str,
-                          chunk_frames: int = 4096,
+                          chunk_frames: int = 1024,
                           progress_cb=None) -> dict:
     """Decode an MP3 file to WAV in O(chunk) memory; output bytes identical
     to the whole-file ``Decoder`` float64 path.
 
-    :param chunk_frames: frames decoded per window (default 4096 ~ 107 s of
-        44.1 kHz audio ~ 60 MB peak).
+    :param chunk_frames: frames decoded per window (default 1024 ~ 27 s of
+        44.1 kHz audio ~ +93 MB peak RSS; ~1% warm-up re-decode overhead).
     :param progress_cb: optional ``cb(frames_done, frames_total)``.
     :return: dict with ``bitrate`` (kbps), ``num_frames``, ``stego_bits``
         (the hidden-bit string, so reveal works without a second pass).
@@ -65,7 +71,9 @@ def decode_file_streaming(file_path: str, wav_path: str,
     total = len(frames)
     if total == 0:
         raise ValueError(f"{file_path}: no MP3 frames found")
-    offsets = [fr[0] for fr in frames]
+    offsets = np.fromiter((fr[0] for fr in frames), np.int64, total)
+    first_size = frames[0][2]
+    del frames          # ~150 B/frame of tuples; hours-long files add up
     sr = first_h.sampling_rate
     channels = first_h.channels
     lsf = first_h.mpeg_version != 1
@@ -74,7 +82,7 @@ def decode_file_streaming(file_path: str, wav_path: str,
     # Xing/Info/VBRI tag frame: window 0's parse drops its silence inside
     # _finish_inter; the WAV header must account for it up front
     from mp3stego_tpu.bitstream import vbr
-    tag = vbr.parse_vbr_tag(bytes(data[offset:offset + frames[0][2]]), 0)
+    tag = vbr.parse_vbr_tag(bytes(data[offset:offset + first_size]), 0)
     skip = 1 if (tag is not None and not vbr.keep_tag_frame()) else 0
 
     n_samples = (total - skip + (1 if dup else 0)) * spf
@@ -86,12 +94,21 @@ def decode_file_streaming(file_path: str, wav_path: str,
         while f0 < total:
             f1 = min(total, f0 + chunk_frames)
             w0 = max(0, f0 - _WARMUP)
-            start = offsets[w0]
+            start = int(offsets[w0])
             if f1 == total:
                 stop = end_byte if not dup else len(data)
             else:
-                stop = offsets[f1]
+                stop = int(offsets[f1])
             window = bytes(data[start:stop])
+            if isinstance(data, mmap.mmap) and start > 0:
+                # drop consumed input pages (the encode twin does the same
+                # on its WAV memmap): without this the whole MP3's pages
+                # accumulate in RSS by end of stream
+                aligned = (start // mmap.PAGESIZE) * mmap.PAGESIZE
+                try:
+                    data.madvise(mmap.MADV_DONTNEED, 0, aligned)
+                except (OSError, ValueError, AttributeError):
+                    pass
             p = dh.parse_mp3(window, 0)
             warm = f0 - w0
             got = p.lsf_granules if lsf else p.num_frames

@@ -630,6 +630,31 @@ def _onehot_rows(idx, table, dtype):
     return out.reshape(idx.shape + table.shape[1:])
 
 
+def _onehot_rows_2l(idx, table, dtype, lo: int = 16):
+    """``table[idx]`` as a TWO-STAGE exact one-hot select: a hi-part one-hot
+    matmul picks a ``lo``-row block, a lo-part one-hot mul+reduce folds
+    within it. Building the flat ``rows``-way one-hot is VPU-compare-bound;
+    the two stages cost ~(rows/lo + lo) compares per element instead
+    (measured ~1.5x on 129-256-row tables). Exact for any payload: every
+    product carries a 0/1 factor and each reduction has one nonzero term."""
+    rows = table.shape[0]
+    nhi = -(-rows // lo)
+    flat = table.reshape(rows, -1)
+    if nhi * lo != rows:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((nhi * lo - rows, flat.shape[1]), flat.dtype)],
+            axis=0)
+    ohhi = ((idx // lo)[..., None]
+            == jnp.arange(nhi, dtype=jnp.int32)).astype(dtype)
+    tmp = jnp.einsum("...r,rj->...j", ohhi, flat.reshape(nhi, -1),
+                     preferred_element_type=dtype, precision=_HIGHEST)
+    tmp = tmp.reshape(idx.shape + (lo, flat.shape[1]))
+    ohlo = ((idx % lo)[..., None]
+            == jnp.arange(lo, dtype=jnp.int32)).astype(dtype)
+    out = jnp.sum(tmp * ohlo[..., None], axis=-2)
+    return out.reshape(idx.shape + table.shape[1:])
+
+
 def _pow2_int(e, dtype):
     """Exact 2**e for integer-valued e within the normal range of ``dtype``,
     built by writing the exponent bits directly (no transcendental, no LUT
@@ -744,7 +769,8 @@ def _requantize_stage(prep, dtype):
         sign = jnp.where(raw < 0, dtype.type(-1.0), dtype.type(1.0))
         absx = jnp.abs(raw)
         a = jnp.where(absx <= 128,
-                      _onehot_rows(jnp.minimum(absx, 128), pow43[:129], dtype),
+                      _onehot_rows_2l(jnp.minimum(absx, 128), pow43[:129],
+                                      dtype),
                       pow43_big(absx))
     else:
         # skip densifying int32 samples entirely: |x|^(4/3) comes straight
@@ -752,7 +778,7 @@ def _requantize_stage(prep, dtype):
         # fix-ups scatter into the float result
         r32 = prep["raw_i8"].astype(jnp.int32)
         sign = jnp.where(r32 < 0, dtype.type(-1.0), dtype.type(1.0))
-        a = _onehot_rows(jnp.abs(r32), pow43[:129], dtype)
+        a = _onehot_rows_2l(jnp.abs(r32), pow43[:129], dtype)
         ev = jnp.abs(prep["exc_val"].astype(jnp.int32))
         a_exc = jnp.where(ev <= 128, pow43[jnp.minimum(ev, 128)],
                           pow43_big(ev))

@@ -86,6 +86,11 @@ def _sconsts():
     pair_tab = np.stack([hlen[13].reshape(-1), hlen[15].reshape(-1),
                          hlen[16].reshape(-1), hlen[24].reshape(-1)],
                         axis=1)                                # (256, 4)
+    # two-stage factorization of the same table: x -> the 64 (y, table)
+    # channels. h[x*16+y, t] = (onehot_x @ pair_tab_x)[y*4 + t]: the 256-way
+    # one-hot build was compare-bound on the VPU; two 16-way one-hots do
+    # ~2x fewer compares for the same exact select (measured 1.5x on-chip)
+    pair_tab_x = pair_tab.reshape(16, 16 * 4)                  # (16, 64)
     quad_pack = (hlen[32, 0, :16] | (hlen[33, 0, :16] << 8))   # (16,)
     # hide mode: pair h_len channels for EVERY table a transform can emit.
     # Pre-transform choices are restricted to {13, 15} (the reference's
@@ -115,7 +120,8 @@ def _sconsts():
         steptabi=steptabi.astype(np.int64),
         steptab_f32=steptab.astype(np.float32),
         th=th, th_blocks=th_blocks, th_coarse=th_coarse,
-        pair_pack=pair_pack, pair_tab=pair_tab, quad_pack=quad_pack,
+        pair_pack=pair_pack, pair_tab=pair_tab, pair_tab_x=pair_tab_x,
+        quad_pack=quad_pack,
         hide_packs=np.stack(packs),                            # (5, 256)
         hide_tab=hide_tab,                                     # (256, 18)
         emit_linbits=emit_linbits, emit_slot=emit_slot,
@@ -195,14 +201,14 @@ def _cost(ix, addr_in, band, c, hide=None):
     # count1 quad costs in both alignments (the region starts at 2bv mod 4)
     quad_pack = jnp.asarray(c["quad_pack"])
 
-    qvals = jnp.arange(16, dtype=jnp.int32)
-
     def quad_costs(vals):
+        from mp3stego_tpu.ops.decode_plane import _onehot_rows_2l
         sb = jnp.sum((vals != 0).astype(jnp.int32), axis=-1)
         p = jnp.clip(vals[..., 0] + (vals[..., 1] << 1)
                      + (vals[..., 2] << 2) + (vals[..., 3] << 3), 0, 15)
-        q = jnp.sum(jnp.where(p[..., None] == qvals[None, None, :],
-                              quad_pack[None, None, :], 0), axis=-1)
+        # packed (len32 | len33<<8) select; values < 2^16 are exact in f32
+        q = _onehot_rows_2l(p, quad_pack.astype(jnp.float32),
+                            jnp.float32, lo=4).astype(jnp.int32)
         return (q & 255) + sb, (q >> 8) + sb
 
     with jax.named_scope("cost_count1"):
@@ -251,12 +257,23 @@ def _cost(ix, addr_in, band, c, hide=None):
         signs = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
         nesc = (x > 14).astype(jnp.int32) + (y > 14).astype(jnp.int32)
         pidx = xc * 16 + yc
-        # h_len of the 4 representative tables per pair, via one exact
-        # one-hot matmul (C,288,256)@(256,4) on the MXU — the old packed
-        # compare+reduce swept 256 int words per pair on the VPU and
-        # dominated _cost
-        pk4 = _onehot_rows(pidx, jnp.asarray(c["pair_tab"], jnp.float32),
-                           jnp.float32).astype(jnp.int32)      # (C,288,4)
+        # h_len of the 4 representative tables per pair, as an exact
+        # TWO-STAGE one-hot select: onehot(x) picks the (16, y*4+t) row on
+        # the MXU, onehot(y) folds the y axis on the VPU. Building two
+        # 16-way one-hots costs ~2x fewer VPU compares than the flat
+        # 256-way one-hot (which itself replaced a packed compare+reduce
+        # sweeping 256 int words per pair); exact because every product has
+        # a 0/1 factor and each sum has one nonzero term
+        ohx = (xc[..., None] == jnp.arange(16, dtype=jnp.int32)
+               ).astype(jnp.float32)                           # (C,288,16)
+        tmp = jnp.einsum("cpx,xz->cpz", ohx,
+                         jnp.asarray(c["pair_tab_x"], jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=_HIGHEST).reshape(n, 288, 16, 4)
+        ohy = (yc[..., None] == jnp.arange(16, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        pk4 = jnp.sum(tmp * ohy[..., None], axis=2
+                      ).astype(jnp.int32)                      # (C,288,4)
         ch13 = pk4[..., 0] + signs
         ch15 = pk4[..., 1] + signs
         ch16 = pk4[..., 2] + signs
