@@ -213,10 +213,15 @@ def bench_decode_fixture_batch():
     # both engines pay it — so the measured side is h2d+compute + fetch.
     # "mispredict" flags when the model's engine choice differs from what
     # the measured times would pick.
+    # the same analytic formula calibrate.batch_decode_engine uses (the
+    # transfer terms scaled by the probe-measured overlap factor): this
+    # record validates the ANALYTIC fallback — the empirical linear model
+    # is recorded separately below and never feeds predicted_s
     predicted_s = (probe.device_overhead_s
-                   + total_g * probe.h2d_bpg / (probe.link_out_mbps * 1e6)
-                   + total_g / probe.device_gps
-                   + total_g * probe.d2h_bpg / (probe.link_in_mbps * 1e6))
+                   + (total_g * probe.h2d_bpg / (probe.link_out_mbps * 1e6)
+                      + total_g * probe.d2h_bpg / (probe.link_in_mbps * 1e6))
+                   * probe.xfer_overlap
+                   + total_g / probe.device_gps)
     measured_s = (t3 - t1)
     host_s = total_g / probe.host_plane_gps
     model_choice = calibrate.batch_decode_engine(total_g)
@@ -236,6 +241,7 @@ def bench_decode_fixture_batch():
         "measured_optimal": measured_choice,
         "mispredict": model_choice != measured_choice,
         "within_2x": 0.5 <= predicted_s / max(measured_s, 1e-6) <= 2.0,
+        "xfer_overlap": round(probe.xfer_overlap, 2),
         "h2d_bpg_model": round(probe.h2d_bpg),
         "h2d_bpg_actual": round(h2d_actual),
         "d2h_bpg_actual": round(d2h_actual),
@@ -255,6 +261,61 @@ def bench_decode_fixture_batch():
     DETAIL["decode cost-model residual"] = resid
     print(f"# decode cost-model residual: {resid}", file=sys.stderr)
     return rt
+
+
+def bench_link_duplex():
+    """Can the host link move both directions at once? Decides the device
+    decode path's end-to-end ceiling: full-duplex would bound it by
+    max(h2d+compute, fetch); a contended tunnel bounds it by the SUM of all
+    bytes over the better solo rate. Recorded so the pipelined-path number
+    is judged against the right ceiling."""
+    if not DEVICE_OK:
+        return
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from mp3stego_tpu.utils.transfer import fetch_pieces, put_pieces
+
+    n = 12 << 20
+    buf = np.zeros(n, np.uint8)
+
+    @jax.jit
+    def touch(x):
+        return x + jnp.uint8(1)
+
+    dev = touch(put_pieces(buf))
+    jax.block_until_ready(dev)
+    fetch_pieces([dev])                   # absorb the first-fetch stall
+
+    def up():
+        jax.block_until_ready(touch(put_pieces(buf)))
+
+    def down():
+        fetch_pieces([dev])
+
+    t0 = time.time()
+    up()
+    up_s = time.time() - t0
+    t0 = time.time()
+    down()
+    down_s = time.time() - t0
+    reps = 2
+    t0 = time.time()
+    ta = threading.Thread(target=lambda: [up() for _ in range(reps)])
+    tb = threading.Thread(target=lambda: [down() for _ in range(reps)])
+    ta.start(); tb.start(); ta.join(); tb.join()
+    dt = time.time() - t0
+    rec = {
+        "solo_up_mbps": round(n / up_s / 1e6, 1),
+        "solo_down_mbps": round(n / down_s / 1e6, 1),
+        "concurrent_aggregate_mbps": round(2 * reps * n / dt / 1e6, 1),
+        "half_duplex_model_mbps": round(2 * n / (up_s + down_s) / 1e6, 1),
+        "full_duplex_model_mbps": round(2 * n / max(up_s, down_s) / 1e6, 1),
+    }
+    DETAIL["link duplex probe"] = rec
+    print(f"# link duplex probe: {rec}", file=sys.stderr)
 
 
 def bench_decode_corpus_device():
@@ -866,6 +927,7 @@ def main():
         print("# device unreachable within 180s: host-only rows this run",
               file=sys.stderr)
     headline = bench_decode_fixture_batch()
+    bench_link_duplex()
     bench_decode_corpus_device()
     bench_decode_long()
     bench_decode_mixed()

@@ -452,6 +452,9 @@ def _search_body(xr, max_bits, sr_idx, hide_bits=None, hide_cur=None,
         st["running"] = live & (st["count"] > 1)
         return st
 
+    # 8 static rounds. Measured on-chip: Python-unrolling these is perf-
+    # neutral (XLA re-rolls the repeated body), so the rolled form is kept
+    # for its smaller HLO and faster compiles.
     state = jax.lax.fori_loop(0, 8, bis_body, state)
     step0 = state["nxt"]
     huff_bits = max_bits  # part2_length is identically 0 (slen[0] == 0)
@@ -522,13 +525,17 @@ def _search_body(xr, max_bits, sr_idx, hide_bits=None, hide_cur=None,
     flags = st["flags"] | jnp.where(~st["done"], jnp.int32(FLAG_ITER),
                                     jnp.int32(0))
 
+    # int16 wire format: every row fits comfortably (step <= ~200, bits <=
+    # ~11k even for a worst-case all-escape spectrum, addresses <= 576,
+    # nlog/iters <= 168) — fetch layers widen to int32 right after the
+    # transfer so consumers never do int16 arithmetic
     fin = jnp.stack([
         st["f_step"], st["f_bits"], st["f_bv"], st["f_c1"],
         st["f_a1"], st["f_a2"], st["f_a3"], st["f_r0c"], st["f_r1c"],
         st["f_ch"][:, 0], st["f_ch"][:, 1], st["f_ch"][:, 2], st["f_cts"],
         flags, st["nlog"], (~need).astype(jnp.int32),
         jnp.broadcast_to(st["it"], st["f_step"].shape),
-    ]).astype(jnp.int32)                                       # (ROWS, C)
+    ]).astype(jnp.int16)                                       # (ROWS, C)
     return fin, st["f_ix"], st["log_steps"], st["log_bits"]
 
 
@@ -581,6 +588,29 @@ def _search_batch_hide_jit(xr, max_bits, hide_bits, hide_cur, hide_len,
 _gather_rows2 = jax.jit(lambda a, f, l: a[f, l])
 
 
+def _fetch_logs(nlog_h: np.ndarray, ls_dev, lb_dev):
+    """Lazy log fetch: the (N, S_MAXLOG) approx-evaluation logs are consumed
+    only for lanes with nlog > 0 (models/encoder._plane_redo), which are
+    rare — gather just those rows instead of draining both planes."""
+    shape = ls_dev.shape
+    ls = np.zeros(shape, np.int32)
+    lb = np.zeros(shape, np.int32)
+    if len(shape) == 2:
+        lanes = np.flatnonzero(nlog_h > 0)
+        if len(lanes):
+            li = jnp.asarray(lanes, jnp.int32)
+            ls[lanes] = np.asarray(_gather_rows(ls_dev, li))
+            lb[lanes] = np.asarray(_gather_rows(lb_dev, li))
+    else:
+        wf, wl = np.nonzero(nlog_h > 0)
+        if len(wf):
+            fi = jnp.asarray(wf, jnp.int32)
+            li = jnp.asarray(wl, jnp.int32)
+            ls[wf, wl] = np.asarray(_gather_rows2(ls_dev, fi, li))
+            lb[wf, wl] = np.asarray(_gather_rows2(lb_dev, fi, li))
+    return ls, lb
+
+
 def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int,
                  hide_bits: np.ndarray = None, hide_cur: np.ndarray = None,
                  hide_len: np.ndarray = None,
@@ -608,14 +638,15 @@ def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int,
     else:
         fin, ix8, wide, ix_dev, lsteps, lbits = _search_batch_jit(
             xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx)
-    pieces = [fin, ix8, wide, lsteps, lbits]
+    pieces = [fin, ix8, wide]
     if tot is not None:
         pieces += [tot, en]
     got = _fetch_pieces(pieces)
-    fin_h, ix8_h, wide_h, ls_h, lb_h = got[:5]
+    fin_h = got[0].astype(np.int32)        # int16 wire -> int32 for consumers
+    ix8_h, wide_h = got[1], got[2]
     out = {k: fin_h[:, r] for r, k in enumerate(_FIN_ROWS)}
     if tot is not None:
-        out["scfsi"] = (got[5], got[6])
+        out["scfsi"] = (got[3], got[4])
     out["ix"] = ix8_h                      # int8; wide lanes in out["ixw"]
     ixw = {}
     wf, wl = np.nonzero(wide_h)
@@ -625,8 +656,8 @@ def search_batch(xr_dev, max_bits: np.ndarray, sr_idx: int,
         for k in range(len(wf)):
             ixw[(int(wf[k]), int(wl[k]))] = rows[k]
     out["ixw"] = ixw
-    out["log_steps"] = ls_h
-    out["log_bits"] = lb_h
+    out["log_steps"], out["log_bits"] = _fetch_logs(out["nlog"], lsteps,
+                                                    lbits)
     return out
 
 
@@ -716,16 +747,14 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int,
         else:
             pending.append(_search_chunk_packed(
                 xs, jnp.asarray(mb[i:i + chunk]), sr_idx))
-    # fetch everything EXCEPT the full-width ix plane (kept device-resident;
-    # only the rare wide lanes come back at int16 width)
-    flat = [b for tup in pending for b in
-            (tup[0], tup[1], tup[2], tup[4], tup[5])]
+    # fetch only fin/ix8/wide: the full-width ix plane stays device-resident
+    # (rare wide lanes come back at int16 width) and the approx logs are
+    # gathered lazily per chunk (rare nlog>0 lanes only)
+    flat = [b for tup in pending for b in (tup[0], tup[1], tup[2])]
     got = _fetch_pieces(flat)
-    fins = [got[i] for i in range(0, len(got), 5)]
-    ix8s = [got[i] for i in range(1, len(got), 5)]
-    wides = [got[i] for i in range(2, len(got), 5)]
-    lsteps = [got[i] for i in range(3, len(got), 5)]
-    lbits = [got[i] for i in range(4, len(got), 5)]
+    fins = [got[i].astype(np.int32) for i in range(0, len(got), 3)]
+    ix8s = [got[i] for i in range(1, len(got), 3)]
+    wides = [got[i] for i in range(2, len(got), 3)]
     fin = np.concatenate(fins, axis=1)[:, :n]
     out = {k: fin[r] for r, k in enumerate(_FIN_ROWS)}
     # ix stays int8 (the wire format): widening the full plane on the page-
@@ -744,8 +773,15 @@ def search_all(xr_dev, max_bits: np.ndarray, sr_idx: int,
                 for k, l in enumerate(lanes):
                     ixw[lo + int(l)] = rows[k]
     out["ixw"] = ixw
-    out["log_steps"] = np.concatenate(lsteps, axis=0)[:n]
-    out["log_bits"] = np.concatenate(lbits, axis=0)[:n]
+    nlog_row = _FIN_ROWS.index("nlog")
+    ls_parts = []
+    lb_parts = []
+    for ci, tup in enumerate(pending):
+        ls_c, lb_c = _fetch_logs(fins[ci][nlog_row], tup[4], tup[5])
+        ls_parts.append(ls_c)
+        lb_parts.append(lb_c)
+    out["log_steps"] = np.concatenate(ls_parts, axis=0)[:n]
+    out["log_bits"] = np.concatenate(lb_parts, axis=0)[:n]
     return out
 
 
@@ -796,31 +832,31 @@ def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
         xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), hb,
         jnp.int32(L), jnp.asarray(np.asarray(order, np.int32)),
         jnp.int32(off0), sr_idx, want_scfsi)
-    pieces = [fin, ix8, wide, ls, lb, cursors]
+    pieces = [fin, ix8, wide, cursors]
     if want_scfsi:
         pieces += [tot, en]
     got = _fetch_pieces(pieces)
-    out = _unpack_single(got[0], got[1], got[2], ix_dev, got[3], got[4])
-    scf = (got[6], got[7]) if want_scfsi else None
-    return out, got[5], scf
+    out = _unpack_single(got[0], got[1], got[2], ix_dev, ls, lb)
+    scf = (got[4], got[5]) if want_scfsi else None
+    return out, got[3], scf
 
 
-def _unpack_single(fin_h, ix8_h, wide_h, ix_dev, ls_h, lb_h) -> dict:
+def _unpack_single(fin_h, ix8_h, wide_h, ix_dev, ls_dev, lb_dev) -> dict:
     """Fetched single-dispatch packed results -> the search_all result dict
-    (rare wide lanes re-gathered at full width from the resident plane)."""
-    out = {k: fin_h[r] for r, k in enumerate(_FIN_ROWS)}
+    (rare wide lanes re-gathered at full width from the resident plane; the
+    approx logs gathered lazily for the rare nlog>0 lanes)."""
+    out = {k: fin_h.astype(np.int32)[r] for r, k in enumerate(_FIN_ROWS)}
     out["ix"] = ix8_h
     ixw = {}
     lanes = np.flatnonzero(wide_h)
     if len(lanes):
-        import jax.numpy as jnp
         rows = np.asarray(_gather_rows(ix_dev,
                                        jnp.asarray(lanes, jnp.int32)))
         for k, l in enumerate(lanes):
             ixw[int(l)] = rows[k]
     out["ixw"] = ixw
-    out["log_steps"] = ls_h
-    out["log_bits"] = lb_h
+    out["log_steps"], out["log_bits"] = _fetch_logs(out["nlog"], ls_dev,
+                                                    lb_dev)
     return out
 
 
@@ -845,12 +881,12 @@ def search_single_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
     fin, ix8, wide, ix_dev, ls, lb, tot, en = _search_scfsi_jit(
         xr_dev, jnp.asarray(np.asarray(max_bits, np.int32)), sr_idx,
         want_scfsi)
-    pieces = [fin, ix8, wide, ls, lb]
+    pieces = [fin, ix8, wide]
     if want_scfsi:
         pieces += [tot, en]
     got = _fetch_pieces(pieces)
-    out = _unpack_single(got[0], got[1], got[2], ix_dev, got[3], got[4])
-    scf = (got[5], got[6]) if want_scfsi else None
+    out = _unpack_single(got[0], got[1], got[2], ix_dev, ls, lb)
+    scf = (got[3], got[4]) if want_scfsi else None
     return out, scf
 
 

@@ -361,23 +361,44 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
             for i, pcm in zip(idxs, out):
                 results[i] = pcm
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # three-stage software pipeline: prep(k+1) ∥ upload+compute(k) ∥
+        # fetch(k-1). Whether the fetch gets its OWN thread (so chunk k+1's
+        # upload overlaps chunk k's PCM drain) is decided by the probed
+        # link: on a full-duplex link the overlap wins outright, but on the
+        # tunneled chip here the two directions CONTEND — measured aggregate
+        # under concurrency is BELOW the half-duplex model (BENCH_DETAIL
+        # "link duplex probe") — so the fetch stays inline, trailing the
+        # async dispatch by one chunk. MP3STEGO_TPU_FETCH_THREAD=1/0
+        # overrides.
+        env = _os.environ.get("MP3STEGO_TPU_FETCH_THREAD")
+        if env is not None:
+            threaded_fetch = env == "1"
+        else:
+            from mp3stego_tpu.utils.calibrate import get_probe
+            threaded_fetch = get_probe().xfer_overlap < 0.85
+        with ThreadPoolExecutor(max_workers=1) as pool, \
+                ThreadPoolExecutor(max_workers=1) as fetcher:
             fut = pool.submit(prep, [metas[i] for i in chunks[0]])
-            pending = None   # (dev ref, batch, idxs) — dispatched, unfetched
+            fetches = []
+            pending = None
             for k, idxs in enumerate(chunks):
                 batch = fut.result()
                 if k + 1 < len(chunks):
                     fut = pool.submit(prep,
                                       [metas[i] for i in chunks[k + 1]])
-                # dispatch chunk k BEFORE fetching chunk k-1: jax dispatch
-                # is async, so chunk k's upload+compute runs on the device
-                # while the host link drains chunk k-1's PCM (two-deep
-                # software pipeline: prep(k+1) ∥ compute(k) ∥ fetch(k-1))
                 dev = dispatch(batch, [metas[i] for i in idxs])
-                if pending is not None:
-                    finish(*pending)
-                pending = (dev, batch, idxs)
-            finish(*pending)
+                if threaded_fetch:
+                    fetches.append(fetcher.submit(finish, dev, batch, idxs))
+                    if len(fetches) >= 2:
+                        fetches[-2].result()
+                else:
+                    if pending is not None:
+                        finish(*pending)
+                    pending = (dev, batch, idxs)
+            if threaded_fetch:
+                fetches[-1].result()
+            else:
+                finish(*pending)
         return results
 
     def prep(ms):

