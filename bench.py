@@ -626,6 +626,67 @@ def bench_encode_corpus_device():
           gps_f / 153.1, "x realtime")   # stereo 44.1k: 153.1 lanes/s/s
 
 
+def bench_plane_utilization():
+    """Per-stage MFU / utilization of both device planes from a profiler
+    trace (VERDICT r4 item 1): time share, executed vs useful FLOPs,
+    achieved TFLOP/s and GB/s, % of v5e peak, binding resource per stage,
+    plus the per-evaluation split of the encode search. Full method in
+    tools/profile_planes.py; the full record also lands in
+    PROFILE_PLANES.json."""
+    if not DEVICE_OK:
+        DETAIL["device plane utilization"] = {
+            "status": "SKIPPED (device unreachable)"}
+        return
+    sys.path.insert(0, REPO)
+    from tools import profile_planes as PP
+
+    try:
+        dec = PP.profile_decode_plane(dispatches=2)
+        enc = PP.profile_encode_plane(dispatches=2)
+    except Exception as e:  # noqa: BLE001 - profiling must not kill bench
+        DETAIL["device plane utilization"] = {
+            "status": f"FAIL ({type(e).__name__}: {str(e)[:120]})"}
+        return
+    rec = {"decode": dec, "encode": enc,
+           "peaks": {"bf16_tflops": PP.PEAK_BF16_TFLOPS,
+                     "f32_highest_tflops": round(PP.PEAK_F32HI_TFLOPS, 1),
+                     "hbm_gbps": PP.PEAK_HBM_GBPS}}
+    with open(os.path.join(REPO, "PROFILE_PLANES.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    DETAIL["decode plane utilization"] = {
+        "summary": dec["summary"],
+        "stages": {k: {f: v[f] for f in ("ms", "share", "tflops_s", "gb_s",
+                                         "pct_hbm", "binding", "dominant")}
+                   for k, v in dec["stages"].items()}}
+    DETAIL["encode plane utilization"] = {
+        "summary": enc["summary"],
+        "per_eval": enc["per_eval"],
+        "stages": {k: {f: v[f] for f in ("ms", "share", "tflops_s", "gb_s",
+                                         "pct_hbm", "binding", "dominant")}
+                   for k, v in enc["stages"].items()}}
+    print(PP.fmt_table(dec, "decode plane utilization"), file=sys.stderr)
+    print(PP.fmt_table(enc, "encode plane utilization"), file=sys.stderr)
+
+
+def bench_weak_scaling():
+    """Multi-chip scaling shape on the 8-virtual-device CPU mesh (VERDICT
+    r4 item 9): collective counts per width from compiled HLO + wall clock.
+    Runs in a subprocess (needs the CPU backend with 8 virtual devices)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.join(REPO, "tools",
+                                                "weak_scaling.py")],
+            capture_output=True, text=True, timeout=1500,
+            env=dict(os.environ, MP3STEGO_TPU_PROBE="0",
+                     MP3STEGO_TPU_SEARCH_CHUNK="128"))
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001
+        rec = {"status": f"FAIL ({type(e).__name__}: {str(e)[:120]})"}
+    DETAIL["multichip weak scaling (CPU-sim, 8 files)"] = rec
+    print(f"# multichip weak scaling (CPU-sim): {rec}", file=sys.stderr)
+
+
 def bench_decode_streaming():
     """Long-file decode through the O(chunk)-memory streaming path
     (models/streaming.py): a 30-minute 128 kbps stream decoded start to
@@ -936,6 +997,8 @@ def main():
     bench_encode_corpus_device()
     bench_encode_streaming()
     bench_hide_roundtrip()
+    bench_plane_utilization()
+    bench_weak_scaling()
     check_tpu_kernels()
 
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

@@ -133,6 +133,22 @@ _XM_SCFSI_BAND_KRIT = 10
 _SCFSI_BAND_LONG = (0, 6, 11, 16, 21)
 
 
+def _trim_fused_result(resF: dict, n: int) -> dict:
+    """Slice a fused single-dispatch search result to the real lane count,
+    copying the read-only fetched buffers (``_plane_redo`` patches rows in
+    place). ``ixw`` is keyed by lane; ``_log_dev``/None entries (the lazy
+    approx-log device refs, see search_plane._unpack_single) pass through."""
+    out = {}
+    for k, v in resF.items():
+        if k == "ixw":
+            out[k] = {lane: r for lane, r in v.items() if lane < n}
+        elif k == "_log_dev" or v is None:
+            out[k] = v
+        else:
+            out[k] = np.array(v[:n])
+    return out
+
+
 def _find_bitrate_index(bitrate: int, mpeg_version: int) -> int:
     for i in range(16):
         if bitrate == int(T.BIT_RATES[i][mpeg_version]):
@@ -455,9 +471,7 @@ class MP3Encoder:
                     xr_s, mb_s, self.band_row,
                     want_scfsi=self.version == 3)
             # copies: fetched buffers are read-only, _plane_redo patches rows
-            res = {k: (({l: r for l, r in v.items() if l < n})
-                       if k == "ixw" else np.array(v[:n]))
-                   for k, v in resF.items()}
+            res = _trim_fused_result(resF, n)
             if scf is not None:
                 en_tot_raw, en_raw = scf[0][:n], scf[1][:n]
         else:
@@ -737,21 +751,37 @@ class MP3Encoder:
         redo = res["flags"] != 0
         nlog = np.minimum(res["nlog"], SP.S_MAXLOG)
         verify = (nlog > 0) & ~redo
+        need = np.flatnonzero(verify | redo)
+        if len(need) == 0:
+            return 0
+        # ONE device round trip for everything this pass might touch:
+        # spectra rows + approx logs for the verify AND flag-redo lanes
+        # (verification failures only ever add lanes already in the verify
+        # set, so their rows are covered too). On latency-bound links each
+        # extra device call costs its full dispatch+sync latency.
+        if res.get("_log_dev") is not None:
+            rows_all, ls_g, lb_g = SP.fetch_rows_logs(
+                xr_dev, *res["_log_dev"], need)
+        else:
+            rows_all = SP.fetch_rows(xr_dev, need)
+            ls_g = res["log_steps"][need]
+            lb_g = res["log_bits"][need]
+        pos_of = np.full(len(res["flags"]), -1, np.int64)
+        pos_of[need] = np.arange(len(need))
         if verify.any():
             lanes = np.flatnonzero(verify)
             reps = nlog[lanes]
             cell_lane = np.repeat(lanes, reps)
             cell_j = np.concatenate([np.arange(r) for r in reps])
-            steps = res["log_steps"][cell_lane, cell_j]
-            dbits = res["log_bits"][cell_lane, cell_j]
-            rows = SP.fetch_rows(xr_dev, lanes)
-            row_idx = np.searchsorted(lanes, cell_lane)
+            steps = ls_g[pos_of[cell_lane], cell_j]
+            dbits = lb_g[pos_of[cell_lane], cell_j]
+            rows = rows_all[pos_of[cell_lane]]
             if hide_ctx is None:
-                hbits, hbvs = quant_np.verify_cells(rows[row_idx], steps,
+                hbits, hbvs = quant_np.verify_cells(rows, steps,
                                                     self.band_row)
             else:
                 hbits, hbvs = quant_np.verify_cells_hide(
-                    rows[row_idx], steps, self.band_row,
+                    rows, steps, self.band_row,
                     hide_ctx[0], hide_ctx[1][cell_lane])
             bad = (hbits != dbits) | (hbvs <= 0)
             if bad.any():
@@ -760,8 +790,7 @@ class MP3Encoder:
         lanes = np.flatnonzero(redo)
         if len(lanes) == 0:
             return 0
-        rows = SP.fetch_rows(xr_dev, lanes)
-        rowmap = {int(l): rows[i] for i, l in enumerate(lanes)}
+        rowmap = {int(l): rows_all[pos_of[l]] for l in lanes}
         searched = res["xrmax0"] == 0
         nf = tg // gpf
         for ch in range(nch):
@@ -1037,15 +1066,28 @@ class MP3Encoder:
 
         Returns True when the file was encoded; False = state untouched,
         caller falls back."""
+        import contextlib
+
         from mp3stego_tpu.ops import encode_plane
         from mp3stego_tpu.ops import search_plane as SP
+        from mp3stego_tpu.utils.profiling import StageTimer
+
+        # always-on local stage timer: the split lands in
+        # last_hide_parallel_stats["stage_ms"] (bench records it per round)
+        # even when the caller's timer is quiet-disabled
+        tloc = StageTimer(enabled=True)
+
+        @contextlib.contextmanager
+        def st(name):
+            with timer.stage(name), tloc.stage(name):
+                yield
 
         gpf = self.granules_per_frame
         nch = self.wav.num_of_channels
         tg = num_frames * gpf
         snap = (self.padding, self.slot_lag, self.hide_str_offset)
 
-        with timer.stage("analysis+mdct (device)"):
+        with st("analysis+mdct (device)"):
             streams = self._channel_streams_i16(num_frames)
             mdct_dev = encode_plane.run_analysis_device(streams, tg)
             xr_dev = mdct_dev.reshape(-1, 576)
@@ -1086,7 +1128,7 @@ class MP3Encoder:
         n_pad = -(-max(n, 1) // 2048) * 2048
         if n_pad <= fuse_budget:
             import jax.numpy as jnp
-            with timer.stage("hide fused A+pin+B+scfsi (device)"):
+            with st("hide fused A+pin+B+scfsi (device)"):
                 if n_pad > n:
                     xr_s = jnp.pad(xr_dev, ((0, n_pad - n), (0, 0)))
                     mb_s = np.concatenate(
@@ -1100,18 +1142,16 @@ class MP3Encoder:
                     want_scfsi=self.version == 3)
             # copies: the fetched buffers are read-only and _plane_redo
             # patches rows in place
-            res = {k: (({l: r for l, r in v.items() if l < n})
-                       if k == "ixw" else np.array(v[:n]))
-                   for k, v in resF.items()}
+            res = _trim_fused_result(resF, n)
             cursors = cur_h[:n]
-            with timer.stage("verify+redo (host)"):
+            with st("verify+redo (host)"):
                 self._plane_redo(res, xr_dev, max_bits_lanes, tg,
                                  hide_ctx=(self._hide_u8, cursors))
             cur2 = pin(counts_of(res))
             converged = np.array_equal(cur2, cursors)
             cursors = cur2
         else:
-            with timer.stage("hide pass A (device, no transform)"):
+            with st("hide pass A (device, no transform)"):
                 resA = SP.search_all(xr_dev, max_bits_lanes,
                                      self.band_row)
             cursors = pin(counts_of(resA))
@@ -1119,12 +1159,12 @@ class MP3Encoder:
         rounds = 0
         while not converged and rounds < 8:
             rounds += 1
-            with timer.stage("hide pass B (device, pinned cursors)"):
+            with st("hide pass B (device, pinned cursors)"):
                 res = SP.search_all(xr_dev, max_bits_lanes,
                                     self.band_row,
                                     hide_bits=self._hide_u8,
                                     hide_cur=cursors)
-            with timer.stage("verify+redo (host)"):
+            with st("verify+redo (host)"):
                 self._plane_redo(res, xr_dev, max_bits_lanes, tg,
                                  hide_ctx=(self._hide_u8, cursors))
             cur2 = pin(counts_of(res))
@@ -1134,7 +1174,9 @@ class MP3Encoder:
             cursors = cur2
         MP3Encoder.last_hide_parallel_stats = {
             "fused": n_pad <= fuse_budget, "extra_rounds": rounds,
-            "lanes": n, "converged": converged}
+            "lanes": n, "converged": converged,
+            "stage_ms": {k: round(v * 1e3, 1)
+                         for k, v in tloc.times.items()}}
         if not converged:
             self.padding, self.slot_lag, self.hide_str_offset = snap
             return False
@@ -1143,12 +1185,14 @@ class MP3Encoder:
             if scf is not None:
                 en_tot_raw, en_raw = scf[0][:n], scf[1][:n]
             else:
-                with timer.stage("scfsi sums (device)"):
+                with st("scfsi sums (device)"):
                     en_tot_raw, en_raw = SP.scfsi_sums(xr_dev,
                                                        self.band_row)
-        with timer.stage("assemble+serialize (host)"):
+        with st("assemble+serialize (host)"):
             self._plane_finish(res, en_tot_raw, en_raw, num_frames, paddings,
                                mean_bits_f, tg)
+        MP3Encoder.last_hide_parallel_stats["stage_ms"] = {
+            k: round(v * 1e3, 1) for k, v in tloc.times.items()}
         return True
 
     def _encode_hide_hybrid(self, num_frames: int, timer, quiet: bool):

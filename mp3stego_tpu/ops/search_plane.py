@@ -198,17 +198,20 @@ def _cost(ix, addr_in, band, c, hide=None):
         bv = bvr >> 1
         has_bv = bv > 0
 
-    # count1 quad costs in both alignments (the region starts at 2bv mod 4)
+    # count1 quad costs in both alignments (the region starts at 2bv mod 4).
+    # The 16-way where-sum select stays: a two-stage one-hot here measured
+    # 2.4x SLOWER on-chip (the domain is already tiny; the split's div/mod
+    # and extra matmul cost more than 16 compares).
     quad_pack = jnp.asarray(c["quad_pack"])
 
+    qvals = jnp.arange(16, dtype=jnp.int32)
+
     def quad_costs(vals):
-        from mp3stego_tpu.ops.decode_plane import _onehot_rows_2l
         sb = jnp.sum((vals != 0).astype(jnp.int32), axis=-1)
         p = jnp.clip(vals[..., 0] + (vals[..., 1] << 1)
                      + (vals[..., 2] << 2) + (vals[..., 3] << 3), 0, 15)
-        # packed (len32 | len33<<8) select; values < 2^16 are exact in f32
-        q = _onehot_rows_2l(p, quad_pack.astype(jnp.float32),
-                            jnp.float32, lo=4).astype(jnp.int32)
+        q = jnp.sum(jnp.where(p[..., None] == qvals[None, None, :],
+                              quad_pack[None, None, :], 0), axis=-1)
         return (q & 255) + sb, (q >> 8) + sb
 
     with jax.named_scope("cost_count1"):
@@ -688,6 +691,7 @@ def scfsi_sums(xr_dev, sr_idx: int):
 
 
 _gather_rows = jax.jit(lambda a, i: a[i])
+_gather_rows3 = jax.jit(lambda a, b, c, i: (a[i], b[i], c[i]))
 
 
 def fetch_rows(xr_dev, idx: np.ndarray) -> np.ndarray:
@@ -696,6 +700,20 @@ def fetch_rows(xr_dev, idx: np.ndarray) -> np.ndarray:
         return np.zeros((0, 576), np.int32)
     rows = _gather_rows(xr_dev, jnp.asarray(idx, jnp.int32))
     return np.asarray(rows)
+
+
+def fetch_rows_logs(xr_dev, ls_dev, lb_dev, idx: np.ndarray):
+    """One-device-round-trip gather of spectra rows AND the approx-eval logs
+    for the ``idx`` lanes (the verify/redo set). On a high-latency link each
+    extra device call costs its full dispatch+sync latency, so the three
+    gathers ship as one program and one fetch."""
+    if len(idx) == 0:
+        z = np.zeros((0, S_MAXLOG), np.int32)
+        return np.zeros((0, 576), np.int32), z, z
+    rows, ls, lb = _gather_rows3(xr_dev, ls_dev, lb_dev,
+                                 jnp.asarray(idx, jnp.int32))
+    got = _fetch_pieces([rows, ls, lb])
+    return got[0], got[1].astype(np.int32), got[2].astype(np.int32)
 
 
 
@@ -843,8 +861,12 @@ def search_hide_fused(xr_dev, max_bits: np.ndarray, sr_idx: int,
 
 def _unpack_single(fin_h, ix8_h, wide_h, ix_dev, ls_dev, lb_dev) -> dict:
     """Fetched single-dispatch packed results -> the search_all result dict
-    (rare wide lanes re-gathered at full width from the resident plane; the
-    approx logs gathered lazily for the rare nlog>0 lanes)."""
+    (rare wide lanes re-gathered at full width from the resident plane).
+
+    The approx logs are NOT materialized here: ``_log_dev`` carries the
+    resident device planes, and models/encoder._plane_redo gathers the
+    needed rows together with its spectra gather (fetch_rows_logs) — one
+    device round trip instead of three on latency-bound links."""
     out = {k: fin_h.astype(np.int32)[r] for r, k in enumerate(_FIN_ROWS)}
     out["ix"] = ix8_h
     ixw = {}
@@ -855,8 +877,8 @@ def _unpack_single(fin_h, ix8_h, wide_h, ix_dev, ls_dev, lb_dev) -> dict:
         for k, l in enumerate(lanes):
             ixw[int(l)] = rows[k]
     out["ixw"] = ixw
-    out["log_steps"], out["log_bits"] = _fetch_logs(out["nlog"], ls_dev,
-                                                    lb_dev)
+    out["log_steps"] = out["log_bits"] = None
+    out["_log_dev"] = (ls_dev, lb_dev)
     return out
 
 

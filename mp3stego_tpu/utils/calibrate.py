@@ -264,12 +264,13 @@ def _measure_host_plane() -> float:
     parsed = dh.parse_mp3(data * 8, 0)
     g = parsed.num_frames * 2
     dp.decode_pcm_i16_host(parsed)    # warm (builds LUTs / faults pages)
-    t0 = time.time()
-    reps = 2
-    for _ in range(reps):
+    best = None                       # best-of: single shots swing ~20%
+    for _ in range(3):
+        t0 = time.time()
         dp.decode_pcm_i16_host(parsed)
-    dt = max(1e-4, time.time() - t0)
-    return reps * g / dt
+        dt = max(1e-4, time.time() - t0)
+        best = dt if best is None else min(best, dt)
+    return g / best
 
 
 def _measure_host_search() -> float:
@@ -290,11 +291,14 @@ def _measure_host_search() -> float:
     chain = (np.zeros(2 * 2 * 12, np.int64), np.zeros(2 * 2 * 576, np.int32))
     lib.rate_search_file(xr, maxb, 1, lanes, 2, 0, hide, 0, 0,
                          raw, ix, en_tot, en21, *chain, 0)   # warm
-    t0 = time.time()
-    lib.rate_search_file(xr, maxb, 1, lanes, 2, 0, hide, 0, 0,
-                         raw, ix, en_tot, en21, *chain, 0)
-    dt = max(1e-4, time.time() - t0)
-    return lanes / dt
+    best = None                       # best-of: single shots swing ~20%
+    for _ in range(3):
+        t0 = time.time()
+        lib.rate_search_file(xr, maxb, 1, lanes, 2, 0, hide, 0, 0,
+                             raw, ix, en_tot, en21, *chain, 0)
+        dt = max(1e-4, time.time() - t0)
+        best = dt if best is None else min(best, dt)
+    return lanes / best
 
 
 def refresh_device_rates(device_gps: float = None,
