@@ -886,6 +886,11 @@ def bench_hide_roundtrip():
                 MP3Encoder.last_hide_parallel_stats)
             print(f"# hide parallel fixpoint: "
                   f"{MP3Encoder.last_hide_parallel_stats}", file=sys.stderr)
+        if MP3Encoder.last_redo_split is not None:
+            DETAIL["hide verify/redo split"] = dict(
+                MP3Encoder.last_redo_split)
+            print(f"# hide verify/redo split: "
+                  f"{MP3Encoder.last_redo_split}", file=sys.stderr)
     finally:
         os.environ.pop("MP3STEGO_TPU_ENC_HOST", None)
 

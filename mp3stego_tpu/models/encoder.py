@@ -736,6 +736,11 @@ class MP3Encoder:
                           min(100, int(round(100 * self._vbr_step / 127))))
         return bytes(buf)
 
+    # finer observability for the verify+redo pass: cumulative wall-clock of
+    # the device gather / host cell verification / host redo oracle across
+    # the most recent encode (read next to last_hide_parallel_stats)
+    last_redo_split = None
+
     def _plane_redo(self, res: dict, xr_dev, max_bits_lanes, tg: int,
                     addr_seed=None, hide_ctx=None) -> int:
         """Verify float-fallback (approx) evaluations against the exact host
@@ -748,6 +753,10 @@ class MP3Encoder:
 
         gpf = self.granules_per_frame
         nch = self.wav.num_of_channels
+        import time as _time
+        split = {"lanes_gathered": 0, "gather_ms": 0.0, "verify_ms": 0.0,
+                 "redo_lanes": 0, "redo_ms": 0.0}
+        MP3Encoder.last_redo_split = split
         redo = res["flags"] != 0
         nlog = np.minimum(res["nlog"], SP.S_MAXLOG)
         verify = (nlog > 0) & ~redo
@@ -759,6 +768,7 @@ class MP3Encoder:
         # (verification failures only ever add lanes already in the verify
         # set, so their rows are covered too). On latency-bound links each
         # extra device call costs its full dispatch+sync latency.
+        t0 = _time.perf_counter()
         if res.get("_log_dev") is not None:
             rows_all, ls_g, lb_g = SP.fetch_rows_logs(
                 xr_dev, *res["_log_dev"], need)
@@ -766,9 +776,13 @@ class MP3Encoder:
             rows_all = SP.fetch_rows(xr_dev, need)
             ls_g = res["log_steps"][need]
             lb_g = res["log_bits"][need]
+        split["lanes_gathered"] = int(len(need))
+        split["gather_ms"] = round(
+            (_time.perf_counter() - t0) * 1e3, 1)
         pos_of = np.full(len(res["flags"]), -1, np.int64)
         pos_of[need] = np.arange(len(need))
         if verify.any():
+            t0 = _time.perf_counter()
             lanes = np.flatnonzero(verify)
             reps = nlog[lanes]
             cell_lane = np.repeat(lanes, reps)
@@ -786,10 +800,14 @@ class MP3Encoder:
             bad = (hbits != dbits) | (hbvs <= 0)
             if bad.any():
                 redo[np.unique(cell_lane[bad])] = True
+            split["verify_cells"] = int(len(cell_lane))
+            split["verify_ms"] = round(
+                (_time.perf_counter() - t0) * 1e3, 1)
 
         lanes = np.flatnonzero(redo)
         if len(lanes) == 0:
             return 0
+        t0 = _time.perf_counter()
         rowmap = {int(l): rows_all[pos_of[l]] for l in lanes}
         searched = res["xrmax0"] == 0
         nf = tg // gpf
@@ -819,6 +837,8 @@ class MP3Encoder:
                     elif searched[g]:
                         addr = (int(res["a1"][g]), int(res["a2"][g]),
                                 int(res["a3"][g]))
+        split["redo_lanes"] = int(len(lanes))
+        split["redo_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
         return len(lanes)
 
     def _plane_scfsi(self, tot_raw, en_raw, searched, nf: int, tg: int):

@@ -99,11 +99,14 @@ def _quantize_batch(rows: np.ndarray, steps: np.ndarray):
     return ix, ix_max, bail
 
 
-def _cost_batch(ix: np.ndarray, sr_idx: int):
+def _cost_batch(ix: np.ndarray, sr_idx: int, hide=None):
     """Vectorized exact cost for M granule rows with addr_in == 0: run lengths
     -> count1 -> subdivide -> table select -> bits. NumPy twin of the device
     body (ops/search_plane._cost, itself oracle-verified); direct gathers
-    replace the device's one-hot reductions. Returns (bits (M,), bv (M,))."""
+    replace the device's one-hot reductions. ``hide`` = (bits_u8, per-cell
+    cursors) applies the stego pair transform and re-costs each region under
+    its EMITTED table, mirroring the device hide branch. Returns
+    (bits (M,), bv (M,))."""
     from mp3stego_tpu import tables as T
     m, _ = ix.shape
     pos = np.arange(576, dtype=np.int32)
@@ -197,6 +200,30 @@ def _cost_batch(ix: np.ndarray, sr_idx: int):
                                              esc_choice))
     rcost = np.where(mreg == 0, 0, np.where(mreg < 15, nl_cost, esc_cost))
     active = np.stack([a1 > 0, a2 > a1, bvr > a2], axis=-1)
+    choice = np.where(active, choice, 0)
+
+    if hide is not None:
+        bits_u8, cursors = hide
+        lh = len(bits_u8)
+        nzc = choice > 0                                         # (M,3)
+        inc0 = nzc[:, 0].astype(np.int64)
+        inc1 = inc0 + nzc[:, 1]
+        cur = np.asarray(cursors, np.int64)
+        idx = np.stack([cur, cur + inc0, cur + inc1], axis=-1)   # (M,3)
+        inb = idx < lh
+        bit = np.asarray(bits_u8)[np.clip(idx, 0, max(lh - 1, 0))] \
+            .astype(np.int64)
+        t_new = T.TRANSFORM_HUF[np.clip(choice, 0, 31),
+                                np.clip(bit, 0, 1)]
+        choice = np.where(nzc & inb, t_new, choice)
+        # re-cost each region under its EMITTED table (the device's
+        # cost_hide branch): h_len of the emitted table per pair + sign
+        # bits, plus its linbits for escape pairs
+        t_pp = np.where(pm, choice[:, :, None], 0).sum(axis=1)   # (M,288)
+        h_pp = Q._HLEN[t_pp, xc, yc].astype(np.int64)
+        rc_t = rsum(h_pp + signs)
+        rcost = rc_t + linbits[np.clip(choice, 0, 31)] * rnesc
+
     rcost = np.where(active & (choice != 0), rcost, 0)
     bits = rcost.sum(axis=-1) + np.minimum(sum0, sum1)
     return bits.astype(np.int64), bv.astype(np.int64)
@@ -224,10 +251,28 @@ def verify_cells(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int):
 def verify_cells_hide(xr_rows: np.ndarray, steps: np.ndarray, sr_idx: int,
                       bits_u8: np.ndarray, cursors: np.ndarray):
     """:func:`verify_cells` with the stego transform applied per cell at the
-    cell's lane cursor (parallel-hide mode). Approx cells are rare, so the
-    exact per-cell loop is fine here; semantics mirror verify_cells (bail or
-    ixmax overflow -> bits=100000, bv reported so bv==0 cells are treated as
-    unverifiable by the caller)."""
+    cell's lane cursor (parallel-hide mode). Vectorized over cells — the
+    per-cell loop (kept below as the oracle) cost ~0.66 ms/cell of Python
+    overhead and dominated the capacity-saturated hide's verify pass at
+    ~900 cells; tests pin equality with :func:`verify_cells_hide_loop`."""
+    m = len(steps)
+    if m == 0:
+        return np.zeros(0, np.int64), np.full(0, -1, np.int64)
+    ix, ix_max, bail = _quantize_batch(np.asarray(xr_rows, np.int32), steps)
+    bits, bvs = _cost_batch(ix, sr_idx,
+                            hide=(np.asarray(bits_u8),
+                                  np.asarray(cursors, np.int64)))
+    dead = bail | (ix_max > Q.MAX_QUANTIZE_STEP)
+    bits = np.where(dead, 100000, bits)
+    bvs = np.where(dead, -1, bvs)
+    return bits, bvs
+
+
+def verify_cells_hide_loop(xr_rows: np.ndarray, steps: np.ndarray,
+                           sr_idx: int, bits_u8: np.ndarray,
+                           cursors: np.ndarray):
+    """Per-cell reference twin of :func:`verify_cells_hide` (the oracle its
+    batched rewrite is pinned against)."""
     m = len(steps)
     bits = np.zeros(m, np.int64)
     bvs = np.full(m, -1, np.int64)

@@ -166,8 +166,12 @@ def _decode_batch_concat(args, num_files, dtype_name="float32",
     blk = dp.granule_blocks(args, dtype)            # (2, F*T, 32, 36)
     ch, ft = blk.shape[0], blk.shape[1]
     t = ft // num_files
-    blkf = blk.reshape(ch, num_files, t, 32, 36).transpose(1, 0, 2, 3, 4)
-    pcm = jax.vmap(lambda b: dp.synth_from_blocks(b, dtype)[0])(blkf)
+    # vmap over the file axis IN PLACE (in_axes=1 on the (ch, F, T, ...)
+    # view): a materialized (F, ch, T, ...) transpose of the block plane
+    # measured ~6 ms/dispatch of pure data formatting at corpus scale
+    pcm = jax.vmap(lambda b: dp.synth_from_blocks(b, dtype)[0],
+                   in_axes=1, out_axes=0)(
+        blk.reshape(ch, num_files, t, 32, 36))
     if to_i16:
         x = pcm * jnp.float32(32767)
         if not wrap:

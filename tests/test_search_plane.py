@@ -275,6 +275,31 @@ def test_verify_cells_batched_matches_loop():
         np.testing.assert_array_equal(v1, v0, err_msg=f"bv sr={sr_idx}")
 
 
+def test_verify_cells_hide_batched_matches_loop():
+    """The vectorized verify_cells_hide (stego transform + emitted-table
+    re-cost) must equal the per-cell loop twin, including cells whose cursor
+    runs past the message end mid-granule and out-of-message cells."""
+    from mp3stego_tpu.ops import quant_np
+
+    rng = np.random.default_rng(29)
+    rows = _random_lanes(rng, 96, 30)
+    rows[3] = 0
+    rows[4, :8] = np.array([1 << 30, -(1 << 30), 1 << 29, 1 << 28,
+                            1 << 27, 1 << 26, 1 << 25, 1 << 24])
+    steps = rng.integers(-120, 1, size=96).astype(np.int64)
+    bits_u8 = rng.integers(0, 2, size=40).astype(np.uint8)
+    # cursors spanning: fully in-message, straddling the end (a granule's
+    # 2nd/3rd region falls off), fully past the end
+    cursors = rng.integers(0, 45, size=96).astype(np.int64)
+    for sr_idx in (0, 1, 2):
+        b1, v1 = quant_np.verify_cells_hide(rows, steps, sr_idx,
+                                            bits_u8, cursors)
+        b0, v0 = quant_np.verify_cells_hide_loop(rows, steps, sr_idx,
+                                                 bits_u8, cursors)
+        np.testing.assert_array_equal(b1, b0, err_msg=f"bits sr={sr_idx}")
+        np.testing.assert_array_equal(v1, v0, err_msg=f"bv sr={sr_idx}")
+
+
 def test_host_engine_matches_device_plane(tmp_path, monkeypatch):
     """The fully-host C++ engine (encode_analysis + rate_search_file) must be
     byte-identical to the device search plane, plain and hide mode."""
