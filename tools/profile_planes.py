@@ -284,7 +284,8 @@ def _profile_one_eval(pcm_dev, mb_dev, F, nch, tg_max, lanes, sr_idx,
     pair-cost -> select), unrolled outside any device loop so every stage's
     scope survives into the trace. The real search runs ~9 of these
     (8 bisection rounds + 1 inner round, measured convergence) in lockstep;
-    the per-lane preamble (abs/max) runs once per search."""
+    the per-lane preamble (abs/max) runs once per search. Spectra come in
+    PRE-COMPUTED so analysis doesn't pollute the eval's "other" row."""
     import jax
     import jax.numpy as jnp
 
@@ -293,11 +294,11 @@ def _profile_one_eval(pcm_dev, mb_dev, F, nch, tg_max, lanes, sr_idx,
     from mp3stego_tpu.ops.encode_plane import analysis_mdct_i16
 
     band = T.BAND_ALL[sr_idx].astype(np.int32)
+    xr_res = jax.device_put(np.asarray(
+        jax.jit(jax.vmap(analysis_mdct_i16))(pcm_dev)).reshape(-1, 576))
 
     @jax.jit
-    def one_eval(a):
-        p, mb = a
-        xr = jax.vmap(analysis_mdct_i16)(p).reshape(-1, 576)
+    def one_eval(xr):
         c = SP._sconsts()
         with jax.named_scope("search_prep"):
             labs64 = jnp.abs(xr.astype(jnp.int64))
@@ -315,13 +316,8 @@ def _profile_one_eval(pcm_dev, mb_dev, F, nch, tg_max, lanes, sr_idx,
 
     stages = ["search_prep"] + [s for s in ENCODE_STAGES
                                 if not s.startswith("an_")]
-    table, untraced_s, _ = _trace_stage_table(one_eval, (pcm_dev, mb_dev),
-                                              ["an_window", "an_filter",
-                                               "an_mdct", "an_alias"]
-                                              + stages, dispatches)
-    # drop the analysis rows (profiled in the full table); keep eval stages
-    table = {k: v for k, v in table.items()
-             if k in stages or k == "other"}
+    table, untraced_s, _ = _trace_stage_table(one_eval, xr_res, stages,
+                                              dispatches)
     per_eval = {}
     tot_us = sum(v["ms"] for v in table.values())
     for k, v in table.items():
