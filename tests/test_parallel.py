@@ -91,6 +91,38 @@ def test_batched_pipelined_chunks_match_single_shot(parsed, fixture_mp3,
         np.testing.assert_array_equal(a, b)
 
 
+def test_batched_mixed_samplerates_device_path(tmp_path, monkeypatch):
+    """Mixed-samplerate batches through the FORCED device path: the concat
+    layout shares one set of constant tables per dispatch, so the pipeline
+    groups files by samplerate and must restore the caller's order across
+    interleaved groups (including the warm-up chunk split)."""
+    from mp3stego_tpu.models.encoder import Encoder
+    from mp3stego_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(11)
+    paths = {}
+    for sr in (44100, 32000):
+        t = np.arange(int(sr * 0.3))
+        pcm = np.clip(12000 * np.sin(2 * np.pi * 700 * t / sr)
+                      + 900 * rng.standard_normal(len(t)),
+                      -32768, 32767).astype(np.int16)
+        wav = str(tmp_path / f"m{sr}.wav")
+        write_wav(wav, sr, np.stack([pcm, pcm], axis=1))
+        mp3 = str(tmp_path / f"m{sr}.mp3")
+        Encoder(wav, mp3, bitrate=128).encode(quiet=True)
+        paths[sr] = mp3
+
+    order = [44100, 32000, 44100, 32000, 44100]
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_HOST_G", "0")   # force device
+    monkeypatch.setenv("MP3STEGO_TPU_BATCH_CHUNK_FILES", "2")
+    outs = decode_files_batched([paths[sr] for sr in order], out="int16")
+    refs = {sr: decode_files_batched([paths[sr]], out="int16")[0]
+            for sr in (44100, 32000)}
+    assert len(outs) == len(order)
+    for sr, o in zip(order, outs):
+        np.testing.assert_array_equal(o, refs[sr])
+
+
 def test_batched_mono_files_slim_fetch(tmp_path, monkeypatch):
     """An all-mono batch decodes through the device path with the dead
     channel sliced off ON DEVICE before the fetch (slim), and still matches
