@@ -368,18 +368,18 @@ def _decode_device_pipelined(metas: list, mesh, dtype: str, to_i16: bool,
         # three-stage software pipeline: prep(k+1) ∥ upload+compute(k) ∥
         # fetch(k-1). Whether the fetch gets its OWN thread (so chunk k+1's
         # upload overlaps chunk k's PCM drain) is decided by the probed
-        # link: on a full-duplex link the overlap wins outright, but on the
-        # tunneled chip here the two directions CONTEND — measured aggregate
-        # under concurrency is BELOW the half-duplex model (BENCH_DETAIL
-        # "link duplex probe") — so the fetch stays inline, trailing the
-        # async dispatch by one chunk. MP3STEGO_TPU_FETCH_THREAD=1/0
-        # overrides.
+        # duplex gain — the measured concurrent up+down aggregate over the
+        # half-duplex model: >1 means the link's directions genuinely
+        # overlap (measured 1.3x end-to-end on the tunneled chip: 68 -> 89x
+        # on the 64-fixture batch), <=1 means they contend and the fetch
+        # stays inline, trailing the async dispatch by one chunk.
+        # MP3STEGO_TPU_FETCH_THREAD=1/0 overrides.
         env = _os.environ.get("MP3STEGO_TPU_FETCH_THREAD")
         if env is not None:
             threaded_fetch = env == "1"
         else:
             from mp3stego_tpu.utils.calibrate import get_probe
-            threaded_fetch = get_probe().xfer_overlap < 0.85
+            threaded_fetch = get_probe().duplex_gain > 1.05
         with ThreadPoolExecutor(max_workers=1) as pool, \
                 ThreadPoolExecutor(max_workers=1) as fetcher:
             fut = pool.submit(prep, [metas[i] for i in chunks[0]])
