@@ -219,14 +219,18 @@ def measure_probe() -> Probe:
             out = _touch(put_pieces(buf))         # warm compile + h2d path
             jax.block_until_ready(out)
             fetch_pieces([out])                   # absorb first-fetch stall
-            t0 = time.time()
-            out = _touch(put_pieces(buf))
-            jax.block_until_ready(out)
-            up_s = max(1e-4, time.time() - t0)
+            up_s = down_s = None                  # best-of-2: single shots
+            for _ in range(2):                    # ride the link's swings
+                t0 = time.time()
+                out = _touch(put_pieces(buf))
+                jax.block_until_ready(out)
+                d = max(1e-4, time.time() - t0)
+                up_s = d if up_s is None else min(up_s, d)
+                t0 = time.time()
+                fetch_pieces([out])
+                d = max(1e-4, time.time() - t0)
+                down_s = d if down_s is None else min(down_s, d)
             vals["link_out_mbps"] = buf.nbytes / up_s / 1e6
-            t0 = time.time()
-            fetch_pieces([out])
-            down_s = max(1e-4, time.time() - t0)
             vals["link_in_mbps"] = buf.nbytes / down_s / 1e6
             # transfer-overlap factor: the same bytes as one composite pass
             # (upload -> compute -> fetch, exactly a production device
