@@ -166,17 +166,18 @@ def _decode_batch_concat(args, num_files, dtype_name="float32",
     blk = dp.granule_blocks(args, dtype)            # (2, F*T, 32, 36)
     ch, ft = blk.shape[0], blk.shape[1]
     t = ft // num_files
-    # vmap over the file axis IN PLACE (in_axes=1 on the (ch, F, T, ...)
-    # view): a materialized (F, ch, T, ...) transpose of the block plane
-    # measured ~6 ms/dispatch of pure data formatting at corpus scale
+    with jax.named_scope("file_split"):
+        # vmap over the file axis IN PLACE (in_axes=1 on the (ch, F, T, ...)
+        # view) — no materialized (F, ch, T, ...) transpose
+        blkf = blk.reshape(ch, num_files, t, 32, 36)
     pcm = jax.vmap(lambda b: dp.synth_from_blocks(b, dtype)[0],
-                   in_axes=1, out_axes=0)(
-        blk.reshape(ch, num_files, t, 32, 36))
+                   in_axes=1, out_axes=0)(blkf)
     if to_i16:
-        x = pcm * jnp.float32(32767)
-        if not wrap:
-            x = jnp.clip(x, jnp.float32(-32768), jnp.float32(32767))
-        return x.astype(jnp.int32).astype(jnp.int16)
+        with jax.named_scope("pcm_i16"):
+            x = pcm * jnp.float32(32767)
+            if not wrap:
+                x = jnp.clip(x, jnp.float32(-32768), jnp.float32(32767))
+            return x.astype(jnp.int32).astype(jnp.int16)
     return pcm
 
 
