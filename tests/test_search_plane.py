@@ -275,6 +275,27 @@ def test_verify_cells_batched_matches_loop():
         np.testing.assert_array_equal(v1, v0, err_msg=f"bv sr={sr_idx}")
 
 
+def test_hide_search_empty_and_exhausted_message_matches_plain():
+    """An empty message (L=0 pads to a whole 4096-bit bucket, ADVICE r4) and
+    cursors past the message end must leave the search identical to the
+    transform-free plain search."""
+    import jax
+
+    from mp3stego_tpu.ops import search_plane as SP
+
+    rng = np.random.default_rng(31)
+    xr = jax.device_put(_random_lanes(rng, 8, 22))
+    mb = np.full(8, 1631, np.int32)
+    plain = SP.search_all(xr, mb, 0)
+    empty = SP.search_all(xr, mb, 0, hide_bits=np.zeros(0, np.uint8),
+                          hide_cur=np.zeros(8, np.int32))
+    past = SP.search_all(xr, mb, 0, hide_bits=np.ones(4, np.uint8),
+                         hide_cur=np.full(8, 100, np.int32))
+    for k in ("step", "bits", "ch0", "ch1", "ch2", "bv", "c1", "cts"):
+        np.testing.assert_array_equal(plain[k], empty[k], err_msg=k)
+        np.testing.assert_array_equal(plain[k], past[k], err_msg=k)
+
+
 def test_verify_cells_hide_batched_matches_loop():
     """The vectorized verify_cells_hide (stego transform + emitted-table
     re-cost) must equal the per-cell loop twin, including cells whose cursor
