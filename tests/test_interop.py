@@ -173,6 +173,33 @@ def test_our_mono_encode_reads_back(tmp_path):
     _check(mp3, tmp_path, floor=40.0)
 
 
+def test_our_vbr_encode_reads_back(tmp_path):
+    """Our constant-quality VBR stream (per-frame rates + Xing tag) decodes
+    equivalently under mpg123 and under our own decoder: pins that a
+    production decoder accepts the mixed-rate frame chain and the tag frame.
+
+    mpg123 treats any Xing-tagged stream as gapless and trims the standard
+    529-sample decoder delay from the front (measured: its output is exactly
+    529 samples shorter and offset-aligned at that lag); our decoder keeps
+    raw frame output, so the comparison aligns at ours[529:]. Floor 40 dB:
+    same transient-Nyquist decoder-family residual as the CBR read-back
+    tests above."""
+    p = _transient(44100)
+    pcm = np.stack([p, np.roll(p, 441)], axis=1)
+    mp3 = _encode_wav(pcm, 44100, 128, tmp_path, vbr=True)
+    from mp3stego_tpu.bitstream import vbr
+    tag = vbr.parse_vbr_tag(mp3, 0)
+    assert tag is not None and tag.kind == "xing"
+    ref, _ = mpg123_decode(mp3)
+    ours = _our_decode(mp3, tmp_path)
+    assert ours.shape[1] == ref.shape[1]
+    assert ours.shape[0] - ref.shape[0] == 529   # the gapless delay trim
+    a = ours[529:]
+    n = min(len(a), len(ref))
+    s = snr_db(ref[:n].ravel(), a[:n].ravel())
+    assert s > 40.0, f"SNR vs mpg123 {s:.1f} dB < 40"
+
+
 @pytest.mark.parametrize("sr,br", [(22050, 64), (24000, 64), (16000, 48)])
 def test_our_compliant_lsf_encode_reads_back(sr, br, tmp_path):
     """The compliant LSF writer emits streams a production decoder reads:
