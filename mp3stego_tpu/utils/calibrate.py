@@ -50,7 +50,7 @@ _DEFAULTS = dict(
     device_gps=75000.0,         # batched f32 decode plane, compute only
     device_search_gps=30000.0,  # device while_loop search plane
     device_overhead_s=0.15,     # fixed dispatch+sync latency per device call
-    h2d_bpg=1700.0,             # decode-path h2d bytes/granule (see below)
+    h2d_bpg=1400.0,             # decode-path h2d bytes/granule (see below)
     d2h_bpg=2304.0,             # int16 PCM bytes/granule back
     device_path_gps=0.0,        # MEASURED end-to-end device-path rate
                                 # (granules/s incl. transfers; bench-refreshed;
@@ -67,12 +67,14 @@ _DEFAULTS = dict(
 )
 
 # Bytes moved per granule by the device decode path (defaults measured on
-# the round-2 64-fixture batch: prep tensors up, int16 PCM back). These are
-# probe fields now — bench.py refreshes them from the ACTUAL staged batch
-# sizes each run (the prep schema evolves; e.g. the gather-free requantize
-# shrank the upload), so the cost model tracks the real transfer volume.
-# Module constants kept as the documented defaults.
-H2D_BYTES_PER_GRANULE = 1700
+# the round-5 64-fixture concat batch: prep tensors up — actual 1356 B/g,
+# prior kept slightly conservative — int16 PCM back). These are probe
+# fields — bench.py refreshes them from the ACTUAL staged batch sizes each
+# run (the prep schema evolves; the gather-free requantize and then the
+# concat layout's shared constants both shrank the upload), so the cost
+# model tracks the real transfer volume. Module constants kept as the
+# documented defaults.
+H2D_BYTES_PER_GRANULE = 1400
 D2H_BYTES_PER_GRANULE = 2 * 576 * 2
 
 
